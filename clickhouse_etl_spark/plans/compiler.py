@@ -1,0 +1,117 @@
+"""Spec -> plan compiler: one operator library, two runners.
+
+``compile_pipeline`` turns a validated :class:`PipelineSpec` into a
+:class:`CompiledPipeline` whose ``run_batch`` executes the declarative
+chain over per-source batch DataFrames (parquet/JSON fixtures — this is
+the oracle-checked path), and whose transform chain is reused verbatim
+by the streaming runner (streaming/runner.py).
+
+Stage order within a source is fixed — filter -> dedup -> stateless
+transform — matching the reference's hardcoded processor order
+(cmd/glassflow/dedup_component.go:210-225). Disabled stages are
+simply absent (reference uses NoopProcessor).
+
+There is deliberately no optimizer here: the spec is declarative and
+compiles 1:1 to DataFrame operations; Catalyst owns predicate pushdown,
+column pruning, join strategy, and AQE owns runtime re-planning. The
+compiler's scale responsibilities are only the things Catalyst cannot
+infer: explicit broadcast of the latest-per-key right side when small,
+and key-hash partitioning alignment for the stateful ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from ..operators.dedup import dedup_first_wins, dedup_windowed
+from ..operators.filter import apply_filter
+from ..operators.join import temporal_join_batch
+from ..operators.mapper import apply_sink_mapping
+from ..operators.transform import apply_transform
+from ..spec.model import PipelineSpec, SourceConfig
+
+
+@dataclass
+class CompiledPipeline:
+    spec: PipelineSpec
+    #: per-source transform chain (filter -> dedup -> stateless transform)
+    source_chains: dict[str, Callable[[DataFrame], DataFrame]]
+
+    def run_batch(
+        self,
+        inputs: dict[str, DataFrame],
+        ts_cols: Optional[dict[str, str]] = None,
+        order_cols: Optional[dict[str, list[str]]] = None,
+    ) -> DataFrame:
+        """Execute the full pipeline over batch inputs.
+
+        ``ts_cols``/``order_cols`` supply the event-time column and the
+        deterministic arrival-order tiebreak per source (batch mode has
+        no arrival order — SURVEY.md §7.5.1).
+        """
+        ts_cols = ts_cols or {}
+        order_cols = order_cols or {}
+        staged: dict[str, DataFrame] = {}
+        for sid, chain in self.source_chains.items():
+            df = inputs[sid]
+            staged[sid] = chain(df)
+
+        spec = self.spec
+        if spec.join is not None:
+            left = staged[spec.join.left.source_id]
+            right = staged[spec.join.right.source_id]
+            df = temporal_join_batch(
+                left,
+                right,
+                spec.join,
+                right_ts_col=ts_cols.get(spec.join.right.source_id),
+                right_tiebreak=order_cols.get(spec.join.right.source_id, []),
+                left_ts_col=ts_cols.get(spec.join.left.source_id),
+            )
+        else:
+            if len(staged) != 1:
+                raise ValueError("multiple sources without a join are separate pipelines")
+            df = next(iter(staged.values()))
+
+        if spec.sink.mapping:
+            df = apply_sink_mapping(df, spec.sink.mapping)
+        return df
+
+
+def _chain_for_source(
+    src: SourceConfig,
+    ts_col: Optional[str],
+    order: list[str],
+) -> Callable[[DataFrame], DataFrame]:
+    def chain(df: DataFrame) -> DataFrame:
+        if src.filter is not None:
+            df = apply_filter(df, src.filter)
+        if src.dedup is not None:
+            if ts_col and src.dedup.time_window_s:
+                df = dedup_windowed(df, src.dedup.key, ts_col, src.dedup.time_window_s, order)
+            else:
+                df = dedup_first_wins(df, src.dedup.key, order or df.columns[:1])
+        if src.transform is not None:
+            df = apply_transform(df, src.transform)
+        return df
+
+    return chain
+
+
+def compile_pipeline(
+    spec: PipelineSpec,
+    ts_cols: Optional[dict[str, str]] = None,
+    order_cols: Optional[dict[str, list[str]]] = None,
+) -> CompiledPipeline:
+    ts_cols = ts_cols or {}
+    order_cols = order_cols or {}
+    chains = {
+        s.source_id: _chain_for_source(
+            s, ts_cols.get(s.source_id), order_cols.get(s.source_id, [])
+        )
+        for s in spec.sources
+    }
+    return CompiledPipeline(spec=spec, source_chains=chains)

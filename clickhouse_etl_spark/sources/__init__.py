@@ -1,0 +1,5 @@
+"""sources — batch table loaders, Kafka stream builder, OTLP flatteners."""
+
+from .batch import TABLES, load_table, load_tables
+
+__all__ = ["load_table", "load_tables", "TABLES"]

@@ -1,0 +1,106 @@
+"""End-to-end pipeline compile + batch run from a v3 JSON document.
+
+Models the reference's documented canonical pipeline (FIXTURES.md F3 /
+docs/app/configuration/pipeline-config-reference/page.mdx:204-292):
+orders deduped on order_id, joined with users on user_id, mapped sink
+with a rename + DateTime cast.
+"""
+
+import datetime as dt
+import json
+
+from clickhouse_etl_spark.plans import compile_pipeline
+from clickhouse_etl_spark.spec import parse_pipeline_json
+
+V3_DOC = {
+    "version": "v3",
+    "pipeline_id": "p1",
+    "name": "orders-users",
+    "sources": [
+        {
+            "type": "kafka",
+            "source_id": "orders",
+            "topic": "orders",
+            "schema_fields": [
+                {"name": "order_id", "type": "string"},
+                {"name": "user_id", "type": "string"},
+                {"name": "amount", "type": "float"},
+                {"name": "timestamp", "type": "string"},
+            ],
+        },
+        {
+            "type": "kafka",
+            "source_id": "users",
+            "topic": "users",
+            "schema_fields": [
+                {"name": "user_id", "type": "string"},
+                {"name": "email", "type": "string"},
+            ],
+        },
+    ],
+    "transforms": [
+        {"type": "filter", "source_id": "orders", "config": {"expression": "amount > 10"}},
+        {"type": "dedup", "source_id": "orders", "config": {"key": "order_id", "time_window": "1h"}},
+    ],
+    "join": {
+        "enabled": True,
+        "type": "temporal",
+        "left_source": {"source_id": "orders", "key": "user_id", "time_window": "1h"},
+        "right_source": {"source_id": "users", "key": "user_id", "time_window": "1h"},
+        "output_fields": [
+            {"source_id": "orders", "name": "order_id"},
+            {"source_id": "orders", "name": "amount"},
+            {"source_id": "orders", "name": "timestamp", "output_name": "created_at"},
+            {"source_id": "users", "name": "email"},
+        ],
+    },
+    "sink": {
+        "type": "clickhouse",
+        "table": "orders_enriched",
+        "max_batch_size": 1000,
+        "max_delay_time": "60s",
+        "mapping": [
+            {"name": "order_id", "column_name": "order_id", "column_type": "String"},
+            {"name": "amount", "column_name": "amount", "column_type": "Float64"},
+            {"name": "created_at", "column_name": "created_at", "column_type": "DateTime"},
+            {"name": "email", "column_name": "email", "column_type": "String"},
+        ],
+    },
+}
+
+
+def test_parse_and_run(spark):
+    spec = parse_pipeline_json(json.dumps(V3_DOC))
+    assert spec.source("orders").filter.expression == "amount > 10"
+    assert spec.source("orders").dedup.time_window_s == 3600.0
+    assert spec.join.left.key == "user_id"
+    assert spec.sink.max_batch_size == 1000
+
+    orders = spark.createDataFrame(
+        [
+            ("o1", "u1", 50.0, "2024-01-01T10:00:00Z", 1),
+            ("o1", "u1", 50.0, "2024-01-01T10:00:01Z", 2),   # dup order_id
+            ("o2", "u2", 5.0, "2024-01-01T10:02:00Z", 3),    # filtered out
+            ("o3", "u9", 70.0, "2024-01-01T10:03:00Z", 4),   # no matching user
+        ],
+        ["order_id", "user_id", "amount", "timestamp", "seq"],
+    )
+    users = spark.createDataFrame(
+        [("u1", "a@x.com", dt.datetime(2024, 1, 1, 9)),
+         ("u1", "b@x.com", dt.datetime(2024, 1, 1, 9, 30)),  # latest wins
+         ("u2", "c@x.com", dt.datetime(2024, 1, 1, 9))],
+        ["user_id", "email", "uts"],
+    )
+
+    plan = compile_pipeline(spec, order_cols={"orders": ["seq"]})
+    out = plan.run_batch(
+        {"orders": orders, "users": users},
+        ts_cols={"users": "uts"},
+    )
+    rows = out.collect()
+    assert out.columns == ["order_id", "amount", "created_at", "email"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["order_id"] == "o1"
+    assert r["email"] == "b@x.com"
+    assert r["created_at"] == dt.datetime(2024, 1, 1, 10)
