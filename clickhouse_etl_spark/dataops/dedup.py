@@ -1,0 +1,192 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Every operator avoids O(n^2) over the corpus: candidate pairs come
+from an inverted index (shared shingle) or LSH band buckets, then only
+candidates get exact verification. At 100 TB the candidate-generation
+join is the shuffle; its key (shingle / band) is high-cardinality so
+it hash-partitions evenly.
+
+All hashing is the portable char-fold family (hashing.py) so the
+DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import HASH_MOD, MINHASH_COEFFS, affine_hash, char_fold_hash
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: keep min(id) per distinct text.
+
+    md5 is engine-portable (identical hex in Spark and DuckDB). One
+    hash-shuffle on the digest; no text comparison beyond the group.
+    """
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.col("keep_id"),
+            F.col("n_copies"),
+            F.col("_h").alias("content_md5"),
+        )
+    )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Distinct n-word shingles as strings (space-joined)."""
+    toks = F.split(text, " ")
+    # sequence(1, x) flips to descending when x < 1 — guard short docs
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-set Jaccard, with an
+    inverted-index candidate join (pairs must share >= 1 shingle).
+
+    Output: (id_a, id_b, shared, size_a, size_b, jaccard) with
+    id_a < id_b. Jaccard = shared / (size_a + size_b - shared) — pure
+    integer counts, so the double division is engine-identical.
+    """
+    grams = (
+        df.select(F.col(id_col).alias("id"), F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def _affine_mapper(a: int, b: int):
+    # pyspark inspects lambda arity for higher-order functions — bind the
+    # coefficients via closure, not default args
+    return lambda h: affine_hash(h, a, b)
+
+
+def _minhash_signature(text: Column, n: int, k: int) -> list[Column]:
+    """k MinHash values over n-word shingles (portable hash family)."""
+    shingle_hashes = F.transform(_word_ngrams(text, n), char_fold_hash)
+    sig = []
+    for a, b in MINHASH_COEFFS[:k]:
+        sig.append(F.array_min(F.transform(shingle_hashes, _affine_mapper(a, b))))
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact Jaccard verification.
+
+    1. per-doc k-value MinHash signature over n-word shingles;
+    2. LSH banding (k / rows_per_band bands); docs sharing any band
+       value become candidates — the only join, keyed by (band_idx,
+       band_value), high-cardinality and skew-free;
+    3. exact n-gram Jaccard on candidates; keep >= threshold.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sig_cols = _minhash_signature(F.col(text_col), n, k)
+    n_bands = k // rows_per_band
+    bands = [
+        F.concat_ws(
+            "_",
+            *[c.cast("string") for c in sig_cols[i * rows_per_band : (i + 1) * rows_per_band]],
+        ).alias(f"band_{i}")
+        for i in range(n_bands)
+    ]
+    with_bands = df.select(
+        F.col(id_col).alias("id"),
+        _word_ngrams(F.col(text_col), n).alias("_grams"),
+        *bands,
+    )
+    banded = with_bands.select(
+        "id",
+        "_grams",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(i)), F.col(f"band_{i}")) for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a._grams").alias("ga"),
+            F.col("b._grams").alias("gb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.col("ga")) + F.size(F.col("gb")) - shared
+    return (
+        cand.withColumn("jaccard", shared / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over word unigrams (portable hash family).
+
+    bit_j of the signature is 1 iff sum over words of
+    (word_hash >> j) & 1 ? +1 : -1 is positive. Narrow projection,
+    no shuffle; near-dup = small Hamming distance between signatures.
+    """
+    def _vote_folder(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    hashes = F.transform(words, char_fold_hash)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_folder(j))
+        sig = sig + F.when(vote > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return df.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products are sequential left folds (``aggregate`` over
+  ``zip_with``) in double precision, so the same fold in the DuckDB
+  oracle produces bit-identical values.
+- ``embedding_near_dup_pairs``: all pairs above a cosine threshold.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
+  shrink the candidate set from O(n*q) to O(bucket), the standard
+  trade of recall for a 100-1000x smaller join. Hyperplanes are a
+  deterministic portable pseudo-random family so results stay
+  reproducible.
+
+Scale notes: brute force is a broadcast of the (small) query set
+against the corpus — embarrassingly parallel, no shuffle on the
+corpus. LSH adds one hash-shuffle on bucket id. Neither collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import HASH_MOD
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (engine-portable order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    streams through without a shuffle until the final per-query top-k
+    (WindowGroupLimit keeps it a partial top-k, not a full sort).
+    Self-matches (same id) are excluded when id columns collide.
+    Deterministic tie-break: (similarity desc, corpus id asc).
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    crossed = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    scored = crossed.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rn").alias("rank"),
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold, a < b.
+
+    Quadratic candidate set — appropriate for corpora that fit a
+    broadcast (dims/dedup batches); use lsh_bucket_topk for web scale.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _pseudo_hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic +-1 hyperplane from the portable hash family."""
+    vals = []
+    h = (plane * 2654435761 + 97) % HASH_MOD
+    for i in range(dim):
+        h = (h * 1103515245 + 12345) % HASH_MOD
+        vals.append(1.0 if h % 2 == 1 else -1.0)
+    return vals
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join.
+
+    Sign-bits of ``n_planes`` fixed hyperplane dot products form the
+    bucket id; queries only compare against corpus vectors in the same
+    bucket. Recall < 1.0 by construction — this is the 100TB path, the
+    brute-force operator is the oracle for its quality.
+    """
+    def bucket(vec: Column) -> Column:
+        bits = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(v) for v in _pseudo_hyperplane(dim, p)])
+            d = _dot(vec, plane)
+            bits = bits + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        return bits
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"), bucket(F.col(vec_col)).alias("_bkt"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), bucket(F.col(vec_col)).alias("_bkt")
+    )
+    scored = (
+        c.join(q, "_bkt")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rn").alias("rank"),
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators: language-ID, quality scoring, token stats,
+document fingerprinting.
+
+All pure Catalyst expressions over a string column — integer counts
+and exact ratio arithmetic so every output is reproducible in the
+DuckDB oracle. Tokenization is a plain single-space split (the corpus
+convention for the synthetic documents table); swap ``_tokens`` for a
+regex splitter when pointing at real text.
+
+Scale notes: each operator is a narrow projection (no shuffle); at
+100 TB these run scan-speed and pipeline with the parquet read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import char_fold_hash
+
+#: tiny fixed stopword lists per language — heuristic n-gram-free
+#: language ID; deterministic and oracle-replayable. Order matters for
+#: tie-breaking (score desc, then this order).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "en": ["the", "a", "is", "of", "and", "to", "in", "that", "it", "for"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+    "fr": ["le", "les", "et", "est", "une", "des", "dans", "pour", "que", "sur"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def _stop_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language ID. Deterministic argmax: highest hit
+    count wins; ties resolve in STOPWORDS key order; zero hits -> 'und'."""
+    toks = _tokens(F.col(text_col))
+    scores = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    df = df.withColumns({f"_s_{lang}": s for lang, s in scores.items()})
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang in STOPWORDS:  # earlier language wins ties -> strict >
+        s = F.col(f"_s_{lang}")
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return df.withColumn(out_col, best).drop(*[f"_s_{lang}" for lang in STOPWORDS])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean token length — combined into a 0..1-ish score.
+
+    All components are exact integer-ratio arithmetic (identical in any
+    IEEE-754 engine). Columns: n_chars_q, n_tokens_q, punct_ratio,
+    stop_ratio, mean_token_len, quality.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(text, "[.,;:!?]", ""))
+    ).cast("bigint")
+    n_stop = _stop_hits(toks, STOPWORDS["en"]).cast("bigint")
+    nonempty = F.filter(toks, lambda t: F.length(t) > 0)
+    sum_tok_len = F.aggregate(
+        nonempty, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_nonempty = F.size(nonempty).cast("bigint")
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_nonempty > 0, sum_tok_len / n_nonempty).otherwise(F.lit(0.0))
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    quality = (
+        F.lit(0.3) * length_ok
+        + F.lit(0.3) * word_ok
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("quality", quality)
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars,
+    BPE-ish subword estimate (ceil(chars/4) — the common LLM rule of
+    thumb, deterministic)."""
+    text = F.col(text_col)
+    toks = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("bigint"))
+        .withColumn("n_chars_t", F.length(text).cast("bigint"))
+        .withColumn("n_subwords_est", F.ceil(F.length(text) / F.lit(4.0)).cast("bigint"))
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Rolling polynomial hash of the full text (content fingerprint,
+    engine-portable — see hashing.char_fold_hash)."""
+    return df.withColumn(out_col, char_fold_hash(F.col(text_col)))

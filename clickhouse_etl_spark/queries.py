@@ -1,0 +1,952 @@
+"""Query registry: every implemented operator as a (Spark fn, DuckDB oracle) pair.
+
+This is the engine's declared capability surface (SURVEY.md §2 + the
+large-scale data ops). Each entry runs the *engine's* operators on the
+Spark side and an independently-written ANSI-SQL equivalent on DuckDB;
+the driver hash-compares results, so every expression here is built for
+cross-engine determinism:
+
+- money: exact integer-cents arithmetic (columns are 2-decimal);
+- timestamps: compared as epoch seconds/micros or µs-truncated
+  timestamps (the parquet files store nanos);
+- doubles: only ratios/products of identical integer or double inputs
+  evaluated in the same order (IEEE 754 is deterministic given order);
+- hashes: the portable char-fold family (dataops/hashing.py), never
+  engine-native hash functions (md5 excepted — hex output is portable);
+- aggregates: DuckDB ``sum(BIGINT)`` returns HUGEINT — always cast back;
+- top-k/dedup: every window order has a total tie-break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dataops.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from .dataops.hashing import HASH_MOD, MINHASH_COEFFS, char_fold_hash_sql
+from .dataops.multimodal import attach_asset_meta, decode_assets
+from .dataops.similarity import cosine_topk, embedding_near_dup_pairs, lsh_bucket_topk
+from .dataops.text import STOPWORDS, doc_fingerprint, language_id, quality_score, token_stats
+from .operators.dedup import dedup_first_wins, dedup_windowed
+from .operators.filter import apply_filter
+from .operators.join import asof_join, temporal_join_batch
+from .operators.mapper import apply_sink_mapping
+from .operators.transform import apply_transform
+from .operators.validate import validate_json
+from .sources.batch import load_table
+from .spec.model import (
+    Field as SpecField,
+    FilterConfig,
+    JoinConfig,
+    JoinOutputField,
+    JoinSourceConfig,
+    SinkMapping,
+    TransformConfig,
+    TransformOutput,
+)
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None -> non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = ()
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def q(name: str, sql: Optional[str], *tags: str):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, sql=sql, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------------ #
+# reference ETL surface (SURVEY.md §2)                                #
+# ------------------------------------------------------------------ #
+
+_CANONICAL_V3 = {
+    "version": "v3",
+    "pipeline_id": "canonical",
+    "name": "events-orders-enrich",
+    "sources": [
+        {
+            "type": "kafka",
+            "source_id": "events",
+            "topic": "events",
+            "schema_fields": [
+                {"name": "event_id", "type": "int"},
+                {"name": "user_id", "type": "int"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "float"},
+            ],
+        },
+        {
+            "type": "kafka",
+            "source_id": "orders",
+            "topic": "orders",
+            "schema_fields": [
+                {"name": "o_custkey", "type": "int"},
+                {"name": "o_totalprice", "type": "float"},
+            ],
+        },
+    ],
+    "transforms": [
+        {
+            "type": "filter",
+            "source_id": "events",
+            "config": {"expression": "value > 50 and event_type == 'click'"},
+        },
+        {
+            "type": "dedup",
+            "source_id": "events",
+            "config": {"key": "user_id", "time_window": "1h"},
+        },
+    ],
+    "join": {
+        "enabled": True,
+        "type": "temporal",
+        "left_source": {"source_id": "events", "key": "user_id", "time_window": "0s"},
+        "right_source": {"source_id": "orders", "key": "o_custkey", "time_window": "0s"},
+        "output_fields": [
+            {"source_id": "events", "name": "event_id"},
+            {"source_id": "events", "name": "value"},
+            {"source_id": "orders", "name": "o_totalprice", "output_name": "total_price"},
+        ],
+    },
+    "sink": {
+        "type": "clickhouse",
+        "table": "events_enriched",
+        "max_batch_size": 1000,
+        "max_delay_time": "60s",
+        "mapping": [
+            {"name": "event_id", "column_name": "event_id", "column_type": "Int64"},
+            {"name": "value", "column_name": "value", "column_type": "Float64"},
+            {"name": "total_price", "column_name": "total_price", "column_type": "Float64"},
+        ],
+    },
+}
+
+
+@q(
+    "pipeline_canonical",
+    """
+    WITH src AS (
+        SELECT * FROM events WHERE value > 50 AND event_type = 'click'
+    ), ded AS (
+        SELECT * FROM src
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, (epoch_us(ts) // 1000000) // 3600
+            ORDER BY epoch_us(ts), event_id) = 1
+    ), latest AS (
+        SELECT o_custkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT d.event_id AS event_id, d.value AS value, l.o_totalprice AS total_price
+    FROM ded d JOIN latest l ON d.user_id = l.o_custkey
+    """,
+    "bench",
+)
+def pipeline_canonical(spark, sf_dir):
+    """The flagship: a full v3 pipeline document (the reference's wire
+    format, api/pipeline.go:199-330) parsed, compiled, and executed —
+    filter -> windowed dedup -> temporal join -> sink mapping."""
+    from .plans import compile_pipeline
+    from .spec import parse_pipeline_json
+
+    spec = parse_pipeline_json(_CANONICAL_V3)
+    plan = compile_pipeline(spec, ts_cols={"events": "ts"}, order_cols={"events": ["event_id"], "orders": ["o_orderkey"]})
+    return plan.run_batch(
+        {"events": _t(spark, sf_dir, "events"), "orders": _t(spark, sf_dir, "orders")},
+        ts_cols={"orders": "o_orderdate"},
+        order_cols={"orders": ["o_orderkey"]},
+    )
+
+
+@q(
+    "filter_project",
+    """
+    SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS ts_s
+    FROM events WHERE value > 50 AND event_type = 'click'
+    """,
+    "bench",
+)
+def filter_project(spark, sf_dir):
+    """R1 filter operator via the expr translator (filter/json/filter.go:17-54)."""
+    ev = _t(spark, sf_dir, "events")
+    out = apply_filter(ev, FilterConfig("value > 50 and event_type == 'click'"))
+    return out.select(
+        "event_id", "user_id", "value", F.unix_seconds(F.col("ts")).alias("ts_s")
+    )
+
+
+@q(
+    "transform_scalars",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           replace(source, 'src', 's-') AS src_norm,
+           contains(text, 'spark') AS has_kw,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+    """,
+    "bench",
+)
+def transform_scalars(spark, sf_dir):
+    """R2 stateless transform: full reprojection with scalar functions
+    (transformer/json/transformation.go:50-131)."""
+    docs = _t(spark, sf_dir, "documents")
+    cfg = TransformConfig(
+        outputs=(
+            TransformOutput("doc_id", "doc_id", "int64"),
+            TransformOutput("upper(lang)", "lang_up", "string"),
+            TransformOutput("replace(source, 'src', 's-')", "src_norm", "string"),
+            TransformOutput("containsStr(text, 'spark')", "has_kw", "bool"),
+            TransformOutput("len(split(text, ' '))", "n_tok", "int64"),
+        )
+    )
+    return apply_transform(docs, cfg)
+
+
+@q(
+    "transform_query_params",
+    """
+    SELECT event_id, event_type AS qtype, user_id AS k_param FROM events
+    """,
+)
+def transform_query_params(spark, sf_dir):
+    """Query-string scalar functions (custom_expr_functions.go:16-75):
+    the engine builds a query string and extracts params back — the
+    oracle is the identity projection."""
+    ev = _t(spark, sf_dir, "events")
+    cfg = TransformConfig(
+        outputs=(
+            TransformOutput("event_id", "event_id", "int64"),
+            TransformOutput(
+                "getQueryParam('u=' + toString(user_id) + '&t=' + event_type, 't')",
+                "qtype",
+                "string",
+            ),
+            TransformOutput(
+                "toInt(getQueryParam('u=' + toString(user_id) + '&t=' + event_type, 'u'))",
+                "k_param",
+                "int64",
+            ),
+        )
+    )
+    return apply_transform(ev, cfg)
+
+
+@q(
+    "dedup_first_wins",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+    """,
+    "bench",
+)
+def dedup_first_wins_q(spark, sf_dir):
+    """D3 keyed dedup, window = ∞ (deduplication/badger/deduplication.go:30-103)."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_first_wins(ev, "user_id", ["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@q(
+    "dedup_windowed",
+    """
+    SELECT event_id, user_id FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, (epoch_us(ts) // 1000000) // 3600
+        ORDER BY epoch_us(ts), event_id) = 1
+    """,
+    "bench",
+)
+def dedup_windowed_q(spark, sf_dir):
+    """D3 keyed dedup within a 1h window (time-bucket batch form;
+    streaming uses dropDuplicatesWithinWatermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_windowed(ev, "user_id", "ts", 3600, ["event_id"]).select(
+        "event_id", "user_id"
+    )
+
+
+@q(
+    "temporal_join_enrich",
+    """
+    WITH latest AS (
+        SELECT o_custkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, l.o_totalprice AS total_price
+    FROM events e JOIN latest l ON e.user_id = l.o_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    "bench",
+)
+def temporal_join_enrich(spark, sf_dir):
+    """The temporal enrichment join, batch oracle form: latest right per
+    key (overwrite semantics, join/temporal.go:267-283) + inner equi-join."""
+    ev = apply_filter(_t(spark, sf_dir, "events"), FilterConfig("event_type == 'purchase'"))
+    orders = _t(spark, sf_dir, "orders")
+    cfg = JoinConfig(
+        left=JoinSourceConfig("events", "user_id", 0, "left"),
+        right=JoinSourceConfig("orders", "o_custkey", 0, "right"),
+        output_fields=(
+            JoinOutputField("events", "event_id", "event_id"),
+            JoinOutputField("events", "user_id", "user_id"),
+            JoinOutputField("orders", "o_totalprice", "total_price"),
+        ),
+    )
+    return temporal_join_batch(
+        ev, orders, cfg, right_ts_col="o_orderdate", right_tiebreak=["o_orderkey"]
+    )
+
+
+@q(
+    "asof_join_clicks",
+    """
+    WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'click'
+    ), p0 AS (
+        SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT * FROM p0
+        QUALIFY row_number() OVER (PARTITION BY user_id, us ORDER BY p_event_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id, p.p_event_id
+    FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.us <= c.us
+    QUALIFY row_number() OVER (
+        PARTITION BY c.event_id ORDER BY p.us DESC NULLS LAST, p.p_event_id DESC) = 1
+    """,
+    "bench",
+)
+def asof_join_clicks(spark, sf_dir):
+    """As-of join (beyond-reference operator Spark lacks natively): each
+    click matched to the user's most recent purchase at or before it.
+    Distributed union + window scan — no per-key loops (operators/join.py)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), F.col("user_id"), F.col("ts")
+    )
+    # one right row per (key, µs): keep max p_event_id (deterministic ties)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", F.unix_micros("ts")).orderBy(F.col("p_event_id").desc())
+    purchases = (
+        purchases.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_event_id"], how="left",
+    )
+    return out.select("event_id", "user_id", "p_event_id")
+
+
+@q(
+    "sink_mapping_casts",
+    """
+    SELECT CAST(event_id AS INTEGER) AS event_id_32,
+           event_type AS etype,
+           CAST(ts AS TIMESTAMP) AS created_at,
+           CASE WHEN value = floor(value)
+                THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+                ELSE CAST(value AS VARCHAR) END AS value_str,
+           CASE WHEN user_id BETWEEN 0 AND 4294967295 THEN user_id END AS user_id_u32
+    FROM events
+    """,
+)
+def sink_mapping_casts(spark, sf_dir):
+    """R6 sink field mapping with the ClickHouse conversion matrix
+    (mapper/types.go:79-225): range-checked ints, LowCardinality unwrap,
+    DateTime passthrough, %g float-to-string."""
+    ev = _t(spark, sf_dir, "events")
+    mapping = (
+        SinkMapping("event_id", "event_id_32", "Int32"),
+        SinkMapping("event_type", "etype", "LowCardinality(String)"),
+        SinkMapping("ts", "created_at", "DateTime"),
+        SinkMapping("value", "value_str", "String"),
+        SinkMapping("user_id", "user_id_u32", "UInt32"),
+    )
+    return apply_sink_mapping(ev, mapping)
+
+
+@q(
+    "validate_dlq_counts",
+    """
+    SELECT CASE WHEN event_id % 10 = 0 THEN 'malformed JSON' ELSE 'ok' END AS status,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def validate_dlq_counts(spark, sf_dir):
+    """R5 schema validation with DLQ routing (schema_v2/validate.go:117-230):
+    10% of payloads are truncated to malformed JSON; valid rows and DLQ
+    rows are counted per status."""
+    ev = _t(spark, sf_dir, "events")
+    payloads = ev.select(
+        F.when(F.col("event_id") % 10 == 0, F.substring("props", 1, 3))
+        .otherwise(F.col("props"))
+        .alias("value")
+    )
+    ok, dlq = validate_json(payloads, (SpecField("k", "int"),), component="ingestor")
+    ok_counts = ok.agg(F.count("*").alias("cnt")).select(
+        F.lit("ok").alias("status"), "cnt"
+    )
+    dlq_counts = dlq.groupBy(F.col("error").alias("status")).agg(F.count("*").alias("cnt"))
+    return ok_counts.unionByName(dlq_counts)
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """Semi-structured JSON payload access (the engine's from_json /
+    get_json_object path) + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("cnt"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# analytics: aggregations / windows (free Spark surface; bench heads) #
+# ------------------------------------------------------------------ #
+
+_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+@q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum({_CENTS.format(c='l_extendedprice')}) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')}) * (100 + {_CENTS.format(c='l_tax')})) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+           CAST(sum({_CENTS.format(c='l_extendedprice')}) AS BIGINT) / count(*) / 100.0 AS avg_price,
+           CAST(sum({_CENTS.format(c='l_discount')}) AS BIGINT) / count(*) / 100.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "bench",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (aggregation surface the reference lacks,
+    SURVEY.md §2.8 — 'free' from Spark SQL). Exact integer-cents
+    arithmetic for cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    ep, disc, tax = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    qty = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        (F.sum(ep) / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.sum(ep * (F.lit(100) - disc) * (F.lit(100) + tax)) / F.lit(1000000.0)).alias("sum_charge"),
+        (F.sum(qty) / F.count("*")).alias("avg_qty"),
+        (F.sum(ep) / F.count("*") / F.lit(100.0)).alias("avg_price"),
+        (F.sum(disc) / F.count("*") / F.lit(100.0)).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "q3_top_revenue",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "bench",
+)
+def q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg((F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    f"""
+    SELECT n.n_name,
+           CAST(sum({_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "bench",
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, one fact shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@q(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def topk_orders_per_priority(spark, sf_dir):
+    """Window-function surface: per-group top-k (WindowGroupLimit plan)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), gaps AS (
+        SELECT user_id,
+               CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    "bench",
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization (30-min inactivity gap): windowed lag + aggregation."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > 1800000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_s").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# dataops: dedup family                                               #
+# ------------------------------------------------------------------ #
+
+@q(
+    "docs_exact_dedup",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS content_md5
+    FROM documents GROUP BY md5(text)
+    """,
+    "bench",
+)
+def docs_exact_dedup(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_SQL = """
+    WITH g AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM g GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+           shared / (sa.sz + sb.sz - shared) AS jaccard
+    FROM shared JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE shared / (sa.sz + sb.sz - shared) >= 0.5
+"""
+
+
+@q("docs_ngram_jaccard_pairs", _NGRAM_SQL, "bench")
+def docs_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+
+
+def _minhash_sql() -> str:
+    n_bands = 4
+    h = char_fold_hash_sql("s")
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {HASH_MOD})) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:8])
+    )
+    band_exprs = ", ".join(
+        f"'{i}:' || s{2*i} || '_' || s{2*i+1}" for i in range(n_bands)
+    )
+    return f"""
+    WITH grams AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), hashes AS (
+        SELECT id, grams, list_transform(grams, s -> {h}) AS hs FROM grams
+    ), sigs AS (
+        SELECT id, grams,
+               {sig_exprs}
+        FROM hashes
+    ), bands AS (
+        SELECT id, grams, unnest([{band_exprs}]) AS band FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.grams AS ga, b.grams AS gb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(ga, gb)) / (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(ga, gb)) / (len(ga) + len(gb) - len(list_intersect(ga, gb))) >= 0.5
+    """
+
+
+@q("docs_minhash_lsh_pairs", _minhash_sql())
+def docs_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, k=8, rows_per_band=2, threshold=0.5
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = char_fold_hash_sql("wd")
+    bit_sums = ",\n               ".join(
+        f"CAST(sum(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS wd
+        FROM documents
+    ), h AS (
+        SELECT doc_id, {h} AS wh FROM words
+    ), bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {recombine} AS simhash FROM bits
+    """
+
+
+@q("docs_simhash", _simhash_sql())
+def docs_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+@q(
+    "docs_fingerprint",
+    f"""
+    SELECT doc_id, {char_fold_hash_sql('text')} AS fingerprint FROM documents
+    """,
+)
+def docs_fingerprint_q(spark, sf_dir):
+    return doc_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# ------------------------------------------------------------------ #
+# dataops: text analysis                                              #
+# ------------------------------------------------------------------ #
+
+def _langid_sql() -> str:
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({words})))"
+        )
+
+    langs = list(STOPWORDS)  # de, en, es, fr, zh — tie goes to earlier
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{l2}" for l2 in langs[i + 1 :]]
+        cond = f"s_{lang} > 0"
+        if rest:
+            cond += f" AND s_{lang} >= greatest({', '.join(rest)})" if len(rest) > 1 else f" AND s_{lang} >= {rest[0]}"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "\n               ".join(cases)
+    hit_cols = ",\n           ".join(f"{hits(lang)} AS s_{lang}" for lang in langs)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {hit_cols}
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE {case_sql}
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """
+
+
+@q("docs_langid", _langid_sql(), "bench")
+def docs_langid(spark, sf_dir):
+    return language_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "lang_pred")
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+@q(
+    "docs_quality_score",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_q,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ({_EN_STOPS}))) AS BIGINT) AS n_stop,
+               CAST(list_reduce([0::BIGINT] || list_transform(
+                   list_filter(string_split(text, ' '), t -> len(t) > 0),
+                   t -> CAST(len(t) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS sum_tok_len,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_nonempty
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id, n_chars_q, n_tokens_q,
+               CASE WHEN n_chars_q > 0 THEN n_punct / n_chars_q ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens_q > 0 THEN n_stop / n_tokens_q ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_nonempty > 0 THEN sum_tok_len / n_nonempty ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_chars_q >= 50 AND n_chars_q <= 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+        FROM base
+    )
+    SELECT doc_id, n_chars_q, n_tokens_q, punct_ratio, stop_ratio, mean_token_len,
+           0.3 * length_ok
+         + 0.3 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + 0.2 * stop_ratio
+         + 0.2 * (1.0 - punct_ratio) AS quality
+    FROM ratios
+    """,
+)
+def docs_quality_score(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_q", "n_tokens_q", "punct_ratio", "stop_ratio",
+        "mean_token_len", "quality",
+    )
+
+
+@q(
+    "docs_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_t,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+    FROM documents
+    """,
+    "bench",
+)
+def docs_token_stats(spark, sf_dir):
+    return token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_t", "n_subwords_est"
+    )
+
+
+# ------------------------------------------------------------------ #
+# dataops: similarity search                                          #
+# ------------------------------------------------------------------ #
+
+_FOLD_DOT = (
+    "list_reduce([0.0::DOUBLE] || list_transform(range(1, len({a}) + 1), "
+    "k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _FOLD_DOT.format(a=a, b=b)
+    na = _FOLD_DOT.format(a=a, b=a)
+    nb = _FOLD_DOT.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@q(
+    "emb_cosine_topk",
+    f"""
+    WITH qv AS (
+        SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT query_id, vec_id, {_cosine_sql('q', 'embedding')} AS sim
+        FROM embeddings, qv
+        WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+           round(sim, 6) AS sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    "bench",
+)
+def emb_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+@q(
+    "emb_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ------------------------------------------------------------------ #
+# rows-only entries (non-SQL-expressible: pandas-UDF / LSH plumbing)  #
+# ------------------------------------------------------------------ #
+
+@q("multimodal_decode_stub", None)
+def multimodal_decode_stub(spark, sf_dir):
+    """Multimodal binary-column plumbing: text payloads as opaque bytes,
+    Arrow-batched mapInPandas decode (stubbed codec — see
+    dataops/multimodal.py). Rows-only check: no SQL equivalent."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("tiff"))  # tiff -> decode_ok = false path
+        .alias("_fmt"),
+    )
+    assets = assets.withColumn(
+        "asset_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("_fmt").alias("format"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        ),
+    ).drop("_fmt")
+    return decode_assets(assets)
+
+
+@q("emb_lsh_ann_topk", None)
+def emb_lsh_ann_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (the 100TB scale
+    path; brute-force emb_cosine_topk is its quality oracle).
+    Rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucket_topk(emb, queries, k=10, n_planes=6, dim=64)

@@ -136,12 +136,10 @@ def parse_duration_seconds(d: str | int | float | None) -> float:
     if not s:
         return 0.0
     units = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
-    total = 0.0
-    for num, unit in re.findall(r"([0-9]*\.?[0-9]+)\s*(ns|us|µs|ms|s|m|h|d)", s):
-        total += float(num) * units[unit]
-    if total == 0.0:
-        try:
-            total = float(s)
-        except ValueError as e:
-            raise ValueError(f"cannot parse duration {d!r}") from e
-    return total
+    matches = re.findall(r"([0-9]*\.?[0-9]+)\s*(ns|us|µs|ms|s|m|h|d)", s)
+    if matches:
+        return sum(float(num) * units[unit] for num, unit in matches)
+    try:
+        return float(s)
+    except ValueError as e:
+        raise ValueError(f"cannot parse duration {d!r}") from e
