@@ -1,0 +1,144 @@
+"""Streaming runner: the same operator chain under Structured Streaming.
+
+One ``StreamingQuery`` per pipeline (the reference's per-stage pods +
+NATS hops collapse into a single Spark DAG — SURVEY.md §3.2). Delivery
+semantics: checkpointing + the sink's idempotency column give
+at-least-once with harmless replays, replacing the reference's
+ack/commit choreography (kafka/consumer.go:253-362).
+
+Dedup is ``dropDuplicatesWithinWatermark`` — the faithful "first seen
+within window wins" with state eviction by watermark (the reference's
+Badger TTL, deduplication/badger/deduplication.go:30-103, shifted from
+processing to event time as documented).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.filter import apply_filter
+from ..operators.transform import apply_transform
+from ..operators.validate import validate_json
+from ..spec.model import PipelineSpec, SourceConfig
+from ..spec.types import fields_to_struct
+
+
+def kafka_source_stream(spark: SparkSession, src: SourceConfig) -> DataFrame:
+    """readStream.format('kafka') with the spec's connection options
+    (PLAIN/SCRAM auth mapped in spec/model.py:_kafka_options), JSON
+    payload parsed against the declared schema.
+
+    Offset discipline: startingOffsets from the spec; commit-after-sink
+    ≡ checkpoint-after-foreachBatch (S1, kafka/consumer.go:69-376).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("subscribe", src.topic)
+        .option("startingOffsets", src.initial_offset)
+        .option("failOnDataLoss", "false")
+    )
+    for k, v in src.kafka_options.items():
+        reader = reader.option(k, v)
+    raw = reader.load()
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("_kafka_ts"),
+    )
+
+
+def streaming_source_chain(
+    src: SourceConfig,
+    ts_col: str,
+    value_is_json: bool = True,
+    dlq_sink: Optional[Callable[[DataFrame], None]] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-source streaming chain: validate -> filter -> dedup-within-
+    watermark -> transform. Same fixed order as batch
+    (cmd/glassflow/dedup_component.go:210-225)."""
+
+    def chain(df: DataFrame) -> DataFrame:
+        if value_is_json and src.schema_fields and "value" in df.columns:
+            ok, dlq = validate_json(df, src.schema_fields, component=f"ingestor:{src.source_id}")
+            if dlq_sink is not None:
+                dlq_sink(dlq)
+            df = ok
+        if src.filter is not None:
+            df = apply_filter(df, src.filter)
+        if src.dedup is not None:
+            window_s = src.dedup.time_window_s or 3600
+            df = df.withWatermark(ts_col, f"{int(window_s)} seconds")
+            df = df.dropDuplicatesWithinWatermark([src.dedup.key])
+        if src.transform is not None:
+            df = apply_transform(df, src.transform)
+        return df
+
+    return chain
+
+
+@dataclass
+class StreamingPipeline:
+    spec: PipelineSpec
+    checkpoint_dir: str
+
+    def start(
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame],
+        ts_cols: dict[str, str],
+        sink_fn: Callable[[DataFrame, int], None],
+        trigger: Optional[dict] = None,
+    ):
+        """Assemble and start the StreamingQuery.
+
+        ``sources`` are streaming DataFrames (kafka_source_stream or any
+        test source); ``sink_fn`` is the foreachBatch body (typically
+        ClickHouseSink.foreach_batch()). max_delay_time becomes the
+        processing-time trigger — the reference's flush cadence
+        (sink/clickhouse.go:161-197).
+        """
+        staged: dict[str, DataFrame] = {}
+        for src in self.spec.sources:
+            chain = streaming_source_chain(src, ts_cols[src.source_id])
+            staged[src.source_id] = chain(sources[src.source_id])
+
+        if self.spec.join is not None:
+            from pyspark.sql import types as T
+
+            from .temporal_join import temporal_join_streaming
+
+            left = staged[self.spec.join.left.source_id]
+            right = staged[self.spec.join.right.source_id]
+            # output schema from the join rules against the staged frames
+            fields = []
+            for rule in self.spec.join.output_fields:
+                side = left if rule.source_id == self.spec.join.left.source_id else right
+                dt = side.schema[rule.name].dataType if rule.name in side.columns else T.StringType()
+                fields.append(T.StructField(rule.output_name, dt, True))
+            df = temporal_join_streaming(
+                left,
+                right,
+                self.spec.join,
+                left_ts=ts_cols[self.spec.join.left.source_id],
+                right_ts=ts_cols[self.spec.join.right.source_id],
+                output_schema=T.StructType(fields),
+            )
+        else:
+            df = next(iter(staged.values()))
+
+        if self.spec.sink.mapping:
+            from ..operators.mapper import apply_sink_mapping
+
+            df = apply_sink_mapping(df, self.spec.sink.mapping)
+
+        writer = (
+            df.writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+        )
+        trigger = trigger or {"processingTime": f"{int(self.spec.sink.max_delay_time_s)} seconds"}
+        writer = writer.trigger(**trigger)
+        return writer.start()

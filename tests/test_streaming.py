@@ -1,0 +1,264 @@
+"""Streaming-path tests: watermark dedup, faithful temporal join state
+machine, sink error classification + DLQ, end-to-end streaming pipeline
+over file sources (no Kafka broker in this environment — the Kafka
+reader builder is covered by option-mapping unit tests).
+
+Ports the semantics of the reference's Gherkin scenarios
+(tests/features/pipeline/pipeline.feature, join/join.feature).
+"""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from clickhouse_etl_spark.sinks import (
+    Classification,
+    ClickHouseSink,
+    DLQWriter,
+    classify_clickhouse_error,
+)
+from clickhouse_etl_spark.spec.model import (
+    JoinConfig,
+    JoinOutputField,
+    JoinSourceConfig,
+    parse_pipeline_json,
+)
+from clickhouse_etl_spark.streaming import StreamingPipeline, temporal_join_streaming
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("lts", T.TimestampType()),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("rts", T.TimestampType()),
+    ]
+)
+
+
+def _write_stream_input(spark, tmpdir, name, rows, schema):
+    path = os.path.join(tmpdir, name)
+    spark.createDataFrame(rows, schema=schema).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _join_cfg(lw="2s", rw="2s"):
+    return JoinConfig(
+        left=JoinSourceConfig("left", "id", 2.0, "left"),
+        right=JoinSourceConfig("right", "id", 2.0, "right"),
+        output_fields=(
+            JoinOutputField("left", "id", "id"),
+            JoinOutputField("left", "name", "name"),
+            JoinOutputField("right", "email", "email"),
+        ),
+    )
+
+
+def test_temporal_join_streaming_semantics(spark, tmp_path):
+    """join.feature:33-138 semantics: right latest-wins, left buffered
+    then drained on right arrival, output projection with rename."""
+    base = ts("2024-01-01T10:00:00")
+
+    left_rows = [
+        ("u1", "Alice", base),                                  # before right -> buffered, drained at +0.5s
+        ("u2", "Bob", base + dt.timedelta(seconds=1)),          # after right u2 -> immediate join
+        ("u3", "Carol", base),                                  # no right ever -> dropped
+    ]
+    right_rows = [
+        ("u1", "old@x.com", base + dt.timedelta(milliseconds=200)),
+        ("u1", "new@x.com", base + dt.timedelta(milliseconds=500)),  # latest wins for later lefts
+        ("u2", "bob@x.com", base + dt.timedelta(milliseconds=300)),
+    ]
+
+    lpath = _write_stream_input(spark, str(tmp_path), "left", left_rows, LEFT_SCHEMA)
+    rpath = _write_stream_input(spark, str(tmp_path), "right", right_rows, RIGHT_SCHEMA)
+
+    left = spark.readStream.schema(LEFT_SCHEMA).parquet(lpath)
+    right = spark.readStream.schema(RIGHT_SCHEMA).parquet(rpath)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    joined = temporal_join_streaming(
+        left, right, _join_cfg(), left_ts="lts", right_ts="rts", output_schema=out_schema
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("tj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["id"], r["name"], r["email"]) for r in spark.sql("SELECT * FROM tj_out").collect()}
+    # u1: buffered left drained by FIRST right arrival (old@) — reference
+    # drains pending lefts on every right arrival
+    assert ("u1", "Alice", "old@x.com") in rows
+    # u2: left arrived after right -> immediate join
+    assert ("u2", "Bob", "bob@x.com") in rows
+    # u3: no right -> dropped (inner semantics)
+    assert not any(r[0] == "u3" for r in rows)
+    assert len(rows) == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """pipeline.feature:1-75: 4 events, duplicate key -> 3 survive."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = ts("2024-01-01T00:00:00")
+    rows = [
+        ("123", "John Doe", base),
+        ("456", "Jane Smith", base + dt.timedelta(seconds=1)),
+        ("789", "Bob Johnson", base + dt.timedelta(seconds=2)),
+        ("789", "Ulm Petterson", base + dt.timedelta(seconds=3)),  # dup within window
+    ]
+    path = _write_stream_input(spark, str(tmp_path), "events", rows, schema)
+    stream = spark.readStream.schema(schema).parquet(path)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM dd_out").collect()
+    assert sorted(r["id"] for r in got) == ["123", "456", "789"]
+
+
+def test_sink_error_classification():
+    # retryable: timeout code 159 / network error
+    assert classify_clickhouse_error("Code: 159. DB::Exception: Timeout exceeded") is Classification.RETRYABLE
+    assert classify_clickhouse_error("connection refused") is Classification.RETRYABLE
+    # permanent: parse error 6, unknown table 60, auth 516
+    assert classify_clickhouse_error("Code: 6. Cannot parse") is Classification.PERMANENT
+    assert classify_clickhouse_error("Code: 60. Table x does not exist") is Classification.PERMANENT
+    assert classify_clickhouse_error("Code: 516. Authentication failed") is Classification.PERMANENT
+    # unknown code / unknown text
+    assert classify_clickhouse_error("Code: 48. Not implemented") is Classification.UNKNOWN
+    assert classify_clickhouse_error("something odd") is Classification.UNKNOWN
+
+
+def test_sink_write_and_idempotency_column(spark, tmp_path):
+    sink = ClickHouseSink(table="t", parquet_fallback_path=str(tmp_path / "out"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    report = sink.write_batch(df, batch_id=7)
+    assert report.outcome == "written" and report.rows == 2
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert set(back.columns) == {"k", "v", "_batch_id"}
+    assert {r["_batch_id"] for r in back.collect()} == {7}
+
+
+def test_sink_permanent_error_routes_to_dlq(spark, tmp_path):
+    class FailingSink(ClickHouseSink):
+        def _write_once(self, df):
+            raise RuntimeError("Code: 6. DB::Exception: Cannot parse text")
+
+    dlq = DLQWriter(str(tmp_path / "dlq"))
+    sink = FailingSink(table="t", parquet_fallback_path=str(tmp_path / "out"), dlq=dlq)
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    report = sink.write_batch(df, batch_id=1)
+    assert report.outcome == "dlq"
+    state = dlq.state(spark).collect()
+    assert state[0]["component"] == "sink" and state[0]["n_failed"] == 1
+    payload = json.loads(dlq.read(spark).collect()[0]["payload"])
+    assert payload == {"k": 1, "v": "a"}
+
+
+def test_sink_retryable_error_reraises(spark, tmp_path):
+    class FlakySink(ClickHouseSink):
+        def _write_once(self, df):
+            raise RuntimeError("Code: 159. Timeout exceeded")
+
+    sink = FlakySink(table="t", parquet_fallback_path=str(tmp_path / "out"))
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(RuntimeError):
+        sink.write_batch(df, batch_id=1)
+    assert sink.reports[-1].outcome == "retry"
+
+
+def test_streaming_pipeline_end_to_end(spark, tmp_path):
+    """Full spec -> StreamingPipeline over file sources -> sink parquet."""
+    doc = {
+        "version": "v3",
+        "pipeline_id": "sp",
+        "name": "stream-pipe",
+        "sources": [
+            {"type": "kafka", "source_id": "left", "topic": "left",
+             "schema_fields": [{"name": "id", "type": "string"}, {"name": "name", "type": "string"}]},
+            {"type": "kafka", "source_id": "right", "topic": "right",
+             "schema_fields": [{"name": "id", "type": "string"}, {"name": "email", "type": "string"}]},
+        ],
+        "join": {
+            "enabled": True, "type": "temporal",
+            "left_source": {"source_id": "left", "key": "id", "time_window": "1h"},
+            "right_source": {"source_id": "right", "key": "id", "time_window": "1h"},
+            "output_fields": [
+                {"source_id": "left", "name": "id"},
+                {"source_id": "left", "name": "name"},
+                {"source_id": "right", "name": "email"},
+            ],
+        },
+        "sink": {
+            "type": "clickhouse", "table": "out", "max_batch_size": 1000,
+            "max_delay_time": "1s",
+            "mapping": [
+                {"name": "id", "column_name": "id", "column_type": "String"},
+                {"name": "name", "column_name": "name", "column_type": "String"},
+                {"name": "email", "column_name": "email", "column_type": "String"},
+            ],
+        },
+    }
+    spec = parse_pipeline_json(json.dumps(doc))
+
+    base = ts("2024-01-01T10:00:00")
+    lpath = _write_stream_input(
+        spark, str(tmp_path), "l",
+        [("u1", "Alice", base + dt.timedelta(seconds=1))], LEFT_SCHEMA,
+    )
+    rpath = _write_stream_input(
+        spark, str(tmp_path), "r",
+        [("u1", "a@x.com", base)], RIGHT_SCHEMA,
+    )
+    sink = ClickHouseSink(table="out", parquet_fallback_path=str(tmp_path / "sinkout"))
+    pipe = StreamingPipeline(spec=spec, checkpoint_dir=str(tmp_path / "ckpt_e2e"))
+    q = pipe.start(
+        spark,
+        sources={
+            "left": spark.readStream.schema(LEFT_SCHEMA).parquet(lpath),
+            "right": spark.readStream.schema(RIGHT_SCHEMA).parquet(rpath),
+        },
+        ts_cols={"left": "lts", "right": "rts"},
+        sink_fn=sink.foreach_batch(),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sinkout"))
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == "u1" and rows[0]["name"] == "Alice" and rows[0]["email"] == "a@x.com"
