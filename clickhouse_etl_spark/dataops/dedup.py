@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import HASH_MOD, MINHASH_COEFFS, affine_hash, char_fold_hash
+from .util import scale_out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -64,28 +65,35 @@ def ngram_jaccard_pairs(
     id_a < id_b. Jaccard = shared / (size_a + size_b - shared) — pure
     integer counts, so the double division is engine-identical.
     """
-    grams = (
-        df.select(F.col(id_col).alias("id"), F.explode(_word_ngrams(F.col(text_col), n)).alias("g"))
+    # the set size rides along with each exploded shingle row, so the
+    # gram arrays are built exactly once per side and no size join is
+    # needed afterwards (it would recompute the shingling)
+    df = scale_out(df)
+    grams = df.select(
+        F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("_grams")
+    ).select(
+        "id", F.size("_grams").cast("bigint").alias("sz"), F.explode("_grams").alias("g")
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
         .agg(F.count("*").alias("shared"))
     )
-    out = (
-        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "size_b"}), "id_b")
-        .withColumn(
+    return (
+        shared.withColumn(
             "jaccard",
             F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
     )
-    return out
 
 
 def _affine_mapper(a: int, b: int):
@@ -122,6 +130,7 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    df = scale_out(df)
     sig_cols = _minhash_signature(F.col(text_col), n, k)
     n_bands = k // rows_per_band
     bands = [
@@ -183,6 +192,7 @@ def simhash(
             F.shiftright(h, j) % 2 == 1, F.lit(1)
         ).otherwise(F.lit(-1))
 
+    df = scale_out(df)
     words = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
     hashes = F.transform(words, char_fold_hash)
     sig = F.lit(0).cast("bigint")

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import HASH_MOD
+from .util import scale_out
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -61,7 +62,7 @@ def cosine_topk(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    c = scale_out(corpus).select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     crossed = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
     scored = crossed.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
@@ -88,6 +89,7 @@ def embedding_near_dup_pairs(
     Quadratic candidate set — appropriate for corpora that fit a
     broadcast (dims/dedup batches); use lsh_bucket_topk for web scale.
     """
+    df = scale_out(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

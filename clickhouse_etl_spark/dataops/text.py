@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import char_fold_hash
+from .util import scale_out
 
 #: tiny fixed stopword lists per language — heuristic n-gram-free
 #: language ID; deterministic and oracle-replayable. Order matters for
@@ -116,4 +117,4 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Rolling polynomial hash of the full text (content fingerprint,
     engine-portable — see hashing.char_fold_hash)."""
-    return df.withColumn(out_col, char_fold_hash(F.col(text_col)))
+    return scale_out(df).withColumn(out_col, char_fold_hash(F.col(text_col)))

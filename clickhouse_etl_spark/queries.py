@@ -632,6 +632,113 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+@q(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(sum({_CENTS.format(c='l_extendedprice')} * {_CENTS.format(c='l_discount')}) AS BIGINT) / 10000.0 AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "bench",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + filter + agg — the pushdown showcase
+    (PushedFilters carry every predicate to the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (F.sum(ep * disc) / F.lit(10000.0)).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@q(
+    "q14_conditional_agg",
+    f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN {_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})
+                    ELSE 0 END) AS BIGINT)
+           / CAST(sum({_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})) AS BIGINT) AS promo_share,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_conditional_agg(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    rev = ep * (F.lit(100) - disc)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_share"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "rollup_revenue",
+    f"""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(sum({_CENTS.format(c='l_extendedprice')}) AS BIGINT) / 100.0 AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP with subtotal rows (absent from the
+    reference; free in Spark SQL — SURVEY.md §2.8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ep = _cents("l_extendedprice")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg((F.sum(ep) / F.lit(100.0)).alias("revenue"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@q(
+    "distinct_counts",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT user_id % 100) AS n_user_buckets,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_counts(spark, sf_dir):
+    """Distinct aggregation surface (exact; approx_count_distinct exists
+    but is engine-specific so stays out of the oracle set)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("user_id") % 100).alias("n_user_buckets"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # ------------------------------------------------------------------ #
 # dataops: dedup family                                               #
 # ------------------------------------------------------------------ #

@@ -27,13 +27,18 @@ from ..spec.model import PipelineSpec, SourceConfig
 from ..spec.types import fields_to_struct
 
 
-def kafka_source_stream(spark: SparkSession, src: SourceConfig) -> DataFrame:
+def kafka_source_stream(
+    spark: SparkSession, src: SourceConfig, max_batch_size: int | None = None
+) -> DataFrame:
     """readStream.format('kafka') with the spec's connection options
-    (PLAIN/SCRAM auth mapped in spec/model.py:_kafka_options), JSON
-    payload parsed against the declared schema.
+    (PLAIN/SCRAM auth mapped in spec/model.py:_kafka_options), Confluent
+    SR envelope stripped, JSON payload as string.
 
     Offset discipline: startingOffsets from the spec; commit-after-sink
     ≡ checkpoint-after-foreachBatch (S1, kafka/consumer.go:69-376).
+    Intake is bounded by maxOffsetsPerTrigger ≈ the sink's
+    max_batch_size (the reference's backpressure knob collapses into
+    the micro-batch pull model, SURVEY.md §2.7 C4).
     """
     reader = (
         spark.readStream.format("kafka")
@@ -41,11 +46,18 @@ def kafka_source_stream(spark: SparkSession, src: SourceConfig) -> DataFrame:
         .option("startingOffsets", src.initial_offset)
         .option("failOnDataLoss", "false")
     )
+    if max_batch_size:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_batch_size))
     for k, v in src.kafka_options.items():
         reader = reader.option(k, v)
     raw = reader.load()
+
+    from ..spec.schema_registry import strip_sr_envelope
+
+    payload, schema_id = strip_sr_envelope(F.col("value"))
     return raw.select(
-        F.col("value").cast("string").alias("value"),
+        payload.cast("string").alias("value"),
+        schema_id.alias("_schema_id"),
         F.col("timestamp").alias("_kafka_ts"),
     )
 

@@ -1,0 +1,88 @@
+"""Ad-hoc evaluation + filter-validation endpoint parity (SURVEY.md §2.3)."""
+
+from clickhouse_etl_spark.evaluate import evaluate_expression, validate_filter
+from clickhouse_etl_spark.spec.model import Field, parse_pipeline_json
+from clickhouse_etl_spark.spec.types import ch_type_to_spark, normalize_source_type
+from pyspark.sql import types as T
+
+
+def test_evaluate_expression(spark):
+    sample = {"name": "alice", "age": 30, "tags": ["a", "b"], "m": {"k": "v"}}
+    assert evaluate_expression(spark, "upper(name)", sample) == "ALICE"
+    assert evaluate_expression(spark, "age * 2", sample) == 60
+    assert evaluate_expression(spark, "len(tags)", sample) == 2
+    assert evaluate_expression(spark, "m['k']", sample) == "v"
+    assert evaluate_expression(spark, "waterfall('', name)", sample) == "alice"
+
+
+def test_validate_filter():
+    fields = [Field("age", "int"), Field("name", "string")]
+    ok, _ = validate_filter(fields, "age > 18 and name != ''")
+    assert ok
+    ok, msg = validate_filter(fields, "age >")
+    assert not ok and "unexpected" in msg.lower() or "token" in msg.lower()
+    ok, msg = validate_filter(fields, "name")  # non-boolean
+    assert not ok and "boolean" in msg
+    ok, msg = validate_filter(fields, "unknownFn(age)")
+    assert not ok and "unknown function" in msg
+
+
+def test_type_normalization_matrix():
+    # kafka_types.go:6-25 normalization table
+    assert normalize_source_type("int32") == "int"
+    assert normalize_source_type("uint64") == "uint"
+    assert normalize_source_type("float32") == "float"
+    assert normalize_source_type("number") == "float"
+    assert normalize_source_type("boolean") == "bool"
+    assert normalize_source_type("object") == "map"
+    assert normalize_source_type("integer") == "int"
+
+
+def test_ch_type_matrix():
+    # constants.go:88-118 supported column types
+    assert isinstance(ch_type_to_spark("String"), T.StringType)
+    assert isinstance(ch_type_to_spark("FixedString(16)"), T.StringType)
+    assert isinstance(ch_type_to_spark("LowCardinality(String)"), T.StringType)
+    assert isinstance(ch_type_to_spark("Nullable(Int32)"), T.IntegerType)
+    assert isinstance(ch_type_to_spark("DateTime64(3, 'UTC')"), T.TimestampType)
+    assert isinstance(ch_type_to_spark("DateTime"), T.TimestampType)
+    assert isinstance(ch_type_to_spark("UUID"), T.StringType)
+    assert isinstance(ch_type_to_spark("Enum8"), T.StringType)
+    m = ch_type_to_spark("Map(String,String)")
+    assert isinstance(m, T.MapType)
+    arr = ch_type_to_spark("Array(Map(String,String))")
+    assert isinstance(arr, T.ArrayType) and isinstance(arr.elementType, T.MapType)
+    assert isinstance(ch_type_to_spark("UInt8"), T.ShortType)
+    assert isinstance(ch_type_to_spark("Int64"), T.LongType)
+
+
+def test_kafka_connection_options():
+    # consumer.go:102-138 auth mapping -> Spark kafka options
+    doc = {
+        "version": "v3",
+        "pipeline_id": "k",
+        "name": "k",
+        "sources": [
+            {
+                "type": "kafka",
+                "source_id": "s1",
+                "topic": "t",
+                "schema_fields": [{"name": "id", "type": "string"}],
+                "connection_params": {
+                    "brokers": ["b1:9092", "b2:9092"],
+                    "mechanism": "SCRAM-SHA-256",
+                    "protocol": "SASL_SSL",
+                    "username": "u",
+                    "password": "p",
+                },
+            }
+        ],
+        "sink": {"type": "clickhouse", "table": "t", "mapping": []},
+    }
+    spec = parse_pipeline_json(doc)
+    opts = spec.source("s1").kafka_options
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-256"
+    assert "ScramLoginModule" in opts["kafka.sasl.jaas.config"]
+    assert 'username="u"' in opts["kafka.sasl.jaas.config"]
