@@ -114,36 +114,54 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join.
+    """Approximate top-k: multi-table random-hyperplane LSH.
 
-    Sign-bits of ``n_planes`` fixed hyperplane dot products form the
-    bucket id; queries only compare against corpus vectors in the same
-    bucket. Recall < 1.0 by construction — this is the 100TB path, the
-    brute-force operator is the oracle for its quality.
+    Standard LSH design: ``n_tables`` independent hash tables, each a
+    ``bits_per_table``-bit bucket id from hyperplane sign bits; a corpus
+    vector is a candidate if it shares a bucket with the query in ANY
+    table (recall compounds: 1-(1-p^b)^L). The join key is
+    (table, bucket) — high-cardinality, skew-free. Candidates dedupe
+    before exact scoring, so the expensive cosine runs once per
+    (query, candidate). Recall < 1.0 by construction — the brute-force
+    operator is the quality oracle (tests/test_dataops.py measures it).
     """
-    def bucket(vec: Column) -> Column:
-        bits = F.lit(0).cast("bigint")
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in _pseudo_hyperplane(dim, p)])
-            d = _dot(vec, plane)
-            bits = bits + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        return bits
+    def buckets(vec: Column) -> Column:
+        per_table = []
+        for t in range(n_tables):
+            bits = F.lit(0).cast("bigint")
+            for p in range(bits_per_table):
+                plane = F.array(
+                    *[F.lit(v) for v in _pseudo_hyperplane(dim, t * bits_per_table + p)]
+                )
+                d = _dot(vec, plane)
+                bits = bits + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            per_table.append(F.concat_ws(":", F.lit(str(t)), bits.cast("string")))
+        return F.array(*per_table)
 
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"), bucket(F.col(vec_col)).alias("_bkt"))
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), bucket(F.col(vec_col)).alias("_bkt")
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"),
+        F.explode(buckets(F.col(vec_col))).alias("_bkt"),
     )
-    scored = (
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        F.explode(buckets(F.col(vec_col))).alias("_bkt"),
+    )
+    cand = (
         c.join(q, "_bkt")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+        .select(query_id_col, id_col, "_qvec", "_cvec")
+        .dropDuplicates([query_id_col, id_col])
     )
+    scored = cand.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

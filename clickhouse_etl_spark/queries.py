@@ -1056,4 +1056,4 @@ def emb_lsh_ann_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucket_topk(emb, queries, k=10, n_planes=6, dim=64)
+    return lsh_bucket_topk(emb, queries, k=10, n_tables=8, bits_per_table=4, dim=64)

@@ -1,0 +1,96 @@
+"""Scale validation: replicate sf0.1 100x (10M events / 1.5M orders) into
+/tmp/scale and measure core-operator throughput. Evidence that the
+operator plans hold beyond the test SF: every stage distributes across
+all cores, no driver-side collection, shuffles only on declared keys.
+
+Run: python scripts/scale_test.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.operators.dedup import dedup_windowed
+from clickhouse_etl_spark.operators.filter import apply_filter
+from clickhouse_etl_spark.operators.join import asof_join, temporal_join_batch
+from clickhouse_etl_spark.session import get_spark
+from clickhouse_etl_spark.sources.batch import load_table
+from clickhouse_etl_spark.spec.model import (
+    FilterConfig,
+    JoinConfig,
+    JoinOutputField,
+    JoinSourceConfig,
+)
+
+BASE = "/tmp/scale"
+N_ROWS = 10_000_000
+
+
+def materialize(spark) -> None:
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    orders = load_table(spark, "/root/testdata/sf0.1", "orders")
+    mult = spark.range(100).select(F.col("id").alias("rep"))
+    big_ev = (
+        ev.crossJoin(mult)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 10_000_000)
+        .withColumn("user_id", F.col("user_id") + (F.col("rep") % 10) * 1_000_000)
+        .drop("rep")
+    )
+    big_ord = (
+        orders.crossJoin(mult.filter(F.col("rep") < 10))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * 10_000_000)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    big_ev.repartition(64).write.mode("overwrite").parquet(f"{BASE}/events")
+    big_ord.repartition(16).write.mode("overwrite").parquet(f"{BASE}/orders")
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-test")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if not os.path.isdir(f"{BASE}/events"):
+        t0 = time.perf_counter()
+        materialize(spark)
+        print(f"materialized 10M events + 1.5M orders in {time.perf_counter()-t0:.1f}s")
+
+    bev = spark.read.parquet(f"{BASE}/events")
+    bord = spark.read.parquet(f"{BASE}/orders")
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        print(f"{name}: {dt:.2f}s ({N_ROWS/dt/1e6:.1f}M rows/s)")
+
+    timed("filter_project", apply_filter(bev, FilterConfig("value > 50 and event_type == 'click'")))
+    timed("dedup_windowed", dedup_windowed(bev, "user_id", "ts", 3600, ["event_id"]))
+    cfg = JoinConfig(
+        left=JoinSourceConfig("e", "user_id", 0, "left"),
+        right=JoinSourceConfig("o", "o_custkey", 0, "right"),
+        output_fields=(
+            JoinOutputField("e", "event_id", "event_id"),
+            JoinOutputField("e", "user_id", "user_id"),
+            JoinOutputField("o", "o_totalprice", "total_price"),
+        ),
+    )
+    timed(
+        "temporal_join",
+        temporal_join_batch(bev, bord, cfg, right_ts_col="o_orderdate", right_tiebreak=["o_orderkey"]),
+    )
+    clicks = bev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    timed("asof_join", asof_join(clicks, purch, "user_id", "ts", "ts", right_cols=["p_event_id"], how="left"))
+    timed("group_agg", bev.groupBy("event_type").agg(F.sum("value"), F.countDistinct("user_id")))
+
+
+if __name__ == "__main__":
+    main()
