@@ -160,6 +160,10 @@ def _tokenize(src: str) -> list[_Tok]:
             toks.append(_Tok("kw" if word in _KEYWORDS else "ident", word))
             i = j
             continue
+        if c == "#":  # expr-lang lambda placeholder (filter(arr, # > 3))
+            toks.append(_Tok("ident", "#"))
+            i += 1
+            continue
         for p in _PUNCT:
             if src.startswith(p, i):
                 toks.append(_Tok("punct", p))

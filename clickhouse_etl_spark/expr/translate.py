@@ -64,6 +64,7 @@ class ExprTranslator:
 
     def __init__(self, schema: Optional[T.StructType] = None):
         self.schema = schema
+        self._lambda_var: Optional[Column] = None  # binds '#' inside lambdas
 
     # ---------------------------------------------------------- public
 
@@ -120,6 +121,10 @@ class ExprTranslator:
             return F.lit(node.value), kind
 
         if isinstance(node, Ident):
+            if node.name == "#":
+                if self._lambda_var is None:
+                    raise ExprTranslationError("'#' used outside a lambda")
+                return self._lambda_var, "any"
             return self._resolve_field(node.name)
 
         if isinstance(node, Member):
@@ -170,8 +175,55 @@ class ExprTranslator:
 
     # ---------------------------------------------------------- calls
 
+    #: expr-lang array builtins with a '#'-placeholder lambda body as the
+    #: second argument (public expr-lang surface: all/any/filter/map/count)
+    _LAMBDA_FNS = {"all", "any", "filter", "map", "count", "one", "none"}
+
+    def _lambda_call(self, node: Call) -> tuple[Column, str]:
+        if len(node.args) != 2:
+            raise ExprTranslationError(f"{node.func} requires (array, lambda) arguments")
+        arr, _ = self._tr(node.args[0])
+        body_ast = node.args[1]
+
+        def body(x: Column) -> Column:
+            prev, self._lambda_var = self._lambda_var, x
+            try:
+                col, _ = self._tr(body_ast)
+            finally:
+                self._lambda_var = prev
+            return col
+
+        name = node.func
+        if name == "all":
+            return F.coalesce(F.forall(arr, lambda x: body(x).cast("boolean")), F.lit(False)), "bool"
+        if name == "any":
+            return F.coalesce(F.exists(arr, lambda x: body(x).cast("boolean")), F.lit(False)), "bool"
+        if name == "none":
+            return (
+                ~F.coalesce(F.exists(arr, lambda x: body(x).cast("boolean")), F.lit(False)),
+                "bool",
+            )
+        if name == "filter":
+            return F.filter(arr, lambda x: body(x).cast("boolean")), "array"
+        if name == "map":
+            return F.transform(arr, body), "array"
+        if name == "count":
+            return (
+                F.coalesce(
+                    F.size(F.filter(arr, lambda x: body(x).cast("boolean"))).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ),
+                "int",
+            )
+        if name == "one":
+            cnt = F.size(F.filter(arr, lambda x: body(x).cast("boolean")))
+            return F.coalesce(cnt == 1, F.lit(False)), "bool"
+        raise ExprTranslationError(f"unhandled lambda builtin {name!r}")
+
     def _call(self, node: Call) -> tuple[Column, str]:
         name = node.func
+        if name in self._LAMBDA_FNS:
+            return self._lambda_call(node)
         if name == "len":
             arg, kind = self._tr(node.args[0])
             if kind in ("array", "map"):

@@ -633,6 +633,56 @@ def sessionize_events(spark, sf_dir):
 
 
 @q(
+    "session_window_agg",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ), flagged AS (
+        SELECT user_id, us, v_cents,
+               CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sessions AS (
+        SELECT user_id, us, v_cents,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(v_cents) AS BIGINT) / 100.0 AS total_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+    "bench",
+)
+def session_window_agg(spark, sf_dir):
+    """Native session windows (30-min gap) — the streaming-ready
+    aggregation surface the reference lacks (SURVEY.md §2.8); the
+    oracle reproduces the island logic with lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    out = (
+        ev.select("user_id", "ts", cents.alias("v_cents"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("v_cents") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+@q(
     "q6_forecast_revenue",
     f"""
     SELECT CAST(sum({_CENTS.format(c='l_extendedprice')} * {_CENTS.format(c='l_discount')}) AS BIGINT) / 10000.0 AS revenue,

@@ -200,3 +200,29 @@ def test_syntax_errors():
     for bad in ["age >", "(a", "'unterminated", "a ==", "1 +"]:
         with pytest.raises(ExprSyntaxError):
             parse(bad)
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # expr-lang array lambda builtins with '#' placeholder
+        ("all(tags, len(#) > 3)", True),
+        ("all(tags, # == 'audit')", False),
+        ("any(tags, # == 'audit')", True),
+        ("none(tags, # == 'zzz')", True),
+        ("filter(tags, # != 'audit')", ["system"]),
+        ("map(tags, upper(#))", ["AUDIT", "SYSTEM"]),
+        ("count(tags, len(#) > 5)", 1),
+        ("one(tags, # == 'audit')", True),
+        ("len(filter(tags, hasPrefix(#, 'a')))", 1),
+    ],
+)
+def test_lambda_builtins(spark, src, expected):
+    assert _one(spark, src, ROW_SCHEMA, ROW) == expected
+
+
+def test_lambda_placeholder_outside_lambda_rejected(spark):
+    from clickhouse_etl_spark.expr.translate import ExprTranslationError
+
+    with pytest.raises(ExprTranslationError, match="outside a lambda"):
+        _one(spark, "# > 3", ROW_SCHEMA, ROW)
