@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: the properties that make these operators
+scale are asserted, not assumed — filter pushdown reaching the parquet
+scan, broadcast joins for dim sides, WindowGroupLimit (partial top-k)
+for row_number dedups, no cartesian products in the join queries.
+"""
+
+import pytest
+
+from clickhouse_etl_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    # predicates reach the parquet scan (the list renders truncated, so
+    # match the head of it)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    # the scan must read only the 4 needed columns + filter column
+    assert "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint" in plan.replace("\n", "")
+
+
+def test_dedup_compiles_to_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_first_wins")
+    assert "WindowGroupLimit" in plan  # partial top-k, not full sort+filter
+
+
+def test_temporal_join_broadcasts_dim_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "temporal_join_enrich")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q5_uses_broadcasts_and_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_clicks")
+    assert "CartesianProduct" not in plan
+    # the union + window formulation: exactly one Window over the key
+    assert plan.count("Window") >= 1
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "*(" in plan
+
+
+def test_no_plan_contains_cartesian(spark, sf_dir):
+    """No oracle query may degrade to a cartesian product (the pairwise
+    dataops are candidate-bucketed by construction)."""
+    for name, qd in QUERIES.items():
+        if qd.sql is None:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name

@@ -1,0 +1,64 @@
+"""Skew salting correctness + bucketed-join exchange elimination."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_etl_spark.operators.skew import replicate_join_right, salted_agg
+from clickhouse_etl_spark.sources.bucketing import read_table, write_bucketed
+
+
+def test_salted_agg_matches_plain(spark):
+    # 1 hot key (90%) + long tail
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.col("id").alias("rid"),
+    )
+    plain = {
+        (r["k"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"), F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"s": ("v", "sum"), "c": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+            salt_col="rid", n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_replicate_join_right_matches_plain(spark):
+    left = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    plain = left.join(right, "k").select("lid", "rv")
+    salted = replicate_join_right(left, right, "k", salt_source="lid", n_salts=4)
+    assert sorted((r["lid"], r["rv"]) for r in plain.collect()) == sorted(
+        (r["lid"], r["rv"]) for r in salted.select("lid", "rv").collect()
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse dir is a static conf; the session default (spark-warehouse
+    # under cwd) is fine — tables are dropped at the end
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("av"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("bv"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=8)
+    write_bucketed(b, "bkt_b", "k", n_buckets=8)
+    ta, tb = read_table(spark, "bkt_a"), read_table(spark, "bkt_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucket co-location: the join runs without any shuffle exchange
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
