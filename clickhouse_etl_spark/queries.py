@@ -798,6 +798,30 @@ def rollup_revenue(spark, sf_dir):
 
 
 @q(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0 AS p95,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vmin,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_type(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` agree bit-for-bit on integer-cents inputs)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        (F.percentile(cents, 0.5) / F.lit(100.0)).alias("p50"),
+        (F.percentile(cents, 0.95) / F.lit(100.0)).alias("p95"),
+        (F.min(cents) / F.lit(100.0)).alias("vmin"),
+        (F.max(cents) / F.lit(100.0)).alias("vmax"),
+    )
+
+
+@q(
     "distinct_counts",
     """
     SELECT event_type,

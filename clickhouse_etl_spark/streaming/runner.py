@@ -95,6 +95,7 @@ def streaming_source_chain(
 class StreamingPipeline:
     spec: PipelineSpec
     checkpoint_dir: str
+    dlq_queries: list = None  # populated by start() when a DLQ sink is wired
 
     def start(
         self,
@@ -103,6 +104,7 @@ class StreamingPipeline:
         ts_cols: dict[str, str],
         sink_fn: Callable[[DataFrame, int], None],
         trigger: Optional[dict] = None,
+        dlq_writer=None,
     ):
         """Assemble and start the StreamingQuery.
 
@@ -112,10 +114,31 @@ class StreamingPipeline:
         processing-time trigger — the reference's flush cadence
         (sink/clickhouse.go:161-197).
         """
+        trigger = trigger or {"processingTime": f"{int(self.spec.sink.max_delay_time_s)} seconds"}
+        self.dlq_queries = []
         staged: dict[str, DataFrame] = {}
         for src in self.spec.sources:
+            source_df = sources[src.source_id]
+            # schema validation with a DLQ branch: the failure frame runs
+            # as its OWN StreamingQuery over the same source (each query
+            # keeps independent offsets — the reference's per-operator
+            # DLQ middleware, processor/dlq_processor.go:13-60)
+            if dlq_writer is not None and src.schema_fields and "value" in source_df.columns:
+                _, dlq_frame = validate_json(
+                    source_df, src.schema_fields, component=f"ingestor:{src.source_id}"
+                )
+                dq = (
+                    dlq_frame.writeStream.foreachBatch(
+                        lambda df, _bid: dlq_writer.write(df) if not df.isEmpty() else None
+                    )
+                    .option("checkpointLocation", f"{self.checkpoint_dir}/dlq_{src.source_id}")
+                    .outputMode("append")
+                    .trigger(**trigger)
+                    .start()
+                )
+                self.dlq_queries.append(dq)
             chain = streaming_source_chain(src, ts_cols[src.source_id])
-            staged[src.source_id] = chain(sources[src.source_id])
+            staged[src.source_id] = chain(source_df)
 
         if self.spec.join is not None:
             from pyspark.sql import types as T
@@ -148,9 +171,8 @@ class StreamingPipeline:
 
         writer = (
             df.writeStream.foreachBatch(sink_fn)
-            .option("checkpointLocation", self.checkpoint_dir)
+            .option("checkpointLocation", f"{self.checkpoint_dir}/main")
             .outputMode("append")
         )
-        trigger = trigger or {"processingTime": f"{int(self.spec.sink.max_delay_time_s)} seconds"}
         writer = writer.trigger(**trigger)
         return writer.start()

@@ -262,3 +262,65 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["id"] == "u1" and rows[0]["name"] == "Alice" and rows[0]["email"] == "a@x.com"
+
+
+def test_streaming_dlq_branch(spark, tmp_path):
+    """Per-operator DLQ middleware in streaming: malformed payloads land
+    in the DLQ table while valid rows flow to the sink
+    (pipeline/dlq.feature semantics)."""
+    from clickhouse_etl_spark.sinks.dlq import DLQWriter
+
+    doc = {
+        "version": "v3",
+        "pipeline_id": "dlqp",
+        "name": "dlq-pipe",
+        "sources": [
+            {"type": "kafka", "source_id": "s", "topic": "s",
+             "schema_fields": [{"name": "id", "type": "string"}, {"name": "n", "type": "int"}]},
+        ],
+        "sink": {
+            "type": "clickhouse", "table": "out", "max_batch_size": 100,
+            "max_delay_time": "1s",
+            "mapping": [
+                {"name": "id", "column_name": "id", "column_type": "String"},
+                {"name": "n", "column_name": "n", "column_type": "Int64"},
+            ],
+        },
+    }
+    spec = parse_pipeline_json(json.dumps(doc))
+
+    payloads = [
+        ('{"id":"a","n":1}',),
+        ('{"id":"b","n":2}',),
+        ('{"id":"c"}',),        # missing n -> DLQ
+        ('{broken',),           # malformed -> DLQ
+    ]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(payloads, ["value"]).write.mode("overwrite").parquet(inp)
+
+    sink = ClickHouseSink(table="out", parquet_fallback_path=str(tmp_path / "sinkout"))
+    dlq = DLQWriter(str(tmp_path / "dlq"))
+    pipe = StreamingPipeline(spec=spec, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    raw_schema = T.StructType([T.StructField("value", T.StringType())])
+    q = pipe.start(
+        spark,
+        sources={"s": spark.readStream.schema(raw_schema).parquet(inp)},
+        ts_cols={"s": "id"},  # no event-time ops in this pipeline
+        sink_fn=sink.foreach_batch(),
+        trigger={"availableNow": True},
+        dlq_writer=dlq,
+    )
+    q.awaitTermination(120)
+    for dq in pipe.dlq_queries:
+        dq.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "sinkout"))
+    assert {(r["id"], r["n"]) for r in out.collect()} == {("a", 1), ("b", 2)}
+
+    failures = dlq.read(spark).collect()
+    assert len(failures) == 2
+    errs = sorted(r["error"] for r in failures)
+    assert any("malformed" in e for e in errs)
+    assert any("missing" in e for e in errs)
+    assert all(r["component"] == "ingestor:s" for r in failures)
