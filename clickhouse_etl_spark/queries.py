@@ -579,6 +579,7 @@ def q5_region_revenue(spark, sf_dir):
     QUALIFY row_number() OVER (
         PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
     """,
+    "bench",
 )
 def topk_orders_per_priority(spark, sf_dir):
     """Window-function surface: per-group top-k (WindowGroupLimit plan)."""
@@ -723,6 +724,7 @@ def q6_forecast_revenue(spark, sf_dir):
            count(*) AS n_rows
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
+    "bench",
 )
 def q14_conditional_agg(spark, sf_dir):
     """TPC-H Q14 shape: conditional aggregation over a broadcast join."""
@@ -753,6 +755,7 @@ def q14_conditional_agg(spark, sf_dir):
       )
     GROUP BY o_orderpriority
     """,
+    "bench",
 )
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS -> left-semi join + aggregation."""
@@ -779,6 +782,7 @@ def q4_order_priority(spark, sf_dir):
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "bench",
 )
 def rollup_revenue(spark, sf_dir):
     """Grouping-sets surface: ROLLUP with subtotal rows (absent from the
@@ -807,6 +811,7 @@ def rollup_revenue(spark, sf_dir):
            CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vmax
     FROM events GROUP BY event_type
     """,
+    "bench",
 )
 def percentiles_by_type(spark, sf_dir):
     """Exact percentiles (linear interpolation — Spark `percentile` and
@@ -830,6 +835,7 @@ def percentiles_by_type(spark, sf_dir):
            count(*) AS n_events
     FROM events GROUP BY event_type
     """,
+    "bench",
 )
 def distinct_counts(spark, sf_dir):
     """Distinct aggregation surface (exact; approx_count_distinct exists
@@ -964,6 +970,7 @@ def docs_simhash(spark, sf_dir):
     f"""
     SELECT doc_id, {char_fold_hash_sql('text')} AS fingerprint FROM documents
     """,
+    "bench",
 )
 def docs_fingerprint_q(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
@@ -1039,6 +1046,7 @@ _EN_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
          + 0.2 * (1.0 - punct_ratio) AS quality
     FROM ratios
     """,
+    "bench",
 )
 def docs_quality_score(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents")).select(
@@ -1116,6 +1124,7 @@ def emb_cosine_topk(spark, sf_dir):
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.45
     """,
+    "bench",
 )
 def emb_near_dup_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)

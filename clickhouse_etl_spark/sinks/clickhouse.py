@@ -109,3 +109,19 @@ class ClickHouseSink:
             self.write_batch(df, batch_id)
 
         return fn
+
+    def read_deduped(self, spark) -> DataFrame:
+        """Read the parquet-fallback target with replay duplicates
+        collapsed: one copy per (_batch_id, row content).
+
+        On real ClickHouse the same guarantee comes from the table
+        engine — ReplacingMergeTree ORDER BY (_batch_id, row key)
+        collapses replayed inserts at merge time (the design SURVEY.md
+        §7.5.4 calls for). This helper is the fallback-side equivalent
+        so the at-least-once + idempotent-write story is testable
+        offline.
+        """
+        if not self.parquet_fallback_path:
+            raise ValueError("read_deduped applies to the parquet fallback target")
+        df = spark.read.parquet(self.parquet_fallback_path)
+        return df.dropDuplicates(df.columns)

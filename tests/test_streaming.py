@@ -324,3 +324,18 @@ def test_streaming_dlq_branch(spark, tmp_path):
     assert any("malformed" in e for e in errs)
     assert any("missing" in e for e in errs)
     assert all(r["component"] == "ingestor:s" for r in failures)
+
+
+def test_sink_replay_idempotency(spark, tmp_path):
+    """At-least-once + idempotent write: replaying the same epoch (same
+    batch_id, same rows) leaves exactly one logical copy after the
+    ReplacingMergeTree-equivalent dedup (SURVEY.md §7.5.4)."""
+    sink = ClickHouseSink(table="t", parquet_fallback_path=str(tmp_path / "out"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    sink.write_batch(df, batch_id=3)
+    sink.write_batch(df, batch_id=3)  # replayed epoch
+    raw = spark.read.parquet(str(tmp_path / "out"))
+    assert raw.count() == 4  # physically appended twice (at-least-once)
+    deduped = sink.read_deduped(spark)
+    assert deduped.count() == 2  # logically exactly-once
+    assert {(r["k"], r["v"]) for r in deduped.collect()} == {(1, "a"), (2, "b")}
