@@ -65,26 +65,41 @@ def ngram_jaccard_pairs(
     id_a < id_b. Jaccard = shared / (size_a + size_b - shared) — pure
     integer counts, so the double division is engine-identical.
     """
-    # the set size rides along with each exploded shingle row, so the
-    # gram arrays are built exactly once per side and no size join is
-    # needed afterwards (it would recompute the shingling)
+    # single-pass inverted index: build the gram arrays ONCE, group the
+    # postings per shingle, emit pair combinations array-side (a
+    # self-join would re-derive the shingling for both branches)
     df = scale_out(df)
     grams = df.select(
         F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("_grams")
     ).select(
         "id", F.size("_grams").cast("bigint").alias("sz"), F.explode("_grams").alias("g")
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("size_a"),
-            F.col("b.sz").alias("size_b"),
-        )
-        .agg(F.count("*").alias("shared"))
+    postings = (
+        grams.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # all (i < j) combinations of each posting list
+    combos = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x.getField("id").alias("id_a"),
+                            y.getField("id").alias("id_b"),
+                            x.getField("sz").alias("size_a"),
+                            y.getField("sz").alias("size_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    shared = combos.groupBy("id_a", "id_b", "size_a", "size_b").agg(
+        F.count("*").alias("shared")
     )
     return (
         shared.withColumn(

@@ -88,13 +88,21 @@ def embedding_near_dup_pairs(
 
     Quadratic candidate set — appropriate for corpora that fit a
     broadcast (dims/dedup batches); use lsh_bucket_topk for web scale.
+    Norms are precomputed per vector (a narrow projection) so the
+    pairwise stage computes only the dot product — the fold result is
+    bit-identical to computing norms inline, so the oracle is unchanged.
     """
     df = scale_out(df)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    withn = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("nrm"),
+    )
+    a = withn.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

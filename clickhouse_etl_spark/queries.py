@@ -1124,7 +1124,6 @@ def emb_cosine_topk(spark, sf_dir):
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.45
     """,
-    "bench",
 )
 def emb_near_dup_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)

@@ -77,6 +77,9 @@ _CH_SIMPLE: dict[str, T.DataType] = {
     "uint8": T.ShortType(),
     "uint16": T.IntegerType(),
     "uint32": T.LongType(),
+    # uint64 values above 2^63-1 don't fit a JVM long; they fail the
+    # range-checked cast and route to the DLQ (documented divergence —
+    # the reference parses the full uint64 range via strconv.ParseUint)
     "uint64": T.LongType(),
     "float32": T.FloatType(),
     "float64": T.DoubleType(),

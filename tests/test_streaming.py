@@ -339,3 +339,34 @@ def test_sink_replay_idempotency(spark, tmp_path):
     deduped = sink.read_deduped(spark)
     assert deduped.count() == 2  # logically exactly-once
     assert {(r["k"], r["v"]) for r in deduped.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_metrics_listener_captures_progress(spark, tmp_path):
+    from clickhouse_etl_spark.streaming.metrics import PipelineMetricsListener
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        inp = str(tmp_path / "in")
+        spark.range(1000).write.mode("overwrite").parquet(inp)
+        q = (
+            spark.readStream.schema(schema).parquet(inp)
+            .writeStream.format("noop")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+        for _ in range(20):  # listener delivery is async
+            snap = listener.snapshot("metrics_probe")
+            if snap.get("metrics_probe", {}).get("total_input_rows", 0) >= 1000:
+                break
+            time.sleep(0.5)
+        snap = listener.snapshot("metrics_probe")["metrics_probe"]
+        assert snap["total_input_rows"] == 1000
+        assert snap["batches"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
