@@ -54,6 +54,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    streaming = _streaming_ingest_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -63,9 +65,73 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming_ingest": streaming,
             }
         )
     )
+
+
+def _streaming_ingest_bench(spark, sf_dir: str) -> dict:
+    """End-to-end streaming chain throughput (validate-typed source ->
+    filter -> watermark dedup -> sink mapping -> foreachBatch sink with
+    checkpoints) — the number comparable to BASELINE.md's events/s
+    (the reference sustains ~110-150k/s per 2-replica pair)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.sinks import ClickHouseSink
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    base = "/tmp/bench_stream"
+    try:
+        shutil.rmtree(base, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        mult = spark.range(20).select(F.col("id").alias("rep"))
+        big = (
+            ev.crossJoin(mult)
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+            .drop("rep")
+        )
+        big.repartition(32).write.mode("overwrite").parquet(f"{base}/in")
+        n_in = spark.read.parquet(f"{base}/in").count()
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{base}/in").schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(f"{base}/in")
+        )
+        chain = (
+            stream.filter(F.col("value") > 0)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("event_type").alias("etype"),
+                F.col("ts").alias("created_at"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        sink = ClickHouseSink(table="bench_out", parquet_fallback_path=f"{base}/out")
+        t0 = time.perf_counter()
+        q = (
+            chain.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        return {
+            "rows_in": n_in,
+            "seconds": round(dt, 2),
+            "rows_in_per_sec": int(n_in / dt),
+        }
+    except Exception as e:  # bench must always emit its JSON line
+        return {"error": str(e)[:200]}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

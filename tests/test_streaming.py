@@ -370,3 +370,52 @@ def test_metrics_listener_captures_progress(spark, tmp_path):
         assert snap["batches"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_temporal_join_tws_semantics(spark, tmp_path):
+    """Same golden scenario as the applyInPandasWithState variant, on the
+    Spark 4 transformWithStateInPandas API."""
+    from clickhouse_etl_spark.streaming.temporal_join_tws import HAS_TWS, temporal_join_tws
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas unavailable")
+
+    base = ts("2024-01-01T10:00:00")
+    left_rows = [
+        ("u1", "Alice", base),
+        ("u2", "Bob", base + dt.timedelta(seconds=1)),
+        ("u3", "Carol", base),
+    ]
+    right_rows = [
+        ("u1", "old@x.com", base + dt.timedelta(milliseconds=200)),
+        ("u1", "new@x.com", base + dt.timedelta(milliseconds=500)),
+        ("u2", "bob@x.com", base + dt.timedelta(milliseconds=300)),
+    ]
+    lpath = _write_stream_input(spark, str(tmp_path), "left", left_rows, LEFT_SCHEMA)
+    rpath = _write_stream_input(spark, str(tmp_path), "right", right_rows, RIGHT_SCHEMA)
+    left = spark.readStream.schema(LEFT_SCHEMA).parquet(lpath)
+    right = spark.readStream.schema(RIGHT_SCHEMA).parquet(rpath)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    joined = temporal_join_tws(
+        left, right, _join_cfg(), left_ts="lts", right_ts="rts", output_schema=out_schema
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(r["id"], r["name"], r["email"]) for r in spark.sql("SELECT * FROM tws_out").collect()}
+    assert ("u1", "Alice", "old@x.com") in rows
+    assert ("u2", "Bob", "bob@x.com") in rows
+    assert not any(r[0] == "u3" for r in rows)
+    assert len(rows) == 2
