@@ -44,3 +44,31 @@ def apply_transform(df: DataFrame, cfg: TransformConfig) -> DataFrame:
         for o in cfg.outputs
     ]
     return df.select(*cols)
+
+
+def apply_versioned_transform(
+    df: DataFrame,
+    configs: dict[int, TransformConfig],
+    version_col: str = "_schema_id",
+) -> DataFrame:
+    """R3 versioned transform dispatch (reference: transformer/versioned/
+    versioned_transformation.go:60-140): rows carry a schema-version id
+    and each version resolves its own compiled transform; rows whose
+    version has no config pass through unchanged semantics — here they
+    are dropped from the reprojection (the widest-schema collapse in
+    spec/schema_registry.py is the preferred path; this operator exists
+    for pipelines that genuinely need per-version outputs).
+
+    Relational formulation: one filtered branch per version, unioned by
+    name with missing columns null-filled — no per-row Python dispatch.
+    """
+    if not configs:
+        raise ValueError("versioned transform requires at least one version config")
+    branches = []
+    for version, cfg in sorted(configs.items()):
+        branch = apply_transform(df.filter(F.col(version_col) == version), cfg)
+        branches.append(branch.withColumn(version_col, F.lit(version).cast("bigint")))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out

@@ -1133,6 +1133,50 @@ def emb_near_dup_pairs(spark, sf_dir):
 # rows-only entries (non-SQL-expressible: pandas-UDF / LSH plumbing)  #
 # ------------------------------------------------------------------ #
 
+@q("otlp_flatten_logs", None)
+def otlp_flatten_logs(spark, sf_dir):
+    """S3 OTLP logs flattener over synthesized OTLP/JSON export requests
+    (one per event row — body/trace ids derived deterministically).
+    Rows-only check: the explode-chain is not oracle-SQL-expressible
+    without replicating the whole nested schema in DuckDB."""
+    ev = _t(spark, sf_dir, "events").limit(200)
+    payload = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",'
+              '"value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeLogs":[{"scope":{"name":"gen","version":"1"},'
+              '"logRecords":[{"timeUnixNano":"'),
+        (F.unix_micros("ts") * 1000).cast("string"),
+        F.lit('","severityNumber":9,"severityText":"INFO","body":{"stringValue":"event '),
+        F.col("event_id").cast("string"),
+        F.lit('"},"traceId":"t'),
+        F.col("user_id").cast("string"),
+        F.lit('"}]}]}]}'),
+    )
+    from .sources.otlp import flatten_logs
+
+    return flatten_logs(ev.select(payload.alias("value")))
+
+
+@q("otlp_flatten_metrics", None)
+def otlp_flatten_metrics(spark, sf_dir):
+    """S5 OTLP metrics flattener (gauge datapoints synthesized from
+    events). Rows-only check."""
+    ev = _t(spark, sf_dir, "events").limit(200)
+    payload = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":'
+              '[{"scope":{"name":"meter","version":"1"},"metrics":[{"name":"value",'
+              '"unit":"1","gauge":{"dataPoints":[{"timeUnixNano":"'),
+        (F.unix_micros("ts") * 1000).cast("string"),
+        F.lit('","asDouble":'),
+        F.col("value").cast("string"),
+        F.lit("}]}}]}]}]}"),
+    )
+    from .sources.otlp import flatten_metrics
+
+    return flatten_metrics(ev.select(payload.alias("value")))
+
+
 @q("multimodal_decode_stub", None)
 def multimodal_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: text payloads as opaque bytes,

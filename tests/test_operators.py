@@ -200,3 +200,27 @@ def test_validate_json_split(spark):
     assert any("malformed" in e for e in errs)
     assert any("missing" in e for e in errs)
     assert any("not int" in e for e in errs)
+
+
+def test_versioned_transform_dispatch(spark):
+    """R3 (versioned_transformation.go:60-140): rows dispatch to their
+    schema version's transform; outputs union with null fill."""
+    from clickhouse_etl_spark.operators.transform import apply_versioned_transform
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("b", 20, 2)], ["name", "amount", "_schema_id"]
+    )
+    configs = {
+        1: TransformConfig(outputs=(TransformOutput("upper(name)", "label", "string"),)),
+        2: TransformConfig(
+            outputs=(
+                TransformOutput("upper(name)", "label", "string"),
+                TransformOutput("amount * 2", "doubled", "int64"),
+            )
+        ),
+    }
+    out = apply_versioned_transform(df, configs)
+    rows = {r["label"]: r for r in out.collect()}
+    assert rows["A"]["doubled"] is None      # v1 has no 'doubled' output
+    assert rows["B"]["doubled"] == 40
+    assert rows["A"]["_schema_id"] == 1 and rows["B"]["_schema_id"] == 2

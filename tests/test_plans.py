@@ -72,3 +72,18 @@ def test_no_plan_contains_cartesian(spark, sf_dir):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Partition-pruned scans: filtering on the partition column reads
+    only matching directories (PartitionFilters, zero data filters)."""
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_parted")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter("event_type = 'click'").select("event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_click = ev.filter("event_type = 'click'").count()
+    assert df.count() == n_click
