@@ -1,0 +1,103 @@
+"""Document chunking + term statistics + PII scrubbing — the
+pretraining-prep transforms that sit between raw text and tokenization.
+
+All Catalyst expressions; deterministic (integer arithmetic, fixed
+regexes shared verbatim with the oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .util import scale_out
+
+#: shared with the oracle SQL verbatim — plain patterns that parse
+#: identically under Java regex and RE2
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^ ]+"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the last
+    window starts at the largest multiple of ``stride`` < n_tokens.
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens). Narrow explode
+    — scan-speed, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    )
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("bigint").alias("n_chunk_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_len: int = 2,
+) -> DataFrame:
+    """Top-k terms per document by term frequency (ties: term asc).
+
+    Integer counts only (no idf/log — engine libm rounding differs);
+    the shuffle key is (doc, term): high-cardinality, skew-free.
+    """
+    df = scale_out(df)
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) >= min_len)
+        ).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact emails and URLs (the standard pretraining scrub pass).
+
+    Patterns are shared verbatim with the oracle; replacement tokens
+    match common open-source pipeline conventions.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return df.withColumn(out_col, scrubbed)

@@ -1073,6 +1073,75 @@ def docs_token_stats(spark, sf_dir):
     )
 
 
+@q(
+    "docs_chunking",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+        SELECT doc_id, w,
+               unnest(CASE WHEN len(w) <= 0 THEN []
+                      ELSE range(0, CAST(floor((len(w) - 1) / 32) AS INTEGER) + 1)
+                      END) AS chunk_idx
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(w[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ') AS chunk_text,
+           CAST(least(len(w) - chunk_idx * 32, 64) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    "bench",
+)
+def docs_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 32) —
+    the pretraining-prep explode (dataops/chunking.py)."""
+    from .dataops.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32)
+
+
+@q(
+    "docs_top_terms",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+               t -> len(t) >= 2)) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS INTEGER) AS rank
+    FROM tf
+    QUALIFY rank <= 5
+    """,
+    "bench",
+)
+def docs_top_terms(spark, sf_dir):
+    """Top-5 terms per document by frequency (dataops/chunking.py)."""
+    from .dataops.chunking import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@q(
+    "docs_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g') AS text_scrubbed
+    FROM documents
+    """,
+)
+def docs_pii_scrub(spark, sf_dir):
+    """Email/URL redaction scrub pass (dataops/chunking.py)."""
+    from .dataops.chunking import scrub_pii
+
+    return scrub_pii(_t(spark, sf_dir, "documents")).select("doc_id", "text_scrubbed")
+
+
 # ------------------------------------------------------------------ #
 # dataops: similarity search                                          #
 # ------------------------------------------------------------------ #
