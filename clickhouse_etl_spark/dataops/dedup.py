@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import HASH_MOD, MINHASH_COEFFS, affine_hash, char_fold_hash
+from .hashing import MINHASH_COEFFS, affine_hash, char_fold_hash
 from .util import scale_out
 
 

@@ -26,7 +26,7 @@ from .expr import ExprTranslator
 from .expr.parser import ExprSyntaxError, parse
 from .expr.translate import ExprTranslationError
 from .spec.model import Field
-from .spec.types import fields_to_struct, source_type_to_spark
+from .spec.types import fields_to_struct
 
 #: zero values per basic type (filter/validate.go:19-31 builds the same)
 _ZERO: dict[str, Any] = {

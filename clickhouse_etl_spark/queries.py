@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .dataops.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
 from .dataops.hashing import HASH_MOD, MINHASH_COEFFS, char_fold_hash_sql
-from .dataops.multimodal import attach_asset_meta, decode_assets
+from .dataops.multimodal import decode_assets
 from .dataops.similarity import cosine_topk, embedding_near_dup_pairs, lsh_bucket_topk
 from .dataops.text import STOPWORDS, doc_fingerprint, language_id, quality_score, token_stats
 from .operators.dedup import dedup_first_wins, dedup_windowed

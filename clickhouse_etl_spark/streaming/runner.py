@@ -24,7 +24,6 @@ from ..operators.filter import apply_filter
 from ..operators.transform import apply_transform
 from ..operators.validate import validate_json
 from ..spec.model import PipelineSpec, SourceConfig
-from ..spec.types import fields_to_struct
 
 
 def kafka_source_stream(
