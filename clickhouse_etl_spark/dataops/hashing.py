@@ -53,9 +53,15 @@ def affine_hash(x: Column, a: int, b: int) -> Column:
 
 
 def char_fold_hash_sql(expr: str) -> str:
-    """DuckDB SQL mirroring :func:`char_fold_hash` exactly."""
+    """DuckDB SQL mirroring :func:`char_fold_hash` exactly.
+
+    ``string_split('', '')`` yields ``['']`` in DuckDB (vs ``[]`` in
+    Spark) and ``unicode('')`` is -1 — the empty-char filter aligns the
+    empty-string case; non-empty inputs are unaffected.
+    """
     return (
-        f"list_reduce([0::BIGINT] || list_transform(string_split({expr}, ''), "
+        f"list_reduce([0::BIGINT] || list_transform("
+        f"list_filter(string_split({expr}, ''), c -> c != ''), "
         f"c -> unicode(c)::BIGINT), (h, c) -> (h * {HASH_BASE} + c) % {HASH_MOD})"
     )
 

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): parser totality, duration
+algebra, portable-hash three-engine agreement (Python model vs Spark vs
+the DuckDB fold already covered by the oracle), cast semantics.
+"""
+
+import string
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from clickhouse_etl_spark.dataops.hashing import HASH_BASE, HASH_MOD, char_fold_hash
+from clickhouse_etl_spark.expr.parser import ExprSyntaxError, parse
+from clickhouse_etl_spark.spec.model import Field
+from clickhouse_etl_spark.spec.schema_registry import check_backward_compatible
+from clickhouse_etl_spark.spec.types import parse_duration_seconds
+
+# ---------------------------------------------------------------- parser
+
+_expr_chars = string.ascii_letters + string.digits + " ()[]{}+-*/%^<>=!&|?:.,'\"_#"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_expr_chars, max_size=60))
+def test_parser_total(src):
+    """parse() is total: any input either parses or raises ExprSyntaxError
+    — never an unhandled exception (the reference compiles configs at
+    pipeline-create time and must reject bad input cleanly)."""
+    try:
+        parse(src)
+    except ExprSyntaxError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(10**9), max_value=10**9))
+def test_parser_int_roundtrip(n):
+    node = parse(str(n))
+    # unary minus folds over the literal
+    from clickhouse_etl_spark.expr.parser import Lit, Unary
+
+    if n >= 0:
+        assert isinstance(node, Lit) and node.value == n
+    else:
+        assert isinstance(node, Unary) and node.operand.value == -n
+
+
+# ---------------------------------------------------------------- durations
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_duration_seconds(n):
+    assert parse_duration_seconds(f"{n}s") == float(n)
+    assert parse_duration_seconds(f"{n}m") == float(n) * 60
+    assert parse_duration_seconds(f"{n}h") == float(n) * 3600
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=100),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=59),
+)
+def test_duration_composition(h, m, s):
+    assert parse_duration_seconds(f"{h}h{m}m{s}s") == h * 3600 + m * 60 + s
+
+
+# ---------------------------------------------------------------- compat
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+            st.sampled_from(["string", "int", "float", "bool", "array", "map"]),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_backward_compat_reflexive_and_additive(fields):
+    fs = [Field(n, t) for n, t in fields]
+    ok, _ = check_backward_compatible(fs, fs)
+    assert ok  # reflexive
+    wider = fs + [Field("zzz_extra_zzz", "string")]
+    if not any(f.name == "zzz_extra_zzz" for f in fs):
+        ok, _ = check_backward_compatible(fs, wider)
+        assert ok  # additive evolution is always compatible
+    if fs:
+        ok, reason = check_backward_compatible(fs, fs[1:])
+        assert not ok and "removed" in reason  # removal never is
+
+
+# ---------------------------------------------------------------- portable hash
+
+
+def _py_char_fold(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * HASH_BASE + ord(c)) % HASH_MOD
+    return h
+
+
+@pytest.mark.parametrize("n_cases", [64])
+def test_char_fold_three_engine_agreement(spark, n_cases):
+    """The portable hash agrees across Python, Spark (aggregate fold),
+    and DuckDB (list_reduce fold) on randomized ASCII inputs — the
+    property every sketch operator's oracle determinism rests on."""
+    import random
+
+    rng = random.Random(42)
+    corpus = [
+        "".join(rng.choice(string.ascii_letters + string.digits + " .,!?_-")
+                for _ in range(rng.randint(0, 80)))
+        for _ in range(n_cases)
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], ["s"])
+    from pyspark.sql import functions as F
+
+    got_spark = {r["s"]: r["h"] for r in df.select("s", char_fold_hash(F.col("s")).alias("h")).collect()}
+    from clickhouse_etl_spark.dataops.hashing import char_fold_hash_sql
+
+    con = duckdb.connect()
+    expected_py = {s: _py_char_fold(s) for s in corpus}
+    for s in corpus:
+        d = con.execute(
+            "SELECT " + char_fold_hash_sql("?"), [s]
+        ).fetchone()[0]
+        assert got_spark[s] == expected_py[s], s
+        assert (d if d is not None else 0) == expected_py[s], s
