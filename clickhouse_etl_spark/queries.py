@@ -684,6 +684,62 @@ def session_window_agg(spark, sf_dir):
 
 
 @q(
+    "tumbling_window_agg",
+    """
+    SELECT user_id,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+    """,
+    "bench",
+)
+def tumbling_window_agg(spark, sf_dir):
+    """Tumbling event-time windows (1h) via native F.window — the
+    streaming-ready aggregation form; oracle uses epoch bucketing."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "anti_join_inactive_users",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase'
+    )
+    GROUP BY o_custkey
+    """,
+)
+def anti_join_inactive_users(spark, sf_dir):
+    """NOT EXISTS -> left-anti join: customers with orders but no
+    purchase events."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        o.join(e, o.o_custkey == e.user_id, "left_anti")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
     "q6_forecast_revenue",
     f"""
     SELECT CAST(sum({_CENTS.format(c='l_extendedprice')} * {_CENTS.format(c='l_discount')}) AS BIGINT) / 10000.0 AS revenue,
