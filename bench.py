@@ -30,6 +30,11 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     bench_queries = {n: qd for n, qd in QUERIES.items() if "bench" in qd.tags}
+    # BENCH_FILTER=name1,name2 restricts the set (debug / contract tests)
+    flt = os.environ.get("BENCH_FILTER")
+    if flt:
+        wanted = set(flt.split(","))
+        bench_queries = {n: qd for n, qd in bench_queries.items() if n in wanted}
 
     # Warm-up: run every query once at the smallest SF so whole-stage
     # codegen (Janino) and JIT compilation are paid outside the timed
@@ -54,7 +59,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    streaming = _streaming_ingest_bench(spark, sf_dir)
+    streaming = {} if flt else _streaming_ingest_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -716,6 +716,49 @@ def tumbling_window_agg(spark, sf_dir):
 
 
 @q(
+    "sliding_window_agg",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS v_cents
+        FROM events
+    ), assigned AS (
+        SELECT user_id, v_cents,
+               unnest([
+                   ((us // 1800000000) - 1) * 1800000000,
+                   (us // 1800000000) * 1800000000
+               ]) AS window_start_us,
+               us
+        FROM e
+    )
+    SELECT user_id, window_start_us, count(*) AS n_events,
+           CAST(sum(v_cents) AS BIGINT) / 100.0 AS total_value
+    FROM assigned
+    WHERE us >= window_start_us AND us < window_start_us + 3600000000
+    GROUP BY user_id, window_start_us
+    """,
+)
+def sliding_window_agg(spark, sf_dir):
+    """Sliding event-time windows (1h size, 30m slide): each event lands
+    in two windows; oracle materializes the window assignment."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
     "anti_join_inactive_users",
     """
     SELECT o_custkey, count(*) AS n_orders

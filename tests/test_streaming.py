@@ -419,3 +419,39 @@ def test_temporal_join_tws_semantics(spark, tmp_path):
     assert ("u2", "Bob", "bob@x.com") in rows
     assert not any(r[0] == "u3" for r in rows)
     assert len(rows) == 2
+
+
+def test_stream_stream_join_all_matches(spark, tmp_path):
+    """Built-in watermarked stream-stream join: emits ALL in-window right
+    matches (vs the stateful temporal join's latest-wins)."""
+    from clickhouse_etl_spark.streaming.stream_join import stream_stream_join
+
+    base = ts("2024-01-01T10:00:00")
+    lpath = _write_stream_input(
+        spark, str(tmp_path), "l",
+        [("u1", "Alice", base + dt.timedelta(seconds=1))], LEFT_SCHEMA,
+    )
+    rpath = _write_stream_input(
+        spark, str(tmp_path), "r",
+        [("u1", "old@x.com", base), ("u1", "new@x.com", base + dt.timedelta(milliseconds=500))],
+        RIGHT_SCHEMA,
+    )
+    joined = stream_stream_join(
+        spark.readStream.schema(LEFT_SCHEMA).parquet(lpath),
+        spark.readStream.schema(RIGHT_SCHEMA).parquet(rpath),
+        _join_cfg(),
+        left_ts="lts",
+        right_ts="rts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["id"], r["email"]) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    # BOTH right rows match (multi-match semantics — documented contrast)
+    assert rows == {("u1", "old@x.com"), ("u1", "new@x.com")}
