@@ -1297,6 +1297,74 @@ def emb_near_dup_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@q(
+    "docs_pipeline_e2e",
+    """
+    WITH quality AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE length(text) >= 50 AND length(text) <= 10000
+    ), exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), q2 AS (
+        SELECT q.doc_id, q.text FROM quality q JOIN exact_kept k ON q.doc_id = k.doc_id
+    ), g AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], ' '))) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q2)
+    ), ge AS (
+        SELECT id, len(grams) AS sz, unnest(grams) AS g FROM g
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.sz AS size_a, b.sz AS size_b, count(*) AS shared
+        FROM ge a JOIN ge b ON a.g = b.g AND a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    ), near_dups AS (
+        SELECT DISTINCT id_b FROM pairs
+        WHERE shared / (size_a + size_b - shared) >= 0.5
+    ), survivors AS (
+        SELECT doc_id, text FROM q2 WHERE doc_id NOT IN (SELECT id_b FROM near_dups)
+    ), d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM survivors
+    ), c AS (
+        SELECT doc_id, w,
+               unnest(CASE WHEN len(w) <= 0 THEN []
+                      ELSE range(0, CAST(floor((len(w) - 1) / 32) AS INTEGER) + 1)
+                      END) AS chunk_idx
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(least(len(w) - chunk_idx * 32, 64) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def docs_pipeline_e2e(spark, sf_dir):
+    """The training-data flagship: quality gate -> exact dedup ->
+    near-dup removal (ngram Jaccard >= 0.5, lower id survives) ->
+    overlapping chunking. Composes four dataops into one lazily-planned
+    DAG — Catalyst fuses the whole chain; no intermediate
+    materialization."""
+    from .dataops.chunking import chunk_documents
+    from .dataops.dedup import exact_dedup, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.filter((F.length("text") >= 50) & (F.length("text") <= 10000))
+    kept = exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+    q2 = quality.join(kept, "doc_id")
+    near = (
+        ngram_jaccard_pairs(q2, n=5, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = q2.join(near, "doc_id", "left_anti")
+    return chunk_documents(survivors, chunk_tokens=64, stride=32).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+
+
 # ------------------------------------------------------------------ #
 # rows-only entries (non-SQL-expressible: pandas-UDF / LSH plumbing)  #
 # ------------------------------------------------------------------ #
