@@ -1340,6 +1340,7 @@ def emb_near_dup_pairs(spark, sf_dir):
            CAST(least(len(w) - chunk_idx * 32, 64) AS BIGINT) AS n_chunk_tokens
     FROM c
     """,
+    "bench",
 )
 def docs_pipeline_e2e(spark, sf_dir):
     """The training-data flagship: quality gate -> exact dedup ->
