@@ -43,6 +43,13 @@ class Index:
 
 
 @dataclass(frozen=True)
+class Slice:
+    obj: "Node"
+    start: "Node | None"  # end-exclusive, Go-style (expr-lang a[1:3])
+    stop: "Node | None"
+
+
+@dataclass(frozen=True)
 class Call:
     func: str
     args: tuple["Node", ...]
@@ -78,7 +85,7 @@ class MapLit:
     items: tuple[tuple[str, "Node"], ...]
 
 
-Node = Lit | Ident | Member | Index | Call | Unary | Binary | Ternary | ArrayLit | MapLit
+Node = Lit | Ident | Member | Index | Slice | Call | Unary | Binary | Ternary | ArrayLit | MapLit
 
 
 class ExprSyntaxError(ValueError):
@@ -307,9 +314,15 @@ class _Parser:
                     node = Member(node, attr.text)
             elif self.at("["):
                 self.next()
-                idx = self.parse_expr()
-                self.expect("]")
-                node = Index(node, idx)
+                start = None if self.at(":") else self.parse_expr()
+                if self.at(":"):
+                    self.next()
+                    stop = None if self.at("]") else self.parse_expr()
+                    self.expect("]")
+                    node = Slice(node, start, stop)
+                else:
+                    self.expect("]")
+                    node = Index(node, start)
             else:
                 return node
 

@@ -31,6 +31,7 @@ from .parser import (
     MapLit,
     Member,
     Node,
+    Slice,
     Ternary,
     Unary,
     parse,
@@ -139,6 +140,17 @@ class ExprTranslator:
             return obj.getItem(idx) if not isinstance(node.index, Lit) else obj.getItem(
                 node.index.value
             ), "any"
+
+        if isinstance(node, Slice):
+            # expr-lang a[s:e]: 0-based, end-exclusive; omitted bounds
+            # default to the array ends (Go slice semantics)
+            obj, _ = self._tr(node.obj)
+            start = self._tr(node.start)[0] if node.start is not None else F.lit(0)
+            stop = (
+                self._tr(node.stop)[0] if node.stop is not None else F.size(obj)
+            )
+            length = F.greatest(stop.cast("int") - start.cast("int"), F.lit(0))
+            return F.slice(obj, start.cast("int") + 1, length), "array"
 
         if isinstance(node, ArrayLit):
             cols = [self._tr(i)[0] for i in node.items]

@@ -1370,6 +1370,17 @@ def docs_pipeline_e2e(spark, sf_dir):
 # rows-only entries (non-SQL-expressible: pandas-UDF / LSH plumbing)  #
 # ------------------------------------------------------------------ #
 
+@q("approx_distinct_sketch", None)
+def approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts (sketch results are
+    engine-specific -> rows-only check; the exact version is the
+    oracle-backed distinct_counts entry)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
 @q("otlp_flatten_logs", None)
 def otlp_flatten_logs(spark, sf_dir):
     """S3 OTLP logs flattener over synthesized OTLP/JSON export requests

@@ -226,3 +226,20 @@ def test_lambda_placeholder_outside_lambda_rejected(spark):
 
     with pytest.raises(ExprTranslationError, match="outside a lambda"):
         _one(spark, "# > 3", ROW_SCHEMA, ROW)
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # expr-lang Go-style slices: 0-based, end-exclusive
+        ("tags[0:1]", ["audit"]),
+        ("tags[1:]", ["system"]),
+        ("tags[:1]", ["audit"]),
+        ("tags[:]", ["audit", "system"]),
+        ("tags[1:1]", []),
+        ("len(tags[0:2])", 2),
+        ("join(tags[0:2], '-')", "audit-system"),
+    ],
+)
+def test_array_slices(spark, src, expected):
+    assert _one(spark, src, ROW_SCHEMA, ROW) == expected
