@@ -199,19 +199,32 @@ def simhash(
     """Per-document SimHash over word unigrams (portable hash family).
 
     bit_j of the signature is 1 iff sum over words of
-    (word_hash >> j) & 1 ? +1 : -1 is positive. Narrow projection,
-    no shuffle; near-dup = small Hamming distance between signatures.
-    """
-    def _vote_folder(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    (word_hash >> j) & 1 ? +1 : -1 is positive; near-dup = small
+    Hamming distance between signatures.
 
+    Formulation: explode words, hash each ONCE, then 32 conditional
+    sums in a single aggregation (an array-fold per bit would recompute
+    every word hash 32x). One hash-shuffle on the doc id; bit votes are
+    order-independent so distribution is free.
+    """
     df = scale_out(df)
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
-    hashes = F.transform(words, char_fold_hash)
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+        ).alias("_w"),
+    )
+    hashed = words.select(id_col, char_fold_hash(F.col("_w")).alias("_wh"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_wh"), j) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
     sig = F.lit(0).cast("bigint")
     for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_folder(j))
-        sig = sig + F.when(vote > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return df.select(F.col(id_col), sig.alias("simhash"))
+        sig = sig + F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))

@@ -91,6 +91,38 @@ def main() -> None:
     timed("asof_join", asof_join(clicks, purch, "user_id", "ts", "ts", right_cols=["p_event_id"], how="left"))
     timed("group_agg", bev.groupBy("event_type").agg(F.sum("value"), F.countDistinct("user_id")))
 
+    # ---- text dataops at 100k docs (20x replicated sf0.1 documents) ----
+    from clickhouse_etl_spark.dataops.chunking import chunk_documents, top_terms
+    from clickhouse_etl_spark.dataops.dedup import exact_dedup, ngram_jaccard_pairs, simhash
+    from clickhouse_etl_spark.dataops.text import language_id
+
+    if not os.path.isdir(f"{BASE}/docs"):
+        docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+        mult = spark.range(20).select(F.col("id").alias("rep"))
+        (
+            docs.crossJoin(mult)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{BASE}/docs")
+        )
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+
+    def timed_docs(name, df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        print(f"{name}: {dt:.1f}s ({nd/dt/1000:.0f}k docs/s)")
+
+    timed_docs("docs_exact_dedup", exact_dedup(bd))
+    timed_docs("docs_chunking", chunk_documents(bd))
+    timed_docs("docs_langid", language_id(bd))
+    timed_docs("docs_top_terms", top_terms(bd))
+    timed_docs("docs_simhash", simhash(bd))
+    timed_docs("docs_ngram_jaccard", ngram_jaccard_pairs(bd, n=5, threshold=0.5))
+
 
 if __name__ == "__main__":
     main()
