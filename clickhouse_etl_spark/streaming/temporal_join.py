@@ -73,7 +73,11 @@ def _tagged_union(
     return lhs.unionByName(rhs)
 
 
-def _make_processor(cfg: JoinConfig, out_fields: list[tuple[str, str, str]]):
+def _make_processor(
+    cfg: JoinConfig,
+    out_fields: list[tuple[str, str, str]],
+    state_gc_timeout_ms: int | None,
+):
     left_ttl_us = int(cfg.left.time_window_s * 1_000_000)
     right_ttl_us = int(cfg.right.time_window_s * 1_000_000)
     left_sid = cfg.left.source_id
@@ -99,18 +103,23 @@ def _make_processor(cfg: JoinConfig, out_fields: list[tuple[str, str, str]]):
         else:
             right_json, right_us, pending = None, None, []
 
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         rows = rows.sort_values(["_us", "_side"], kind="mergesort")
 
         out_rows: list[dict] = []
         max_us = 0
-        for _, r in rows.iterrows():
-            us = int(r["_us"]) if pd.notna(r["_us"]) else 0
+        # plain tuples, not iterrows: per-row Series construction dominates
+        # the state loop otherwise
+        for row_us, row_side, row_payload in rows[["_us", "_side", "_payload"]].itertuples(
+            index=False, name=None
+        ):
+            us = int(row_us) if pd.notna(row_us) else 0
             max_us = max(max_us, us)
-            payload = json.loads(r["_payload"]) if r["_payload"] else {}
-            if int(r["_side"]) == 1:
+            payload = json.loads(row_payload) if row_payload else {}
+            if int(row_side) == 1:
                 # right arrival: overwrite buffer, drain ALL pending lefts
-                right_json, right_us = r["_payload"], us
+                right_json, right_us = row_payload, us
                 still_alive = [
                     (lus, lj) for lus, lj in pending if us - lus <= left_ttl_us or left_ttl_us == 0
                 ]
@@ -126,7 +135,7 @@ def _make_processor(cfg: JoinConfig, out_fields: list[tuple[str, str, str]]):
                 if right_alive:
                     out_rows.append(emit(payload, json.loads(right_json)))
                 else:
-                    pending.append((us, r["_payload"]))
+                    pending.append((us, row_payload))
 
         # expire buffered lefts and the right value relative to max seen ts
         if left_ttl_us:
@@ -145,9 +154,13 @@ def _make_processor(cfg: JoinConfig, out_fields: list[tuple[str, str, str]]):
                     [lj for _, lj in pending],
                 )
             )
-            # GC backstop: drop state if a key goes quiet for 2x the window
-            ttl_ms = max(left_ttl_us, right_ttl_us) // 1000 * 2 or 60_000
-            state.setTimeoutDuration(ttl_ms)
+            # GC backstop for keys that go quiet — ONLY when configured:
+            # a registered processing-time timer keeps an availableNow
+            # query alive with empty epochs until it fires, so
+            # bounded/batch-parity runs must leave it off (event-time
+            # pruning above already caps state for active keys)
+            if state_gc_timeout_ms is not None:
+                state.setTimeoutDuration(state_gc_timeout_ms)
 
         yield pd.DataFrame(out_rows, columns=[o[2] for o in out_fields])
 
@@ -161,17 +174,26 @@ def temporal_join_streaming(
     left_ts: str,
     right_ts: str,
     output_schema: T.StructType,
+    state_gc_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Wire the tagged-union stateful processor; ``output_schema`` must
-    cover cfg.output_fields' names/types."""
+    cover cfg.output_fields' names/types.
+
+    ``state_gc_timeout_ms``: optional processing-time GC for keys that
+    stop receiving events (long-running continuous deployments). Leave
+    None for availableNow / bounded runs — registered timers force the
+    engine to keep scheduling empty micro-batches until they fire.
+    """
     out_fields = [(r.source_id, r.name, r.output_name) for r in cfg.output_fields]
     if not out_fields:
         raise ValueError("streaming temporal join requires explicit output_fields")
     union = _tagged_union(left, right, cfg, left_ts, right_ts)
     return union.groupBy("_key").applyInPandasWithState(
-        _make_processor(cfg, out_fields),
+        _make_processor(cfg, out_fields, state_gc_timeout_ms),
         outputStructType=output_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if state_gc_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
