@@ -152,6 +152,13 @@ class StreamingPipeline:
                 side = left if rule.source_id == self.spec.join.left.source_id else right
                 dt = side.schema[rule.name].dataType if rule.name in side.columns else T.StringType()
                 fields.append(T.StructField(rule.output_name, dt, True))
+            # GC timers only for continuous deployments — a registered
+            # timer keeps availableNow runs alive with empty epochs
+            continuous = "availableNow" not in trigger
+            gc_ms = None
+            if continuous:
+                w = max(self.spec.join.left.time_window_s, self.spec.join.right.time_window_s)
+                gc_ms = int(w * 1000 * 2) or 3600_000
             df = temporal_join_streaming(
                 left,
                 right,
@@ -159,6 +166,7 @@ class StreamingPipeline:
                 left_ts=ts_cols[self.spec.join.left.source_id],
                 right_ts=ts_cols[self.spec.join.right.source_id],
                 output_schema=T.StructType(fields),
+                state_gc_timeout_ms=gc_ms,
             )
         else:
             df = next(iter(staged.values()))
