@@ -85,3 +85,10 @@ def test_entry_contract(spark):
     oss = entry_mod.oracle_sql()
     assert set(oss) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_entry_schema_stable(spark):
+    """The driver smoke-checks entry() for a stable schema across runs."""
+    a = entry_mod.entry(spark)
+    b = entry_mod.entry(spark)
+    assert a.schema == b.schema
