@@ -872,6 +872,83 @@ def q4_order_priority(spark, sf_dir):
 
 
 @q(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 150
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-having semi-filter feeding a join + agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    # rename the semi-filter key: `big` shares lineage with `l` and the
+    # analyzer rejects the ambiguous self-join otherwise
+    big = (
+        l.groupBy(F.col("l_orderkey").alias("_big_orderkey"))
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("_big_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big, o.o_orderkey == F.col("_big_orderkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+    )
+
+
+@q(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(sum({_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: three disjunctive multi-column predicate arms
+    over a broadcast join (the OR-pushdown stress case)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+
+    def arm(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+
+    cond = arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40)
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
     "q12_priority_buckets",
     """
     SELECT l.l_linestatus,

@@ -72,7 +72,19 @@ class ClickHouseSink:
                 .save()
             )
         elif self.parquet_fallback_path:
-            df.write.mode("append").parquet(self.parquet_fallback_path)
+            # per-epoch directory overwrite: a replayed batch rewrites its
+            # own partition instead of appending a second physical copy —
+            # the fallback-side equivalent of ReplacingMergeTree collapsing
+            # replayed inserts on the real ClickHouse target
+            batch_dir = None
+            if "_batch_id" in df.columns:
+                ids = df.select("_batch_id").limit(1).collect()
+                if ids:
+                    batch_dir = f"{self.parquet_fallback_path}/_batch_id={ids[0][0]}"
+            if batch_dir is not None:
+                df.drop("_batch_id").write.mode("overwrite").parquet(batch_dir)
+            else:
+                df.write.mode("append").parquet(self.parquet_fallback_path)
         else:
             raise ValueError("ClickHouseSink needs jdbc_url or parquet_fallback_path")
 

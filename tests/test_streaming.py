@@ -334,10 +334,12 @@ def test_sink_replay_idempotency(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
     sink.write_batch(df, batch_id=3)
     sink.write_batch(df, batch_id=3)  # replayed epoch
+    # per-epoch directory overwrite -> even the PHYSICAL copy is single
+    # (the fallback-side ReplacingMergeTree equivalence)
     raw = spark.read.parquet(str(tmp_path / "out"))
-    assert raw.count() == 4  # physically appended twice (at-least-once)
+    assert raw.count() == 2
     deduped = sink.read_deduped(spark)
-    assert deduped.count() == 2  # logically exactly-once
+    assert deduped.count() == 2
     assert {(r["k"], r["v"]) for r in deduped.collect()} == {(1, "a"), (2, "b")}
 
 
