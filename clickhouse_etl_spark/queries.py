@@ -1524,13 +1524,37 @@ def approx_distinct_sketch(spark, sf_dir):
         F.count("*").alias("n_events"),
     )
 
-@q("otlp_flatten_logs", None)
+@q(
+    "otlp_flatten_logs",
+    """
+    SELECT epoch_us(ts) AS ts_us,
+           CAST(NULL AS BIGINT) AS observed_ts_us,
+           CAST(9 AS BIGINT) AS severity_number,
+           'INFO' AS severity_text,
+           'event ' || CAST(event_id AS VARCHAR) AS body,
+           't' || CAST(user_id AS VARCHAR) AS trace_id,
+           '' AS span_id,
+           CAST(0 AS BIGINT) AS flags,
+           CAST(0 AS BIGINT) AS dropped_attributes_count,
+           '{"service.name":"' || event_type || '"}' AS resource_attrs_json,
+           'gen' AS scope_name,
+           '1' AS scope_version,
+           '{}' AS scope_attrs_json,
+           '{}' AS attrs_json
+    FROM events WHERE event_id % 37 = 0
+    """,
+)
 def otlp_flatten_logs(spark, sf_dir):
     """S3 OTLP logs flattener over synthesized OTLP/JSON export requests
-    (one per event row — body/trace ids derived deterministically).
-    Rows-only check: the explode-chain is not oracle-SQL-expressible
-    without replicating the whole nested schema in DuckDB."""
-    ev = _t(spark, sf_dir, "events").limit(200)
+    (one per sampled event row — body/trace ids derived
+    deterministically). The payload is a pure function of the events
+    row, so the oracle computes the flattened output directly; map
+    attribute columns are projected through ``to_json`` (insertion
+    order = payload order, deterministic) because the driver's
+    canonicalizer cannot hash dict cells.
+
+    Reference: flattener/logs.go:16-97, models/otlp.go:174-192."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
     payload = F.concat(
         F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",'
               '"value":{"stringValue":"'),
@@ -1546,26 +1570,221 @@ def otlp_flatten_logs(spark, sf_dir):
     )
     from .sources.otlp import flatten_logs
 
-    return flatten_logs(ev.select(payload.alias("value")))
+    flat = flatten_logs(ev.select(payload.alias("value")))
+    return flat.select(
+        F.unix_micros(F.to_timestamp("timestamp")).alias("ts_us"),
+        F.unix_micros(F.to_timestamp("observed_timestamp")).alias("observed_ts_us"),
+        "severity_number",
+        "severity_text",
+        "body",
+        "trace_id",
+        "span_id",
+        "flags",
+        "dropped_attributes_count",
+        F.to_json("resource_attributes").alias("resource_attrs_json"),
+        "scope_name",
+        "scope_version",
+        F.to_json("scope_attributes").alias("scope_attrs_json"),
+        F.to_json("attributes").alias("attrs_json"),
+    )
 
 
-@q("otlp_flatten_metrics", None)
+@q(
+    "otlp_flatten_metrics",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_id % 37 = 0)
+    SELECT epoch_us(ts) AS ts_us, CAST(NULL AS BIGINT) AS start_ts_us,
+           'g' AS metric_name, '1' AS metric_unit, 'gauge' AS metric_type,
+           CAST(NULL AS VARCHAR) AS aggregation_temporality,
+           CAST(NULL AS VARCHAR) AS is_monotonic,
+           CAST(0 AS BIGINT) AS flags,
+           value AS value_double, CAST(NULL AS BIGINT) AS value_int,
+           CAST(NULL AS BIGINT) AS n_count, CAST(NULL AS DOUBLE) AS v_sum,
+           CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max,
+           CAST(NULL AS VARCHAR) AS bucket_counts_json,
+           CAST(NULL AS VARCHAR) AS explicit_bounds_json,
+           '{"host":"' || event_type || '"}' AS resource_attrs_json,
+           'meter' AS scope_name
+    FROM e
+    UNION ALL
+    SELECT epoch_us(ts), NULL, 's', '1', 'sum', '2', 'true', 0,
+           CAST(NULL AS DOUBLE), user_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           '{"host":"' || event_type || '"}', 'meter'
+    FROM e
+    UNION ALL
+    SELECT epoch_us(ts), NULL, 'h', 'ms', 'histogram', '1', NULL, 0,
+           NULL, NULL, 5, value, CAST(0.25 AS DOUBLE), CAST(9.5 AS DOUBLE),
+           '[1,4]', '[2.5]',
+           '{"host":"' || event_type || '"}', 'meter'
+    FROM e
+    """,
+)
 def otlp_flatten_metrics(spark, sf_dir):
-    """S5 OTLP metrics flattener (gauge datapoints synthesized from
-    events). Rows-only check."""
-    ev = _t(spark, sf_dir, "events").limit(200)
+    """S5 OTLP metrics flattener — gauge + sum + histogram datapoints
+    synthesized per sampled event row, so all three union branches of
+    the wide row are exercised. Doubles round-trip exactly (Java
+    shortest-repr string -> JSON parse); always-null / array columns
+    are JSON-stringified for the canonicalizer.
+
+    Reference: flattener/metrics.go:13-213."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    t_ns = (F.unix_micros("ts") * 1000).cast("string")
+    val = F.col("value").cast("string")
     payload = F.concat(
-        F.lit('{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":'
-              '[{"scope":{"name":"meter","version":"1"},"metrics":[{"name":"value",'
-              '"unit":"1","gauge":{"dataPoints":[{"timeUnixNano":"'),
-        (F.unix_micros("ts") * 1000).cast("string"),
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"host",'
+              '"value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeMetrics":[{"scope":{"name":"meter","version":"1"},"metrics":['),
+        F.lit('{"name":"g","unit":"1","gauge":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
         F.lit('","asDouble":'),
-        F.col("value").cast("string"),
-        F.lit("}]}}]}]}]}"),
+        val,
+        F.lit('}]}},'),
+        F.lit('{"name":"s","unit":"1","sum":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","asInt":"'),
+        F.col("user_id").cast("string"),
+        F.lit('"}],"aggregationTemporality":2,"isMonotonic":true}},'),
+        F.lit('{"name":"h","unit":"ms","histogram":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","count":"5","sum":'),
+        val,
+        F.lit(',"min":0.25,"max":9.5,"bucketCounts":["1","4"],"explicitBounds":[2.5]}],'
+              '"aggregationTemporality":1}}'),
+        F.lit(']}]}]}'),
     )
     from .sources.otlp import flatten_metrics
 
-    return flatten_metrics(ev.select(payload.alias("value")))
+    flat = flatten_metrics(ev.select(payload.alias("value")))
+    return flat.select(
+        F.unix_micros(F.to_timestamp("timestamp")).alias("ts_us"),
+        F.unix_micros(F.to_timestamp("start_timestamp")).alias("start_ts_us"),
+        "metric_name",
+        "metric_unit",
+        "metric_type",
+        "aggregation_temporality",
+        F.col("is_monotonic").cast("string").alias("is_monotonic"),
+        "flags",
+        "value_double",
+        "value_int",
+        F.col("count").alias("n_count"),
+        F.col("sum").alias("v_sum"),
+        F.col("min").alias("v_min"),
+        F.col("max").alias("v_max"),
+        F.to_json("bucket_counts").alias("bucket_counts_json"),
+        F.to_json("explicit_bounds").alias("explicit_bounds_json"),
+        F.to_json("resource_attributes").alias("resource_attrs_json"),
+        "scope_name",
+    )
+
+
+@q(
+    "otlp_flatten_traces",
+    """
+    SELECT 't' || CAST(user_id AS VARCHAR) AS trace_id,
+           's' || CAST(event_id AS VARCHAR) AS span_id,
+           'p' AS parent_span_id,
+           '' AS trace_state,
+           CAST(0 AS BIGINT) AS flags,
+           event_type AS name,
+           CASE CAST(event_id % 6 AS INTEGER)
+                WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED' WHEN 1 THEN 'SPAN_KIND_INTERNAL'
+                WHEN 2 THEN 'SPAN_KIND_SERVER' WHEN 3 THEN 'SPAN_KIND_CLIENT'
+                WHEN 4 THEN 'SPAN_KIND_PRODUCER' ELSE 'SPAN_KIND_CONSUMER'
+           END AS kind,
+           epoch_us(ts) AS start_us,
+           epoch_us(ts) + (event_id % 1000000) AS end_us,
+           (event_id % 1000000) * 1000 AS duration_ns,
+           CASE CAST(event_id % 3 AS INTEGER)
+                WHEN 0 THEN 'UNSET' WHEN 1 THEN 'OK' ELSE 'ERROR'
+           END AS status_code,
+           'm' AS status_message,
+           CAST(0 AS BIGINT) AS dropped_attributes_count,
+           CAST(0 AS BIGINT) AS dropped_events_count,
+           CAST(0 AS BIGINT) AS dropped_links_count,
+           CAST(1 AS INTEGER) AS n_events,
+           CAST(1 AS INTEGER) AS n_links,
+           'ev' AS event0_name,
+           epoch_us(ts) AS event0_us,
+           '{"k":"' || event_type || '"}' AS event0_attrs_json,
+           'lt' AS link0_trace_id,
+           '{}' AS link0_attrs_json,
+           '{"service.name":"' || event_type || '"}' AS resource_attrs_json,
+           'tracer' AS scope_name,
+           '2' AS scope_version,
+           '{"uid":"' || CAST(user_id AS VARCHAR) || '"}' AS attrs_json
+    FROM events WHERE event_id % 37 = 0
+    """,
+)
+def otlp_flatten_traces(spark, sf_dir):
+    """S4 OTLP traces flattener — one span per sampled event, with one
+    span event and one span link each, kind/status enums over the whole
+    table (event_id mod), intValue attribute path, and integer-ns
+    duration = end - start.
+
+    Reference: flattener/traces.go:13-110, models/otlp.go:109-132."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    start_ns = F.unix_micros("ts") * 1000
+    dur_ns = (F.col("event_id") % 1000000) * 1000
+    payload = F.concat(
+        F.lit('{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name",'
+              '"value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeSpans":[{"scope":{"name":"tracer","version":"2"},'
+              '"spans":[{"traceId":"t'),
+        F.col("user_id").cast("string"),
+        F.lit('","spanId":"s'),
+        F.col("event_id").cast("string"),
+        F.lit('","parentSpanId":"p","name":"'),
+        F.col("event_type"),
+        F.lit('","kind":'),
+        (F.col("event_id") % 6).cast("string"),
+        F.lit(',"startTimeUnixNano":"'),
+        start_ns.cast("string"),
+        F.lit('","endTimeUnixNano":"'),
+        (start_ns + dur_ns).cast("string"),
+        F.lit('","attributes":[{"key":"uid","value":{"intValue":"'),
+        F.col("user_id").cast("string"),
+        F.lit('"}}],"events":[{"timeUnixNano":"'),
+        start_ns.cast("string"),
+        F.lit('","name":"ev","attributes":[{"key":"k","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]}],"links":[{"traceId":"lt","spanId":"ls","attributes":[]}],'
+              '"status":{"code":'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit(',"message":"m"}}]}]}]}'),
+    )
+    from .sources.otlp import flatten_traces
+
+    flat = flatten_traces(ev.select(payload.alias("value")))
+    return flat.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "trace_state",
+        "flags",
+        "name",
+        "kind",
+        F.unix_micros(F.to_timestamp("start_timestamp")).alias("start_us"),
+        F.unix_micros(F.to_timestamp("end_timestamp")).alias("end_us"),
+        "duration_ns",
+        "status_code",
+        "status_message",
+        "dropped_attributes_count",
+        "dropped_events_count",
+        "dropped_links_count",
+        F.size("events").alias("n_events"),
+        F.size("links").alias("n_links"),
+        F.col("events")[0]["name"].alias("event0_name"),
+        F.unix_micros(F.to_timestamp(F.col("events")[0]["timestamp"])).alias("event0_us"),
+        F.to_json(F.col("events")[0]["attributes"]).alias("event0_attrs_json"),
+        F.col("links")[0]["trace_id"].alias("link0_trace_id"),
+        F.to_json(F.col("links")[0]["attributes"]).alias("link0_attrs_json"),
+        F.to_json("resource_attributes").alias("resource_attrs_json"),
+        "scope_name",
+        "scope_version",
+        F.to_json("attributes").alias("attrs_json"),
+    )
 
 
 @q("multimodal_decode_stub", None)
