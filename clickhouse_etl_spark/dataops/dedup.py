@@ -57,6 +57,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.4,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram-set Jaccard, with an
     inverted-index candidate join (pairs must share >= 1 shingle).
@@ -64,20 +65,40 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, shared, size_a, size_b, jaccard) with
     id_a < id_b. Jaccard = shared / (size_a + size_b - shared) — pure
     integer counts, so the double division is engine-identical.
+
+    ``max_doc_freq`` drops postings whose shingle occurs in more than
+    that many documents — the standard document-frequency cap of
+    inverted-index near-dup pipelines. Without it a single boilerplate
+    shingle shared by m documents emits C(m, 2) pairs in ONE posting
+    group (quadratic blow-up on a hot key — the scale-killer at 100 TB;
+    at m = 1M that is ~5e11 pairs from one group). The trade: shared /
+    jaccard are computed over non-hot shingles only, so jaccard is a
+    lower bound and a pair sharing *only* ultra-common shingles is not
+    reported (exact duplicates of such documents are still caught by
+    ``exact_dedup``; texts dominated by boilerplate are what the cap is
+    *supposed* to ignore).
     """
     # single-pass inverted index: build the gram arrays ONCE, group the
     # postings per shingle, emit pair combinations array-side (a
-    # self-join would re-derive the shingling for both branches)
+    # self-join would re-derive the shingling for both branches). The
+    # doc-frequency cap runs as a window count BEFORE collect_list: the
+    # window and the groupBy share one hash partitioning on g (one
+    # shuffle of the gram stream, no recomputation), and WindowExec
+    # spills its per-group buffer to disk, so a degenerate hot shingle
+    # can neither OOM an executor nor reach the pair generator.
+    from pyspark.sql import Window
+
     df = scale_out(df)
     grams = df.select(
         F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("_grams")
     ).select(
         "id", F.size("_grams").cast("bigint").alias("sz"), F.explode("_grams").alias("g")
     )
-    postings = (
-        grams.groupBy("g")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    capped = grams.withColumn("_df", F.count("*").over(Window.partitionBy("g"))).filter(
+        (F.col("_df") > 1) & (F.col("_df") <= max_doc_freq)
+    )
+    postings = capped.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ms")
     )
     # all (i < j) combinations of each posting list
     combos = postings.select(

@@ -1115,9 +1115,12 @@ _NGRAM_SQL = """
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     ), sizes AS (
         SELECT id, count(*) AS sz FROM g GROUP BY id
+    ), keep AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) > 1 AND count(*) <= 100
     ), shared AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
         FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+        WHERE a.g IN (SELECT g FROM keep)
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
@@ -1460,9 +1463,12 @@ def emb_near_dup_pairs(spark, sf_dir):
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q2)
     ), ge AS (
         SELECT id, len(grams) AS sz, unnest(grams) AS g FROM g
+    ), keep AS (
+        SELECT g FROM ge GROUP BY g HAVING count(*) > 1 AND count(*) <= 100
     ), pairs AS (
         SELECT a.id AS id_a, b.id AS id_b, a.sz AS size_a, b.sz AS size_b, count(*) AS shared
         FROM ge a JOIN ge b ON a.g = b.g AND a.id < b.id
+        WHERE a.g IN (SELECT g FROM keep)
         GROUP BY 1, 2, 3, 4
     ), near_dups AS (
         SELECT DISTINCT id_b FROM pairs
