@@ -60,7 +60,7 @@ class ClickHouseSink:
     max_retries: int = 3
     reports: list = field(default_factory=list)
 
-    def _write_once(self, df: DataFrame) -> None:
+    def _write_once(self, df: DataFrame, batch_id: Optional[int] = None) -> None:
         if self.jdbc_url:
             (
                 df.repartition(self.write_parallelism)
@@ -76,12 +76,8 @@ class ClickHouseSink:
             # own partition instead of appending a second physical copy —
             # the fallback-side equivalent of ReplacingMergeTree collapsing
             # replayed inserts on the real ClickHouse target
-            batch_dir = None
-            if "_batch_id" in df.columns:
-                ids = df.select("_batch_id").limit(1).collect()
-                if ids:
-                    batch_dir = f"{self.parquet_fallback_path}/_batch_id={ids[0][0]}"
-            if batch_dir is not None:
+            if batch_id is not None:
+                batch_dir = f"{self.parquet_fallback_path}/_batch_id={batch_id}"
                 df.drop("_batch_id").write.mode("overwrite").parquet(batch_dir)
             else:
                 df.write.mode("append").parquet(self.parquet_fallback_path)
@@ -92,11 +88,23 @@ class ClickHouseSink:
         """foreachBatch body: stamp the idempotency key, write, classify
         failures. Retryable errors re-raise so the streaming engine
         replays the epoch (commit-after-write ordering, exactly the
-        reference's NACK path)."""
-        stamped = df.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+        reference's NACK path).
+
+        The micro-batch is evaluated exactly once: the row count for the
+        success report rides on the write job as an observed metric (no
+        post-write recount), and the epoch's target directory comes from
+        the ``batch_id`` argument (no driver round-trip to re-read the
+        stamp column). At thousands of epochs both used to cost a full
+        second evaluation + a collect per batch."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stamped = df.withColumn("_batch_id", F.lit(batch_id).cast("bigint")).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
         try:
-            self._write_once(stamped)
-            report = SinkWriteReport(batch_id, df.count(), "written")
+            self._write_once(stamped, batch_id)
+            report = SinkWriteReport(batch_id, obs.get["rows"], "written")
         except Exception as err:  # noqa: BLE001 — classification boundary
             cls = classify_clickhouse_error(err)
             if cls is Classification.RETRYABLE:

@@ -29,11 +29,11 @@ class FlakyOnceSink(ClickHouseSink):
 
     _fail_marker: dict = {}
 
-    def _write_once(self, df):
+    def _write_once(self, df, batch_id=None):
         if not self._fail_marker.get(self.table):
             self._fail_marker[self.table] = True
             raise RuntimeError("Code: 159. DB::Exception: Timeout exceeded (simulated)")
-        super()._write_once(df)
+        super()._write_once(df, batch_id)
 
 
 def test_retryable_failure_then_restart_exactly_once(spark, tmp_path):

@@ -176,7 +176,7 @@ def test_sink_write_and_idempotency_column(spark, tmp_path):
 
 def test_sink_permanent_error_routes_to_dlq(spark, tmp_path):
     class FailingSink(ClickHouseSink):
-        def _write_once(self, df):
+        def _write_once(self, df, batch_id=None):
             raise RuntimeError("Code: 6. DB::Exception: Cannot parse text")
 
     dlq = DLQWriter(str(tmp_path / "dlq"))
@@ -192,7 +192,7 @@ def test_sink_permanent_error_routes_to_dlq(spark, tmp_path):
 
 def test_sink_retryable_error_reraises(spark, tmp_path):
     class FlakySink(ClickHouseSink):
-        def _write_once(self, df):
+        def _write_once(self, df, batch_id=None):
             raise RuntimeError("Code: 159. Timeout exceeded")
 
     sink = FlakySink(table="t", parquet_fallback_path=str(tmp_path / "out"))
