@@ -60,10 +60,19 @@ def dedup_windowed(
 ) -> DataFrame:
     """Keep the first row per (key, tumbling time-window bucket).
 
-    Bucket = floor(epoch_seconds(ts) / window_s); "first" within the
-    bucket is by (ts, *order_cols) ascending.
+    Bucket = floor(epoch_micros(ts) / window_µs); "first" within the
+    bucket is by (ts, *order_cols) ascending. Computing the bucket in
+    microseconds keeps sub-second windows exact (the duration parser
+    accepts '500ms'; int-truncating that to 0 seconds used to NULL the
+    bucket under ANSI-off division and silently collapse the dedup to
+    whole-history). For integer-second windows the µs bucket equals the
+    old seconds bucket (nested-floor identity), so existing oracles are
+    unchanged.
     """
-    bucket = F.floor(F.unix_seconds(F.col(ts_col).cast("timestamp")) / F.lit(int(window_s)))
+    window_us = int(round(window_s * 1_000_000))
+    if window_us <= 0:
+        raise ValueError(f"dedup time_window must be positive, got {window_s}s")
+    bucket = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(window_us))
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(_key_col(df, key), bucket).orderBy(*order)
     return (

@@ -192,7 +192,10 @@ def parse_pipeline_json(doc: str | dict) -> PipelineSpec:
 
     join_cfg = None
     j = doc.get("join")
-    if j and j.get("enabled", True):
+    # missing 'enabled' means DISABLED: the reference's Go unmarshal
+    # zero-values Join.Enabled to false and gates on it everywhere —
+    # a hand-authored doc omitting the key must behave identically
+    if j and j.get("enabled", False):
         jtype = j.get("type", "temporal")
         if jtype != "temporal":
             raise SpecError(f"only temporal join is supported, got {jtype!r}")
@@ -262,11 +265,30 @@ def parse_pipeline_json(doc: str | dict) -> PipelineSpec:
     )
 
 
+def _jaas_escape(v: str) -> str:
+    """Escape a value for interpolation into a JAAS config line. A raw
+    double quote or backslash in a credential would otherwise break the
+    line — or inject directives (the reference passes credentials
+    structurally to franz-go, so it has no such surface)."""
+    return v.replace("\\", "\\\\").replace('"', '\\"')
+
+
 def _kafka_options(conn: dict) -> dict[str, str]:
     """Reference Kafka connection params -> Spark Kafka source options.
 
-    PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512 over SASL_PLAINTEXT or
-    SASL_SSL (reference: glassflow-api/internal/kafka/consumer.go:102-138).
+    PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512 / GSSAPI over SASL_PLAINTEXT
+    or SASL_SSL (reference: glassflow-api/internal/kafka/
+    consumer.go:140-205, models/configs.go:166-186).
+
+    GSSAPI: the reference receives the keytab as base64 content and the
+    krb5.conf as inline text, materializing both to temp files
+    (kafka/utils.go:9-46); the JVM-side equivalents are a
+    Krb5LoginModule JAAS config pointing at the keytab plus the
+    ``java.security.krb5.conf`` system property. The property can't be
+    a Kafka option — it is returned under the ``jvm.`` prefix, which
+    the streaming runner strips and applies via System.setProperty on
+    the driver (a real multi-node cluster must additionally ship it in
+    spark.executor.extraJavaOptions).
     """
     if not conn:
         return {}
@@ -288,6 +310,38 @@ def _kafka_options(conn: dict) -> dict[str, str]:
             else "org.apache.kafka.common.security.scram.ScramLoginModule"
         )
         opts["kafka.sasl.jaas.config"] = (
-            f'{module} required username="{user}" password="{pw}";'
+            f'{module} required username="{_jaas_escape(user)}" '
+            f'password="{_jaas_escape(pw)}";'
         )
+    elif mech == "GSSAPI":
+        import base64
+        import tempfile
+
+        svc = (conn.get("kerberos_service_name") or "").strip()
+        realm = (conn.get("kerberos_realm") or "").strip()
+        keytab_b64 = (conn.get("kerberos_keytab") or "").strip()
+        krb5_conf = (conn.get("kerberos_config") or "").strip()
+        if not (svc and realm and keytab_b64 and krb5_conf):
+            # models/configs.go:174-180 — all four fields required
+            raise SpecError("Kerberos configuration fields cannot be empty")
+        with tempfile.NamedTemporaryFile(
+            prefix="keytab-", suffix=".keytab", delete=False
+        ) as f:
+            f.write(base64.b64decode(keytab_b64))
+            keytab_path = f.name
+        with tempfile.NamedTemporaryFile(
+            mode="w", prefix="krb5-", suffix=".conf", delete=False
+        ) as f:
+            f.write(krb5_conf)
+            krb5_path = f.name
+        principal = user if "@" in user else f"{user}@{realm}"
+        opts["kafka.security.protocol"] = proto.upper() or "SASL_SSL"
+        opts["kafka.sasl.mechanism"] = "GSSAPI"
+        opts["kafka.sasl.kerberos.service.name"] = svc
+        opts["kafka.sasl.jaas.config"] = (
+            "com.sun.security.auth.module.Krb5LoginModule required "
+            f'useKeyTab=true storeKey=true keyTab="{_jaas_escape(keytab_path)}" '
+            f'principal="{_jaas_escape(principal)}";'
+        )
+        opts["jvm.java.security.krb5.conf"] = krb5_path
     return opts

@@ -27,6 +27,35 @@ from ..spec.model import PipelineSpec
 from .runner import StreamingPipeline
 
 
+def _await_first_progress(query, timeout_s: float = 30.0) -> None:
+    """Block until the restarted query makes progress, terminates
+    cleanly (bounded triggers), or fails — raising the failure so the
+    caller can rotate the checkpoint. Without this, a state-incompatible
+    restart reports success and dies in the background."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if query.exception() is not None:
+            raise query.exception()
+        if query.recentProgress:
+            return
+        if not query.isActive:
+            return  # terminated without error (availableNow/once runs)
+        time.sleep(0.25)
+
+
+def _fresh_checkpoint_dir(current: str) -> str:
+    """Next unused '<dir>-editN' sibling of the current checkpoint."""
+    import os
+
+    base = current.rstrip("/")
+    n = 1
+    while os.path.exists(f"{base}-edit{n}"):
+        n += 1
+    return f"{base}-edit{n}"
+
+
 @dataclass
 class RunningPipeline:
     spec: PipelineSpec
@@ -91,11 +120,26 @@ class PipelineManager:
     def edit(
         self, spark: SparkSession, pipeline_id: str, new_spec: PipelineSpec
     ) -> RunningPipeline:
-        """stop -> reconfigure -> resume (service/pipeline.go:426-590)."""
+        """stop -> reconfigure -> resume (service/pipeline.go:426-590).
+
+        A state-incompatible edit (e.g. adding/removing a stateful
+        operator) makes the resumed query fail against the old
+        checkpoint — Spark surfaces that asynchronously in the first
+        micro-batch. edit() waits for the restarted query to become
+        healthy; on failure it rotates to a fresh checkpoint directory
+        and restarts (the analog of the reference replaying from Kafka
+        offsets after a reconfigure: at-least-once, state rebuilt)."""
         self.stop(pipeline_id)
         rp = self._get(pipeline_id)
         rp.spec = new_spec
-        return self.resume(spark, pipeline_id)
+        try:
+            out = self.resume(spark, pipeline_id)
+            _await_first_progress(out.query)
+            return out
+        except Exception:  # noqa: BLE001 — any restart failure rotates
+            fresh = _fresh_checkpoint_dir(rp.checkpoint_dir)
+            rp.checkpoint_dir = fresh
+            return self.resume(spark, pipeline_id)
 
     def terminate(self, pipeline_id: str) -> None:
         self.stop(pipeline_id)

@@ -48,7 +48,13 @@ def kafka_source_stream(
     if max_batch_size:
         reader = reader.option("maxOffsetsPerTrigger", str(max_batch_size))
     for k, v in src.kafka_options.items():
-        reader = reader.option(k, v)
+        if k.startswith("jvm."):
+            # JVM system property (e.g. java.security.krb5.conf for
+            # GSSAPI) — not a Kafka client option. Driver-side here; a
+            # multi-node cluster ships it via executor extraJavaOptions.
+            spark._jvm.java.lang.System.setProperty(k[4:], v)  # noqa: SLF001
+        else:
+            reader = reader.option(k, v)
     raw = reader.load()
 
     from ..spec.schema_registry import strip_sr_envelope
@@ -82,7 +88,16 @@ def streaming_source_chain(
         if src.dedup is not None:
             window_s = src.dedup.time_window_s or 3600
             df = df.withWatermark(ts_col, f"{int(window_s)} seconds")
-            df = df.dropDuplicatesWithinWatermark([src.dedup.key])
+            # dropDuplicatesWithinWatermark takes column NAMES — route a
+            # dot-path key through the same dual resolution as batch
+            # dedup by materializing it as a helper column first
+            from ..operators.dedup import _key_col
+
+            df = (
+                df.withColumn("_dedup_key", _key_col(df, src.dedup.key))
+                .dropDuplicatesWithinWatermark(["_dedup_key"])
+                .drop("_dedup_key")
+            )
         if src.transform is not None:
             df = apply_transform(df, src.transform)
         return df

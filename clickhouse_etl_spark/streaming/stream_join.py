@@ -25,13 +25,20 @@ def stream_stream_join(
     left_ts: str,
     right_ts: str,
 ) -> DataFrame:
+    from ..operators.dedup import _key_col
+
     lw_s = int(cfg.left.time_window_s) or 3600
     rw_s = int(cfg.right.time_window_s) or 3600
+    # materialize the (dual-resolved, dot-path capable) join keys as
+    # helper columns so the aliased join condition can't re-resolve a
+    # literal dotted key differently than the batch form does
+    left = left.withColumn("_jk", _key_col(left, cfg.left.key))
+    right = right.withColumn("_jk", _key_col(right, cfg.right.key))
     lw = left.withWatermark(left_ts, f"{lw_s} seconds").alias("l")
     rw = right.withWatermark(right_ts, f"{rw_s} seconds").alias("r")
 
     cond = (
-        (F.col(f"l.{cfg.left.key}") == F.col(f"r.{cfg.right.key}"))
+        (F.col("l._jk") == F.col("r._jk"))
         # right row is joinable while inside either side's buffer window
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {rw_s} SECONDS"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lw_s} SECONDS"))
@@ -44,4 +51,4 @@ def stream_stream_join(
             side = "l" if rule.source_id == cfg.left.source_id else "r"
             cols.append(F.col(f"{side}.{rule.name}").alias(rule.output_name))
         return joined.select(*cols)
-    return joined
+    return joined.drop("_jk")

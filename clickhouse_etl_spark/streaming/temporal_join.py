@@ -56,16 +56,22 @@ _STATE_SCHEMA = T.StructType(
 def _tagged_union(
     left: DataFrame, right: DataFrame, cfg: JoinConfig, left_ts: str, right_ts: str
 ) -> DataFrame:
+    # keys go through the same dual literal-dotted/nested-path
+    # resolution as the batch join/dedup (a key spelled 'a.b' may be a
+    # literal top-level column) — raw F.col would resolve differently
+    # in streaming than in batch
+    from ..operators.dedup import _key_col
+
     l_payload = F.to_json(F.struct(*[F.col(c) for c in left.columns]))
     r_payload = F.to_json(F.struct(*[F.col(c) for c in right.columns]))
     lhs = left.select(
-        F.col(cfg.left.key).cast("string").alias("_key"),
+        _key_col(left, cfg.left.key).cast("string").alias("_key"),
         F.unix_micros(F.col(left_ts).cast("timestamp")).alias("_us"),
         F.lit(0).alias("_side"),  # left
         l_payload.alias("_payload"),
     )
     rhs = right.select(
-        F.col(cfg.right.key).cast("string").alias("_key"),
+        _key_col(right, cfg.right.key).cast("string").alias("_key"),
         F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_us"),
         F.lit(1).alias("_side"),  # right
         r_payload.alias("_payload"),

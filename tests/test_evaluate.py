@@ -86,3 +86,62 @@ def test_kafka_connection_options():
     assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-256"
     assert "ScramLoginModule" in opts["kafka.sasl.jaas.config"]
     assert 'username="u"' in opts["kafka.sasl.jaas.config"]
+
+
+def test_kafka_jaas_credentials_escaped():
+    """A quote/backslash in a credential must not break (or inject
+    directives into) the JAAS line — the reference passes credentials
+    structurally to franz-go and has no such surface."""
+    from clickhouse_etl_spark.spec.model import _kafka_options
+
+    opts = _kafka_options(
+        {
+            "brokers": ["b:9092"],
+            "mechanism": "PLAIN",
+            "username": 'u"x',
+            "password": 'p\\q" debug=true y="',
+        }
+    )
+    jaas = opts["kafka.sasl.jaas.config"]
+    assert 'username="u\\"x"' in jaas
+    assert 'password="p\\\\q\\" debug=true y=\\""' in jaas
+    # exactly one unescaped terminator, no injected bare directives
+    assert jaas.endswith('";')
+
+
+def test_kafka_gssapi_options(tmp_path):
+    """GSSAPI mapping (models/configs.go:166-186, kafka/consumer.go:
+    140-205): keytab arrives base64, krb5.conf arrives inline; both
+    materialize to temp files; JAAS uses Krb5LoginModule."""
+    import base64
+
+    from clickhouse_etl_spark.spec.model import SpecError, _kafka_options
+
+    conn = {
+        "brokers": ["b:9092"],
+        "mechanism": "GSSAPI",
+        "protocol": "SASL_PLAINTEXT",
+        "username": "svc-user",
+        "kerberos_service_name": "kafka",
+        "kerberos_realm": "EXAMPLE.COM",
+        "kerberos_keytab": base64.b64encode(b"\x05\x02keytab-bytes").decode(),
+        "kerberos_config": "[libdefaults]\ndefault_realm = EXAMPLE.COM\n",
+    }
+    opts = _kafka_options(conn)
+    assert opts["kafka.sasl.mechanism"] == "GSSAPI"
+    assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+    assert opts["kafka.sasl.kerberos.service.name"] == "kafka"
+    jaas = opts["kafka.sasl.jaas.config"]
+    assert "Krb5LoginModule required" in jaas
+    assert 'principal="svc-user@EXAMPLE.COM"' in jaas
+    ktpath = jaas.split('keyTab="')[1].split('"')[0]
+    assert open(ktpath, "rb").read() == b"\x05\x02keytab-bytes"
+    krb5 = opts["jvm.java.security.krb5.conf"]
+    assert "default_realm = EXAMPLE.COM" in open(krb5).read()
+
+    # all four kerberos fields are required, as in the reference
+    import pytest
+
+    bad = dict(conn, kerberos_realm="")
+    with pytest.raises(SpecError):
+        _kafka_options(bad)

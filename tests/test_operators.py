@@ -83,6 +83,30 @@ def test_dedup_windowed_expires(spark):
     assert sorted(r["seq"] for r in out.collect()) == [1, 3]
 
 
+def test_dedup_windowed_subsecond_window(spark):
+    """A '500ms' window must honor 500ms buckets, not truncate to 0 and
+    silently collapse to whole-history dedup (the µs-bucket fix)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", base, 1),
+         ("k", base + dt.timedelta(milliseconds=200), 2),  # same 500ms bucket
+         ("k", base + dt.timedelta(milliseconds=700), 3)],  # next bucket
+        ["id", "ts", "seq"],
+    )
+    out = dedup_windowed(df, "id", "ts", 0.5, ["seq"])
+    assert sorted(r["seq"] for r in out.collect()) == [1, 3]
+
+
+def test_dedup_windowed_zero_window_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", ts("2024-01-01T00:00:00"), 1)], ["id", "ts", "seq"])
+    with pytest.raises(ValueError, match="time_window"):
+        dedup_windowed(df, "id", "ts", 0, ["seq"])
+
+
 def _join_cfg(**kw):
     return JoinConfig(
         left=JoinSourceConfig("orders", "user_id", 3600, "left"),
