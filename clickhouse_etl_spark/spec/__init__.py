@@ -6,6 +6,7 @@ optional 2-way temporal join -> mapped sink, plus a DLQ
 (reference wire format: glassflow-api/internal/api/pipeline.go:199-330).
 """
 
+from .migrate import convert_v2_to_v3
 from .model import (
     DedupConfig,
     Field,
@@ -33,6 +34,6 @@ __all__ = [
     "PipelineSpec", "SourceConfig", "FilterConfig", "DedupConfig",
     "TransformConfig", "TransformOutput", "JoinConfig", "JoinSourceConfig",
     "JoinOutputField", "SinkConfig", "SinkMapping", "Field",
-    "parse_pipeline_json", "normalize_source_type", "ch_type_to_spark",
+    "parse_pipeline_json", "convert_v2_to_v3", "normalize_source_type", "ch_type_to_spark",
     "source_type_to_spark", "fields_to_struct", "BASIC_TYPES",
 ]
