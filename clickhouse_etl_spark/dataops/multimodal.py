@@ -75,39 +75,68 @@ def attach_asset_meta(
     )
 
 
+_KNOWN_FORMATS = ("png", "jpeg", "wav", "mp4")
+
+
+def _meta_field(m, name: str):
+    # struct cells arrive as dicts via Arrow; Rows when built driver-side
+    return m[name] if isinstance(m, dict) else getattr(m, name)
+
+
 def decode_assets(
     df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
 ) -> DataFrame:
     """Decode binary assets to shape metadata via Arrow-batched
     mapInPandas. Failed decodes produce decode_ok=false rows instead of
-    failing the stage (DLQ-style row-level error isolation)."""
+    failing the stage (DLQ-style row-level error isolation).
+
+    The batch loop is columnar: metadata fields and byte lengths are
+    extracted as whole Series, and only rows with a known format reach
+    the codec — as a zip over plain arrays, not ``iterrows`` (per-row
+    Series construction is the classic mapInPandas hot-loop killer).
+    """
+    import numpy as np
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r["asset_meta"]
-                fmt = meta["format"] if isinstance(meta, dict) else meta.format
-                mt = meta["media_type"] if isinstance(meta, dict) else meta.media_type
-                payload = r[payload_col] or b""
+            n = len(pdf)
+            meta = pdf["asset_meta"]
+            fmts = meta.map(lambda m: _meta_field(m, "format"))
+            mts = meta.map(lambda m: _meta_field(m, "media_type"))
+            payloads = pdf[payload_col].map(
+                lambda b: b if isinstance(b, bytes) else (b"" if b is None else bytes(b))
+            )
+            n_bytes = payloads.map(len).astype("int64")
+
+            width = np.full(n, None, dtype=object)
+            height = np.full(n, None, dtype=object)
+            channels = np.full(n, None, dtype=object)
+            ok = np.zeros(n, dtype=bool)
+
+            decodable = fmts.isin(_KNOWN_FORMATS).to_numpy()
+            idxs = np.flatnonzero(decodable)
+            # codec seam: per-row by nature (swap _decode_bytes for
+            # PIL/soundfile/pyav); corrupt payloads flip decode_ok only
+            for i, payload, fmt in zip(
+                idxs, payloads.to_numpy()[idxs], fmts.to_numpy()[idxs]
+            ):
                 try:
-                    w, h, ch = _decode_bytes(bytes(payload), fmt)
-                    ok = True
-                except NotImplementedError:
-                    w = h = ch = None
-                    ok = False
-                rows.append(
-                    {
-                        "asset_id": r[id_col],
-                        "media_type": mt,
-                        "format": fmt,
-                        "n_bytes": len(payload),
-                        "width": w,
-                        "height": h,
-                        "n_channels": ch,
-                        "decode_ok": ok,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+                    width[i], height[i], channels[i] = _decode_bytes(payload, fmt)
+                    ok[i] = True
+                except Exception:  # noqa: BLE001 — row-level isolation
+                    pass
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": mts,
+                    "format": fmts,
+                    "n_bytes": n_bytes,
+                    "width": pd.array(width, dtype="Int32"),
+                    "height": pd.array(height, dtype="Int32"),
+                    "n_channels": pd.array(channels, dtype="Int32"),
+                    "decode_ok": ok,
+                }
+            )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)

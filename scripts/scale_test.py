@@ -123,6 +123,23 @@ def main() -> None:
     timed_docs("docs_simhash", simhash(bd))
     timed_docs("docs_ngram_jaccard", ngram_jaccard_pairs(bd, n=5, threshold=0.5))
 
+    # ---- multimodal decode plumbing at 100k assets ----
+    from clickhouse_etl_spark.dataops.multimodal import decode_assets
+
+    assets = bd.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("jpeg"))
+            .otherwise(F.lit("tiff"))
+            .alias("format"),
+            F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+        ).alias("asset_meta"),
+    )
+    timed_docs("multimodal_decode", decode_assets(assets))
+
 
 if __name__ == "__main__":
     main()
