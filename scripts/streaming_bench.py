@@ -90,6 +90,91 @@ def main() -> None:
         )
     )
 
+    stateful_join_bench(spark)
+
+
+def stateful_join_bench(spark, n_left: int = 2_000_000, n_keys: int = 9_000) -> None:
+    """Stateful temporal-join throughput: n_left left rows + one right
+    row per key through applyInPandasWithState (the faithful
+    latest-wins path)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.spec.model import (
+        JoinConfig, JoinOutputField, JoinSourceConfig,
+    )
+    from clickhouse_etl_spark.streaming.temporal_join import temporal_join_streaming
+
+    left_dir, right_dir = f"{BASE}/join_left", f"{BASE}/join_right"
+    out_ckpt = f"{BASE}/join_ckpt"
+    shutil.rmtree(out_ckpt, ignore_errors=True)
+    if not os.path.isdir(left_dir):
+        ev = spark.read.parquet(f"{BASE}/events").limit(n_left)
+        (
+            ev.select(
+                F.col("event_id"),
+                (F.col("user_id") % n_keys).alias("user_id"),
+                F.col("ts"),
+                F.col("value"),
+            )
+            .repartition(32)
+            .write.mode("overwrite").parquet(left_dir)
+        )
+        (
+            spark.range(n_keys)
+            .select(
+                F.col("id").alias("r_user_id"),
+                (F.col("id") * 10).cast("double").alias("r_score"),
+                F.lit("2023-12-31 00:00:00").cast("timestamp").alias("rts"),
+            )
+            .repartition(4)
+            .write.mode("overwrite").parquet(right_dir)
+        )
+    lschema = spark.read.parquet(left_dir).schema
+    rschema = spark.read.parquet(right_dir).schema
+    left = spark.readStream.schema(lschema).option("maxFilesPerTrigger", 16).parquet(left_dir)
+    right = spark.readStream.schema(rschema).parquet(right_dir)
+    cfg = JoinConfig(
+        left=JoinSourceConfig("l", "user_id", 0, "left"),
+        right=JoinSourceConfig("r", "r_user_id", 0, "right"),
+        output_fields=(
+            JoinOutputField("l", "event_id", "event_id"),
+            JoinOutputField("l", "value", "value"),
+            JoinOutputField("r", "r_score", "score"),
+        ),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    joined = temporal_join_streaming(
+        left, right, cfg, left_ts="ts", right_ts="rts", output_schema=out_schema
+    )
+    t0 = time.perf_counter()
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", out_ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    n_in = spark.read.parquet(left_dir).count() + n_keys
+    print(
+        json.dumps(
+            {
+                "metric": "stateful_temporal_join_throughput",
+                "rows_in": n_in,
+                "n_keys": n_keys,
+                "seconds": round(dt, 2),
+                "rows_in_per_sec": int(n_in / dt),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
