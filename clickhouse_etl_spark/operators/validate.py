@@ -50,6 +50,7 @@ def validate_json(
     fields: list[Field] | tuple[Field, ...],
     value_col: str = "value",
     component: str = "ingestor",
+    keep_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a frame of raw JSON strings into (typed valid rows, DLQ rows).
 
@@ -58,6 +59,10 @@ def validate_json(
     every present value coerces to the declared type. Type-coercion
     failure detection: the typed parse yields NULL where the lenient
     string parse yields a value.
+
+    ``keep_cols``: pass-through columns carried alongside the typed
+    payload in the valid frame (e.g. the schema-version id for
+    downstream per-version dispatch).
     """
     struct = fields_to_struct(list(fields))
     raw = F.col(value_col).cast("string")
@@ -94,7 +99,9 @@ def validate_json(
         error = F.when(cond, F.lit(msg)).otherwise(error)
 
     tagged = df.withColumn("_verror", error).withColumn("_typed", typed)
-    ok = tagged.filter(F.col("_verror").isNull()).select("_typed.*")
+    ok = tagged.filter(F.col("_verror").isNull()).select(
+        "_typed.*", *[F.col(c) for c in (keep_cols or [])]
+    )
     bad = dlq_frame(
         tagged.filter(F.col("_verror").isNotNull()),
         component,
@@ -102,3 +109,53 @@ def validate_json(
         raw,
     )
     return ok, bad
+
+
+def validate_json_versioned(
+    df: DataFrame,
+    versions: dict[int, list[Field] | tuple[Field, ...]],
+    value_col: str = "value",
+    version_col: str = "_schema_id",
+    component: str = "ingestor",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-version validation for streams interleaving live schema
+    versions: each message validates against ITS OWN version's field
+    list (reference: schema_v2/validate.go — the validator is resolved
+    by the message's schema id), so a v1 message is not failed for
+    lacking a field added in v2.
+
+    Unknown or NULL version ids (bare, un-enveloped messages) validate
+    against the latest version. Valid rows union to the widest shape
+    with version-absent columns null-filled — the widest-schema
+    collapse of SURVEY §1.3 — and keep ``version_col`` for downstream
+    per-version transform dispatch (apply_versioned_transform).
+    """
+    if not versions:
+        raise ValueError("versioned validation requires at least one version")
+    latest = max(versions)
+    vids = [F.lit(v) for v in versions]
+    resolved = F.when(
+        F.col(version_col).isin(*vids), F.col(version_col)
+    ).otherwise(F.lit(latest))
+    tagged = df.withColumn("_v_resolved", resolved)
+
+    ok_frames, dlq_frames = [], []
+    for vid, fields in sorted(versions.items()):
+        branch = tagged.filter(F.col("_v_resolved") == vid).drop("_v_resolved")
+        ok, bad = validate_json(
+            branch,
+            fields,
+            value_col,
+            component=f"{component}:v{vid}",
+            keep_cols=[version_col] if version_col in df.columns else None,
+        )
+        ok_frames.append(ok)
+        dlq_frames.append(bad)
+
+    ok_all = ok_frames[0]
+    for f in ok_frames[1:]:
+        ok_all = ok_all.unionByName(f, allowMissingColumns=True)
+    bad_all = dlq_frames[0]
+    for f in dlq_frames[1:]:
+        bad_all = bad_all.unionByName(f)
+    return ok_all, bad_all
