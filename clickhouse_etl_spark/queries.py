@@ -1090,6 +1090,487 @@ def distinct_counts(spark, sf_dir):
     )
 
 
+@q(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum({_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair flows — the disjunctive
+    join predicate over two broadcast dims plus a two-fact join."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    j = (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg((F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("revenue"))
+
+
+@q(
+    "q8_market_share",
+    f"""
+    WITH flows AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               {_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')}) AS volume,
+               n1.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT)
+           / CAST(sum(volume) AS BIGINT) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 8-way star join + conditional-share division
+    (both operands exact integer cents -> the double ratio is
+    engine-identical)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    volume = ep * (F.lit(100) - disc)
+    flows = (
+        F.broadcast(p).join(l, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "supp_nation")
+    )
+    return flows.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum({_CENTS.format(c='l.l_extendedprice')} * (100 - {_CENTS.format(c='l.l_discount')})) AS BIGINT) / 10000.0 AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape adapted (no partsupp table in the testdata, so
+    amount omits ps_supplycost): product-line profit by supplier nation
+    and order year, with a LIKE-filtered part dimension."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        F.broadcast(p).join(l, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("amount"))
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer join + double aggregation (histogram of
+    per-customer order counts; the filtered-join predicate replaces the
+    o_comment NOT LIKE of the spec — no comment column in testdata)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_CENTS.format(c='l_extendedprice')} * (100 - {_CENTS.format(c='l_discount')})) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents / 10000.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate view + scalar-max filter (exact
+    integer-cents revenue so the max comparison is tie-stable)."""
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    ep, disc = _cents("l_extendedprice"), _cents("l_discount")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(ep * (F.lit(100) - disc)).alias("total_cents")
+    )
+    top = revenue.withColumn(
+        "_max", F.max("total_cents").over(Window.partitionBy())
+    ).filter(F.col("total_cents") == F.col("_max"))
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(top, s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", (F.col("total_cents") / F.lit(10000.0)).alias("total_revenue")
+    )
+
+
+@q(
+    "q16_supplier_cardinality",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2' AND p.p_size IN (5, 11, 28, 37)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_cardinality(spark, sf_dir):
+    """TPC-H Q16 shape adapted (supplier relationships come from
+    lineitem instead of the absent partsupp): distinct-supplier counts
+    per part attribute group with NOT/IN dimension predicates."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(5, 11, 28, 37)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(p)
+        .join(l, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumq,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum({_CENTS.format(c='l.l_extendedprice')}) AS BIGINT) / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * a.cnt < a.sumq
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average subquery. The
+    'quantity < 0.2 * avg(quantity)' predicate is algebraically
+    rearranged to pure integers (q*5*cnt < sum) so both engines decide
+    ties identically."""
+    l = _t(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sumq"),
+        F.count("*").alias("cnt"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    ep = _cents("l_extendedprice")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("cnt") < F.col("sumq"))
+        .agg((F.sum(ep) / F.lit(700.0)).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape adapted (l_returnflag='R' stands in for the
+    receipt-after-commit lateness — no commit/receipt dates in
+    testdata): the correlated EXISTS / NOT-EXISTS pair compiles to a
+    semi-join plus an anti-join on the order key."""
+    s = _t(spark, sf_dir, "supplier")
+    l1 = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l2 = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    base = l1.join(o, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_failer = with_other.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_failer.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@q(
+    "q22_global_sales_opportunity",
+    f"""
+    WITH pos AS (
+        SELECT CAST(sum({_CENTS.format(c='c_acctbal')}) AS BIGINT) AS sum_cents,
+               count(*) AS cnt
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(sum({_CENTS.format(c='c.c_acctbal')}) AS BIGINT) / 100.0 AS totacctbal
+    FROM customer c, pos
+    WHERE {_CENTS.format(c='c.c_acctbal')} * pos.cnt > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-average subquery + anti-join (customers
+    above the positive-balance average with no orders; nationkey stands
+    in for the phone country code). The average comparison is
+    rearranged to integers (cents * count > sum_cents)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    bal = _cents("c_acctbal")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        bal * F.col("cnt") > F.col("sum_cents")
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count("*").alias("numcust"),
+        (F.sum(bal) / F.lit(100.0)).alias("totacctbal"),
+    )
+
+
+@q(
+    "q2_min_cost_supplier",
+    f"""
+    WITH prices AS (
+        SELECT l_partkey, l_suppkey,
+               min({_CENTS.format(c='l_extendedprice')}) AS cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+        SELECT l_partkey, min(cents) AS min_cents FROM prices GROUP BY l_partkey
+    ), winner AS (
+        SELECT p.l_partkey, min(p.l_suppkey) AS s_key, b.min_cents
+        FROM prices p JOIN best b
+          ON p.l_partkey = b.l_partkey AND p.cents = b.min_cents
+        GROUP BY p.l_partkey, b.min_cents
+    )
+    SELECT pt.p_partkey, pt.p_name, s.s_name, n.n_name,
+           w.min_cents / 100.0 AS min_price
+    FROM winner w
+    JOIN part pt ON pt.p_partkey = w.l_partkey
+    JOIN supplier s ON s.s_suppkey = w.s_key
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE pt.p_size = 11
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape adapted (observed minimum lineitem price stands
+    in for the absent partsupp supplycost): correlated-min subquery,
+    deterministic winner via min supplier key on price ties."""
+    l = _t(spark, sf_dir, "lineitem")
+    ep = _cents("l_extendedprice")
+    prices = l.groupBy("l_partkey", "l_suppkey").agg(F.min(ep).alias("cents"))
+    best = prices.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cents").alias("min_cents")
+    )
+    winner = (
+        prices.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cents") == F.col("min_cents")),
+        )
+        .groupBy("l_partkey", "min_cents")
+        .agg(F.min("l_suppkey").alias("s_key"))
+    )
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") == 11)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        winner.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("s_key"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            (F.col("min_cents") / F.lit(100.0)).alias("min_price"),
+        )
+    )
+
+
+@q(
+    "running_totals_window",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum({_CENTS.format(c='o_totalprice')}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS order_seq
+    FROM orders
+    """,
+)
+def running_totals_window(spark, sf_dir):
+    """Window-frame surface: running per-customer revenue with an
+    explicit ROWS frame + sequence numbering, total-ordered for
+    determinism (integer cents so the running sum is exact)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_cents"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@q("approx_percentiles_by_type", None)
+def approx_percentiles_by_type(spark, sf_dir):
+    """The 100TB-scale variant of percentiles_by_type: one-pass
+    approx_percentile instead of the exact full-sort-per-group form
+    (sketch results are engine-specific -> rows-only; the exact entry
+    is the oracle contract)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("p50"),
+        F.approx_percentile("value", 0.95, 10000).alias("p95"),
+        F.approx_percentile("value", 0.99, 10000).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 # ------------------------------------------------------------------ #
 # dataops: dedup family                                               #
 # ------------------------------------------------------------------ #
