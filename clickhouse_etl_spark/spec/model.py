@@ -344,4 +344,26 @@ def _kafka_options(conn: dict) -> dict[str, str]:
             f'principal="{_jaas_escape(principal)}";'
         )
         opts["jvm.java.security.krb5.conf"] = krb5_path
+
+    # TLS material: the reference builds a tls.Config from inline PEM
+    # strings (kafka/consumer.go:200-212, MakeTLSConfigFromStrings);
+    # the Kafka JVM client accepts the same PEM strings directly via
+    # ssl.*.type=PEM (KIP-651) — no JKS files needed
+    proto_upper = (opts.get("kafka.security.protocol") or proto.upper())
+    if proto_upper in ("SSL", "SASL_SSL"):
+        root_ca = conn.get("root_ca") or ""
+        cert = conn.get("client_cert") or ""
+        key = conn.get("client_key") or ""
+        if root_ca:
+            opts["kafka.ssl.truststore.type"] = "PEM"
+            opts["kafka.ssl.truststore.certificates"] = root_ca
+        if cert and key:
+            opts["kafka.ssl.keystore.type"] = "PEM"
+            opts["kafka.ssl.keystore.certificate.chain"] = cert
+            opts["kafka.ssl.keystore.key"] = key
+        if conn.get("skip_tls_verification"):
+            # disable hostname verification (InsecureSkipVerify analog;
+            # the JVM client has no full-chain skip, empty algorithm is
+            # its documented hostname-check opt-out)
+            opts["kafka.ssl.endpoint.identification.algorithm"] = ""
     return opts
