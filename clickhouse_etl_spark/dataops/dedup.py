@@ -211,6 +211,87 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set: every node
+    ends up labeled with the smallest node id reachable from it.
+
+    This is the canonical dedup-clustering step — near-dup PAIRS
+    (ngram/MinHash/SimHash/embedding) become GROUPS, with the minimum
+    doc id as the deterministic canonical representative.
+
+    Scale notes: each iteration is one join + one min-aggregation, both
+    hash-partitioned on the node id; iterations needed = cluster
+    diameter (tiny for dedup graphs — near-dup clusters are dense).
+    ``localCheckpoint`` truncates the lineage each round so plans don't
+    grow; the per-iteration driver round-trip is a single aggregated
+    count (convergence check), never row data.
+
+    Output: (id_col, cluster_id) for every node in ``nodes``.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Near-duplicate clusters: n-gram Jaccard pairs -> connected
+    components -> (doc_id, cluster_id, cluster_size, is_canonical).
+    Keeping only ``is_canonical`` rows is one-survivor-per-cluster
+    dedup — transitively closed, unlike per-pair removal (a~b, b~c
+    collapses all three even when a!~c directly)."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    cc = connected_components(pairs, df, id_col=id_col)
+    from pyspark.sql import Window
+
+    size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return cc.select(
+        id_col,
+        "cluster_id",
+        size.alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -1618,6 +1618,54 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "docs_dup_clusters",
+    """
+    WITH RECURSIVE g AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM g GROUP BY id
+    ), keep AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) > 1 AND count(*) <= 100
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+        WHERE a.g IN (SELECT g FROM keep)
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE shared / (sa.sz + sb.sz - shared) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON r.id = e.a
+    ), cc AS (
+        SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM cc
+    """,
+)
+def docs_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (pairs -> connected components via min-label
+    propagation, iterative joins with lineage checkpoints). The oracle
+    is a recursive CTE computing the same transitive closure. Keeping
+    is_canonical rows = transitively-closed one-survivor dedup."""
+    from .dataops.dedup import dup_clusters
+
+    return dup_clusters(_t(spark, sf_dir, "documents"), n=5, threshold=0.5)
+
+
 def _minhash_sql() -> str:
     n_bands = 4
     h = char_fold_hash_sql("s")

@@ -100,3 +100,30 @@ def test_multimodal_decode_batch_shapes(spark):
     bad = attach_asset_meta(df, media_type="image", fmt="tiff")
     out2 = {r["asset_id"]: r for r in decode_assets(bad).collect()}
     assert out2[1]["decode_ok"] is False and out2[1]["width"] is None
+
+
+def test_connected_components_transitive_closure(spark):
+    """a~b, b~c (a never directly paired with c) must collapse into ONE
+    cluster labeled by the min id; isolated nodes label themselves."""
+    from clickhouse_etl_spark.dataops.dedup import connected_components
+
+    edges = spark.createDataFrame([(2, 1), (2, 3), (7, 8)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], ["doc_id"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_dup_clusters_one_survivor(spark):
+    """Three copies of one text -> one cluster, one canonical row."""
+    from clickhouse_etl_spark.dataops.dedup import dup_clusters
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, text), (4, "completely different words here for sure ok")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dup_clusters(df, n=3, threshold=0.9).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["cluster_id"] == 1 and not rows[2]["is_canonical"]
+    assert rows[3]["cluster_size"] == 3
+    assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1
