@@ -108,6 +108,82 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells — the other
+    standard ANN scale path next to LSH.
+
+    1. centroids: a deterministic small sample of the corpus (first
+       ``n_centroids`` by id — a k-means refinement would drop in here;
+       determinism matters more than cell quality for this engine's
+       reproducibility contract);
+    2. every corpus vector is assigned to its nearest centroid's cell
+       (argmax cosine, Catalyst-only expressions over broadcast
+       centroid literals — no UDF, no shuffle);
+    3. a query probes its ``n_probe`` nearest cells; candidates are the
+       cell members — the join key is the cell id, so the exact cosine
+       runs on ~n_probe/n_centroids of the corpus instead of all of it.
+
+    Recall < 1.0 by construction (vectors near cell boundaries);
+    brute-force ``cosine_topk`` is the quality oracle
+    (tests/test_dataops.py measures recall like the LSH path).
+    """
+    cents = (
+        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )  # n_centroids rows — the one intentionally-small driver fetch
+    cent_arrays = [
+        F.array(*[F.lit(float(v)) for v in row[vec_col]]) for row in cents
+    ]
+
+    def cell_ranking(vec: Column) -> Column:
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine_sim(vec, ca).alias("s"), F.lit(i).alias("i")
+                )
+                for i, ca in enumerate(cent_arrays)
+            ]
+        )
+        return F.reverse(F.array_sort(sims))  # best cell first
+
+    c = scale_out(corpus).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        cell_ranking(F.col(vec_col))[0]["i"].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col(vec_col)), 1, n_probe),
+                lambda s: s["i"],
+            )
+        ).alias("_cell"),
+    )
+    cand = c.join(F.broadcast(q), "_cell").filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rn").alias("rank"),
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )
+
+
 def _pseudo_hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic +-1 hyperplane from the portable hash family."""
     vals = []

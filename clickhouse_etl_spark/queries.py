@@ -2357,3 +2357,18 @@ def emb_lsh_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_bucket_topk(emb, queries, k=10, n_tables=8, bits_per_table=4, dim=64)
+
+
+@q("emb_ivf_ann_topk", None)
+def emb_ivf_ann_topk(spark, sf_dir):
+    """Approximate NN via IVF cells (deterministic centroids, Catalyst
+    argmax assignment, n_probe cell fan-out — the inverted-file scale
+    path next to LSH; recall measured vs brute force in
+    test_dataops.py). Rows-only check."""
+    from .dataops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)

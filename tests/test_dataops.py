@@ -127,3 +127,23 @@ def test_dup_clusters_one_survivor(spark):
     assert rows[2]["cluster_id"] == 1 and not rows[2]["is_canonical"]
     assert rows[3]["cluster_size"] == 3
     assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # probing half the cells should recover most of the true top-5
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    # determinism: same plan twice -> identical rows
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()}
+    assert a == again
