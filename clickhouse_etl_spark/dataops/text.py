@@ -118,3 +118,67 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     """Rolling polynomial hash of the full text (content fingerprint,
     engine-portable — see hashing.char_fold_hash)."""
     return scale_out(df).withColumn(out_col, char_fold_hash(F.col(text_col)))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set — the standard pre-training
+    hygiene pass (n-gram overlap is the common published protocol).
+
+    Output (contaminated docs only): doc id, number of distinct
+    contaminated n-grams, number of benchmark docs hit, and the
+    smallest benchmark id (for audit sampling). Anti-joining the
+    training corpus against this output IS the decontamination.
+
+    Scale notes: the benchmark gram set is small (eval sets are
+    thousands of docs) and broadcast; the corpus streams through one
+    shingle projection and the join — no corpus shuffle before the
+    per-doc aggregation.
+    """
+    from .dedup import _word_ngrams
+
+    bg = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.explode(_word_ngrams(F.col(bench_text_col), n)).alias("_g"),
+    )
+    dg = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    return (
+        dg.join(F.broadcast(bg), "_g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_g").alias("n_contaminated_ngrams"),
+            F.countDistinct("_bid").alias("n_bench_docs"),
+            F.min("_bid").alias("first_bench_id"),
+        )
+    )
+
+
+def corpus_report(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language corpus statistics — the summary a training-data
+    pipeline publishes after each processing stage: doc/token/char
+    totals plus quality-bucket counts (thresholds on the deterministic
+    quality score, so the report is oracle-exact).
+
+    One hash-shuffle on the language key; all inputs integer-derived.
+    """
+    q = quality_score(token_stats(df, text_col), text_col)
+    return q.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_t").alias("total_chars"),
+        F.sum("n_subwords_est").alias("total_subwords_est"),
+        F.sum(F.when(F.col("quality") >= 0.7, 1).otherwise(0)).alias("n_high_quality"),
+        F.sum(F.when(F.col("quality") < 0.4, 1).otherwise(0)).alias("n_low_quality"),
+    )

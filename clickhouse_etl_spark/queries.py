@@ -1848,6 +1848,100 @@ def docs_token_stats(spark, sf_dir):
 
 
 @q(
+    "docs_decontamination",
+    """
+    WITH bench AS (
+        SELECT doc_id AS bid, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 97 = 0
+    ), train AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 97 <> 0
+    ), bg AS (
+        SELECT bid,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 6, 1)),
+                   i -> array_to_string(w[i:i+7], ' ')))) AS g
+        FROM bench
+    ), dg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 6, 1)),
+                   i -> array_to_string(w[i:i+7], ' ')))) AS g
+        FROM train
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT dg.g) AS BIGINT) AS n_contaminated_ngrams,
+           CAST(count(DISTINCT bid) AS BIGINT) AS n_bench_docs,
+           min(bid) AS first_bench_id
+    FROM dg JOIN bg ON dg.g = bg.g
+    GROUP BY doc_id
+    """,
+)
+def docs_decontamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 8-gram with
+    the (synthesized) eval split are flagged with hit counts. The eval
+    split is every 97th document — deterministic, so the oracle builds
+    the same split."""
+    from .dataops.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=8)
+
+
+@q(
+    "docs_corpus_report",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_q,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ({_EN_STOPS}))) AS BIGINT) AS n_stop,
+               CAST(list_reduce([0::BIGINT] || list_transform(
+                   list_filter(string_split(text, ' '), t -> len(t) > 0),
+                   t -> CAST(len(t) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS sum_tok_len,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_nonempty
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id, lang, n_tokens, n_chars_q, n_subwords_est,
+               CASE WHEN n_chars_q > 0 THEN n_punct / n_chars_q ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens_q > 0 THEN n_stop / n_tokens_q ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_nonempty > 0 THEN sum_tok_len / n_nonempty ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_chars_q >= 50 AND n_chars_q <= 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+        FROM base
+    ), scored AS (
+        SELECT lang, n_tokens, n_chars_q, n_subwords_est,
+               0.3 * length_ok
+             + 0.3 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * stop_ratio
+             + 0.2 * (1.0 - punct_ratio) AS quality
+        FROM ratios
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars_q) AS BIGINT) AS total_chars,
+           CAST(sum(n_subwords_est) AS BIGINT) AS total_subwords_est,
+           CAST(sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+           CAST(sum(CASE WHEN quality < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+    FROM scored GROUP BY lang
+    """,
+)
+def docs_corpus_report(spark, sf_dir):
+    """Per-language corpus report: doc/token/char/subword totals plus
+    quality-bucket counts (thresholds over the deterministic quality
+    score, reproduced exactly in the oracle)."""
+    from .dataops.text import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "docs_chunking",
     """
     WITH d AS (
