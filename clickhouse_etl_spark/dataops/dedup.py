@@ -226,8 +226,11 @@ def connected_components(
     (ngram/MinHash/SimHash/embedding) become GROUPS, with the minimum
     doc id as the deterministic canonical representative.
 
-    Scale notes: each iteration is one join + one min-aggregation, both
-    hash-partitioned on the node id; iterations needed = cluster
+    Scale notes: the iteration runs ONLY over nodes that appear in an
+    edge — isolated nodes (the overwhelming majority of a dedup graph)
+    can never change label, so they bypass the loop entirely and union
+    back at the end. Each iteration is one join + one min-aggregation,
+    both hash-partitioned on the node id; iterations needed = cluster
     diameter (tiny for dedup graphs — near-dup clusters are dense).
     ``localCheckpoint`` truncates the lineage each round so plans don't
     grow; the per-iteration driver round-trip is a single aggregated
@@ -240,28 +243,40 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
-    labels = nodes.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    # checkpoint the (usually expensive) edge pipeline ONCE, before
+    # anything derives from it — touched/labels reuse the materialized
+    # edges instead of re-running pair generation
+    sym = sym.localCheckpoint()
+    touched = sym.select(F.col("src").alias("id")).distinct()
+    labels = touched.withColumn("label", F.col("id")).localCheckpoint()
     for _ in range(max_iter):
         neigh = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), "label"
         )
-        new_labels = (
+        # one heavy action per iteration: the merged frame carries the
+        # old label so the convergence count is a trivial scan of the
+        # checkpoint, not a second shuffle job
+        merged = (
             labels.select("id", "label")
             .unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .join(labels.select("id", F.col("label").alias("_old")), "id")
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = merged.filter(F.col("label") < F.col("_old")).count()
+        labels = merged.select("id", "label")
         if n_changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    isolated = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(touched, "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    return (
+        labels.unionByName(isolated)
+        .select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    )
 
 
 def dup_clusters(

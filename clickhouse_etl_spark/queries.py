@@ -1108,6 +1108,7 @@ def distinct_counts(spark, sf_dir):
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1, 2, 3
     """,
+    "bench",
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: bidirectional nation-pair flows — the disjunctive
@@ -1166,6 +1167,7 @@ def q7_volume_shipping(spark, sf_dir):
            / CAST(sum(volume) AS BIGINT) AS mkt_share
     FROM flows GROUP BY o_year
     """,
+    "bench",
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: 8-way star join + conditional-share division
@@ -1253,6 +1255,7 @@ def q9_product_profit(spark, sf_dir):
     SELECT c_count, count(*) AS custdist
     FROM per_cust GROUP BY c_count
     """,
+    "bench",
 )
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13 shape: outer join + double aggregation (histogram of
@@ -1348,6 +1351,7 @@ def q16_supplier_cardinality(spark, sf_dir):
     WHERE p.p_brand = 'Brand#3'
       AND CAST(l.l_quantity AS BIGINT) * 5 * a.cnt < a.sumq
     """,
+    "bench",
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated per-part average subquery. The
@@ -1391,6 +1395,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     ORDER BY numwait DESC, s.s_name
     LIMIT 10
     """,
+    "bench",
 )
 def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape adapted (l_returnflag='R' stands in for the
@@ -1444,6 +1449,7 @@ def q21_waiting_suppliers(spark, sf_dir):
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_nationkey
     """,
+    "bench",
 )
 def q22_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape: scalar-average subquery + anti-join (customers
@@ -1537,6 +1543,7 @@ def q2_min_cost_supplier(spark, sf_dir):
            ) AS INTEGER) AS order_seq
     FROM orders
     """,
+    "bench",
 )
 def running_totals_window(spark, sf_dir):
     """Window-frame surface: running per-customer revenue with an
@@ -1655,6 +1662,7 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
            doc_id = cluster_id AS is_canonical
     FROM cc
     """,
+    "bench",
 )
 def docs_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS (pairs -> connected components via min-label
@@ -1876,6 +1884,7 @@ def docs_token_stats(spark, sf_dir):
     FROM dg JOIN bg ON dg.g = bg.g
     GROUP BY doc_id
     """,
+    "bench",
 )
 def docs_decontamination(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 8-gram with
@@ -1931,6 +1940,7 @@ def docs_decontamination(spark, sf_dir):
            CAST(sum(CASE WHEN quality < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
     FROM scored GROUP BY lang
     """,
+    "bench",
 )
 def docs_corpus_report(spark, sf_dir):
     """Per-language corpus report: doc/token/char/subword totals plus
