@@ -184,6 +184,40 @@ def ivf_topk(
     )
 
 
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """L2-normalize embedding vectors (unit length — the standard prep
+    before cosine ≡ dot shortcuts). Emits the norm and a sequential
+    checksum fold of the normalized values so the transform is
+    oracle-checkable without serializing double arrays (engine JSON
+    renderings of doubles differ; folds don't)."""
+    vec = F.col(vec_col)
+    nrm = F.sqrt(_norm2(vec))
+    unit = F.transform(vec, lambda x: x.cast("double") / nrm)
+    checksum = F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        nrm.alias("l2_norm"),
+        unit.alias("unit_vec"),
+        checksum.alias("unit_checksum"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = 127 / max|x|) —
+    the standard 4x storage shrink for ANN at the 100 TB tier. Integer
+    outputs, so the whole array is oracle-exact."""
+    vec = F.col(vec_col)
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(127.0) / mx, 0).cast("int")
+    )
+    return df.select(F.col(id_col), mx.alias("max_abs"), q.alias("q8"))
+
+
 def _pseudo_hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic +-1 hyperplane from the portable hash family."""
     vals = []

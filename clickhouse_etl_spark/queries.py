@@ -2077,6 +2077,55 @@ def emb_near_dup_pairs(spark, sf_dir):
 
 
 @q(
+    "emb_quantize_int8",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+                        / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 0)
+                        AS INTEGER)) AS q8
+        FROM embeddings
+    )
+    SELECT vec_id, max_abs, to_json(q8) AS q8_json FROM q
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization — integer outputs, so the
+    whole quantized array hash-matches the oracle (serialized as JSON
+    for the canonicalizer)."""
+    from .dataops.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select("vec_id", "max_abs", F.to_json("q8").alias("q8_json"))
+
+
+@q(
+    "emb_normalize",
+    """
+    SELECT vec_id,
+           sqrt(list_reduce([0.0] || list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm,
+           list_reduce([0.0] || list_transform(embedding,
+                x -> CAST(x AS DOUBLE)
+                     / sqrt(list_reduce([0.0] || list_transform(embedding,
+                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a, b) -> a + b))),
+                (a, b) -> a + b) AS unit_checksum
+    FROM embeddings
+    """,
+)
+def emb_normalize(spark, sf_dir):
+    """L2 normalization, checked via the norm and a sequential checksum
+    fold of the unit vector (both exact sequential double folds)."""
+    from .dataops.similarity import normalize_embeddings
+
+    return normalize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "l2_norm", "unit_checksum"
+    )
+
+
+@q(
     "docs_pipeline_e2e",
     """
     WITH quality AS (
