@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import char_fold_hash
+from .hashing import affine_hash, char_fold_hash
 from .util import scale_out
 
 #: tiny fixed stopword lists per language — heuristic n-gram-free
@@ -161,6 +161,148 @@ def decontaminate(
             F.min("_bid").alias("first_bench_id"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    token fraction and the character fraction covered by the most
+    frequent word bigram (Rae et al. 2021's "repetition" filters,
+    adapted to whitespace tokens).
+
+    Output: id, n_tokens, n_distinct_tokens, dup_token_ratio,
+    top_bigram, top_bigram_count, top_bigram_char_frac.
+
+    Scale notes: one explode (corpus token count rows), one partial-agg
+    shuffle on (doc, gram), then a min(struct) argmax per doc — no
+    window sort. Determinism: argmax resolves ties by smallest gram
+    (min over struct(-count, gram)); all ratios are int/int divisions
+    evaluated in the same order as the DuckDB oracle.
+    """
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+    base = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.length(text).cast("bigint").alias("_n_chars"),
+            toks.alias("_w"),
+        )
+        .withColumn("n_tokens", F.size("_w").cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("_w")).cast("bigint"))
+    )
+    idx = F.when(
+        F.size("_w") >= 2, F.sequence(F.lit(1), F.size("_w") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("_w", i, 2), " "))
+        ).alias("_g"),
+    )
+    counts = bigrams.groupBy(id_col, "_g").agg(F.count("*").alias("_cnt"))
+    top = (
+        counts.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("_cnt")).alias("nc"), F.col("_g").alias("g"))
+            ).alias("_top")
+        )
+        .select(
+            id_col,
+            F.col("_top.g").alias("_top_bigram"),
+            (-F.col("_top.nc")).cast("bigint").alias("_top_cnt"),
+        )
+    )
+    joined = base.drop("_w").join(top, id_col, "left")
+    n_tok = F.col("n_tokens")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.when(n_tok > 0, (n_tok - F.col("n_distinct_tokens")) / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+        F.coalesce("_top_bigram", F.lit("")).alias("top_bigram"),
+        F.coalesce("_top_cnt", F.lit(0)).cast("bigint").alias("top_bigram_count"),
+        F.when(
+            F.col("_top_cnt").isNotNull() & (F.col("_n_chars") > 0),
+            (F.col("_top_cnt") * F.length("_top_bigram")) / F.col("_n_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_char_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_freq: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate detection: word n-grams whose *document
+    frequency* (distinct docs containing them) crosses a threshold —
+    license headers, navigation chrome, template text. Anti-joining or
+    masking against this set is the removal pass (same consumption
+    pattern as :func:`decontaminate`).
+
+    Scale notes: distinct shingles per doc (array_distinct, no
+    within-doc double count), explode, one partial-agg count shuffle on
+    the gram. The min_doc_freq filter rides the aggregation — output is
+    only the hot tail, never the full gram inventory.
+    """
+    from .dedup import _word_ngrams
+
+    grams = scale_out(df).select(
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+#: split-hash constants — fixed forever (reused from the MinHash family)
+SPLIT_A, SPLIT_B = 1103, 12289
+SAMPLE_A, SAMPLE_B = 12613, 56857
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by affine hash
+    of the document id — the reproducible alternative to
+    ``randomSplit`` (stable under re-runs, re-partitioning, and engine
+    changes; the standard trick for large-corpus splits).
+    """
+    h = affine_hash(F.col(id_col).cast("bigint"), SPLIT_A, SPLIT_B) % 100
+    return df.withColumn(
+        "split",
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test")),
+    )
+
+
+def mixture_sample(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-source corpus mixing: each source gets a
+    sampling rate (basis points, derived here from a hash of the source
+    name so the demo is self-contained — production passes a real
+    weight map), and a document is kept iff an id-hash falls under the
+    rate. Hash-gated Bernoulli sampling is exactly how pretraining
+    mixtures stay reproducible across pipeline re-runs.
+
+    Adds ``rate_bp`` and ``keep`` columns; filter on ``keep`` to
+    materialize the mixture.
+    """
+    rate_bp = (
+        (char_fold_hash(F.col(source_col)) % 4 + 1) * F.lit(2500)
+    ).cast("bigint")
+    keep = (
+        affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B) % 10000
+    ) < rate_bp
+    return df.withColumn("rate_bp", rate_bp).withColumn("keep", keep)
 
 
 def corpus_report(

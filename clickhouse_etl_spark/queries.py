@@ -26,10 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dataops.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
-from .dataops.hashing import HASH_MOD, MINHASH_COEFFS, char_fold_hash_sql
+from .dataops.hashing import HASH_MOD, MINHASH_COEFFS, affine_hash_sql, char_fold_hash_sql
 from .dataops.multimodal import decode_assets
 from .dataops.similarity import cosine_topk, embedding_near_dup_pairs, lsh_bucket_topk
-from .dataops.text import STOPWORDS, doc_fingerprint, language_id, quality_score, token_stats
+from .dataops.text import (
+    SAMPLE_A,
+    SAMPLE_B,
+    SPLIT_A,
+    SPLIT_B,
+    STOPWORDS,
+    boilerplate_ngrams,
+    doc_fingerprint,
+    language_id,
+    mixture_sample,
+    quality_score,
+    repetition_signals,
+    split_assign,
+    token_stats,
+)
 from .operators.dedup import dedup_first_wins, dedup_windowed
 from .operators.filter import apply_filter
 from .operators.join import asof_join, temporal_join_batch
@@ -1949,6 +1963,170 @@ def docs_corpus_report(spark, sf_dir):
     from .dataops.text import corpus_report
 
     return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_repetition_signals",
+    """
+    WITH t AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        FROM documents
+    ), b AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+               i -> array_to_string(w[i:i+1], ' '))) AS g
+        FROM t WHERE len(w) >= 2
+    ), c AS (
+        SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY doc_id, g
+    ), r AS (
+        SELECT doc_id, g, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        FROM c
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+           CASE WHEN len(w) > 0
+                THEN (CAST(len(w) AS BIGINT) - CAST(len(list_distinct(w)) AS BIGINT))
+                     / CAST(len(w) AS BIGINT)
+                ELSE 0.0 END AS dup_token_ratio,
+           coalesce(r.g, '') AS top_bigram,
+           CAST(coalesce(r.cnt, 0) AS BIGINT) AS top_bigram_count,
+           CASE WHEN r.cnt IS NOT NULL AND t.n_chars > 0
+                THEN (r.cnt * length(r.g)) / t.n_chars
+                ELSE 0.0 END AS top_bigram_char_frac
+    FROM t LEFT JOIN r ON t.doc_id = r.doc_id AND r.rn = 1
+    """,
+    "bench",
+)
+def docs_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-bigram character coverage per document (dataops/text.py:
+    repetition_signals — argmax via min(struct), no window sort)."""
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_boilerplate_ngrams",
+    """
+    WITH t AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM t
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM g GROUP BY gram HAVING count(*) >= 10
+    """,
+    "bench",
+)
+def docs_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate 3-grams by document frequency
+    (dataops/text.py:boilerplate_ngrams): the hot-template inventory a
+    cleaning pass anti-joins against."""
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"), n=3, min_doc_freq=10)
+
+
+@q(
+    "docs_split_report",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+               CASE WHEN {affine_hash_sql('doc_id', SPLIT_A, SPLIT_B)} % 100 < 80 THEN 'train'
+                    WHEN {affine_hash_sql('doc_id', SPLIT_A, SPLIT_B)} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM s GROUP BY split, lang
+    """,
+    "bench",
+)
+def docs_split_report(spark, sf_dir):
+    """Deterministic hash-based 80/10/10 train/val/test split
+    (dataops/text.py:split_assign), reported per (split, lang)."""
+    d = split_assign(_t(spark, sf_dir, "documents"))
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    return d.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@q(
+    "docs_mixture_report",
+    f"""
+    WITH s AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+               CAST((({char_fold_hash_sql('source')}) % 4 + 1) * 2500 AS BIGINT) AS rate_bp,
+               {affine_hash_sql('doc_id', SAMPLE_A, SAMPLE_B)} % 10000 AS h
+        FROM documents
+    )
+    SELECT source, CAST(max(rate_bp) AS BIGINT) AS rate_bp, count(*) AS n_docs,
+           CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN h < rate_bp THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM s GROUP BY source
+    """,
+    "bench",
+)
+def docs_mixture_report(spark, sf_dir):
+    """Deterministic per-source corpus mixing (dataops/text.py:
+    mixture_sample): hash-gated Bernoulli keep at a per-source rate,
+    reported as kept docs/tokens per source."""
+    m = mixture_sample(_t(spark, sf_dir, "documents"))
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    return m.groupBy("source").agg(
+        F.max("rate_bp").cast("bigint").alias("rate_bp"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), toks).otherwise(0)).cast("bigint").alias("kept_tokens"),
+    )
+
+
+@q(
+    "cube_order_stats",
+    f"""
+    SELECT coalesce(o_orderstatus, '<all>') AS orderstatus,
+           coalesce(o_orderpriority, '<all>') AS orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT) / 100.0 AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "bench",
+)
+def cube_order_stats(spark, sf_dir):
+    """CUBE grouping-sets surface with grouping_id (complements
+    rollup_revenue; Spark and DuckDB agree on the GROUPING bitmask —
+    leftmost column is the most significant bit)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
 
 
 @q(

@@ -147,3 +147,76 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     again = {(r["query_id"], r["neighbor_id"]) for r in
              ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()}
     assert a == again
+
+
+def test_repetition_signals_known_values(spark):
+    from clickhouse_etl_spark.dataops.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # top bigram "a b" x3, 6 tokens, 2 distinct
+            (2, "x y z"),                # no repetition, 3 distinct bigram ties -> "x y" wins
+            (3, "solo"),                 # single token: no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6 and r1["n_distinct_tokens"] == 2
+    assert r1["dup_token_ratio"] == pytest.approx(4 / 6)
+    assert r1["top_bigram"] == "a b" and r1["top_bigram_count"] == 3
+    assert r1["top_bigram_char_frac"] == pytest.approx(3 * 3 / 11)
+    r2 = rows[2]
+    assert r2["top_bigram"] == "x y" and r2["top_bigram_count"] == 1  # tie -> smallest gram
+    r3 = rows[3]
+    assert r3["top_bigram"] == "" and r3["top_bigram_count"] == 0
+    assert r3["top_bigram_char_frac"] == 0.0 and r3["dup_token_ratio"] == 0.0
+
+
+def test_boilerplate_ngrams_doc_frequency(spark):
+    from clickhouse_etl_spark.dataops.text import boilerplate_ngrams
+
+    docs = [(i, "common header text plus unique%d tail" % i) for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    hot = {r["gram"]: r["doc_freq"] for r in boilerplate_ngrams(df, n=3, min_doc_freq=5).collect()}
+    assert hot["common header text"] == 10
+    assert hot["header text plus"] == 10
+    # distinct-per-doc: a gram repeated inside one doc counts once
+    rep = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    out = boilerplate_ngrams(rep, n=3, min_doc_freq=1).collect()
+    assert all(r["doc_freq"] == 1 for r in out)
+
+
+def test_split_assign_deterministic_and_partitioned(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.text import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = split_assign(docs).groupBy("split").count().collect()
+    b = split_assign(docs.repartition(7)).groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in a} == {r["split"]: r["count"] for r in b}
+    counts = {r["split"]: r["count"] for r in a}
+    total = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / total > 0.6  # hash split lands near 80/10/10
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.text import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = mixture_sample(docs).select("source", "doc_id", "rate_bp", "keep")
+    per_src = (
+        m.groupBy("source", "rate_bp")
+        .agg(F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("k"))
+        .collect()
+    )
+    # one rate per source, rates from the 4-step ladder
+    assert len({r["source"] for r in per_src}) == len(per_src)
+    assert {r["rate_bp"] for r in per_src} <= {2500, 5000, 7500, 10000}
+    for r in per_src:
+        if r["rate_bp"] == 10000:
+            assert r["k"] == r["n"]  # full-rate source keeps everything
+    # deterministic across evaluations
+    k1 = m.filter("keep").count()
+    k2 = mixture_sample(docs.repartition(5)).filter("keep").count()
+    assert k1 == k2
