@@ -53,7 +53,10 @@ def materialize(spark) -> None:
 
 
 def main() -> None:
-    spark = get_spark(app_name="scale-test")
+    spark = get_spark(
+        app_name="scale-test",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if not os.path.isdir(f"{BASE}/events"):
         t0 = time.perf_counter()
@@ -110,18 +113,44 @@ def main() -> None:
     bd = spark.read.parquet(f"{BASE}/docs")
     nd = bd.count()
 
-    def timed_docs(name, df):
+    def timed_docs(name, df, warm=None):
+        # first execution of a heavy expression pays Janino/codegen
+        # compilation (10s+ for wide expressions) — warm on a tiny
+        # slice so the timed run measures throughput, not compilation
+        if warm is not None:
+            warm.write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
         print(f"{name}: {dt:.1f}s ({nd/dt/1000:.0f}k docs/s)")
 
-    timed_docs("docs_exact_dedup", exact_dedup(bd))
-    timed_docs("docs_chunking", chunk_documents(bd))
-    timed_docs("docs_langid", language_id(bd))
-    timed_docs("docs_top_terms", top_terms(bd))
-    timed_docs("docs_simhash", simhash(bd))
-    timed_docs("docs_ngram_jaccard", ngram_jaccard_pairs(bd, n=5, threshold=0.5))
+    tiny = bd.limit(200)
+    timed_docs("docs_exact_dedup", exact_dedup(bd), warm=exact_dedup(tiny))
+    timed_docs("docs_chunking", chunk_documents(bd), warm=chunk_documents(tiny))
+    timed_docs("docs_langid", language_id(bd), warm=language_id(tiny))
+    timed_docs("docs_top_terms", top_terms(bd), warm=top_terms(tiny))
+    timed_docs("docs_simhash", simhash(bd), warm=simhash(tiny))
+    timed_docs(
+        "docs_ngram_jaccard",
+        ngram_jaccard_pairs(bd, n=5, threshold=0.5),
+        warm=ngram_jaccard_pairs(tiny, n=5, threshold=0.5),
+    )
+
+    from clickhouse_etl_spark.dataops.text import (
+        boilerplate_ngrams,
+        mixture_sample,
+        repetition_signals,
+        split_assign,
+    )
+
+    timed_docs("docs_repetition_signals", repetition_signals(bd), warm=repetition_signals(tiny))
+    timed_docs(
+        "docs_boilerplate_ngrams",
+        boilerplate_ngrams(bd, n=3, min_doc_freq=100),
+        warm=boilerplate_ngrams(tiny, n=3, min_doc_freq=100),
+    )
+    timed_docs("docs_split_assign", split_assign(bd), warm=split_assign(tiny))
+    timed_docs("docs_mixture_sample", mixture_sample(bd), warm=mixture_sample(tiny))
 
     # ---- multimodal decode plumbing at 100k assets ----
     from clickhouse_etl_spark.dataops.multimodal import decode_assets
@@ -138,7 +167,7 @@ def main() -> None:
             F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
         ).alias("asset_meta"),
     )
-    timed_docs("multimodal_decode", decode_assets(assets))
+    timed_docs("multimodal_decode", decode_assets(assets), warm=decode_assets(assets.limit(200)))
 
 
 if __name__ == "__main__":
