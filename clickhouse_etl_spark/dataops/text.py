@@ -305,6 +305,61 @@ def mixture_sample(
     return df.withColumn("rate_bp", rate_bp).withColumn("keep", keep)
 
 
+#: domain-cap ranking constants (MinHash family member, fixed forever)
+CAP_A, CAP_B = 65867, 987
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document capping: keep at most N documents from each
+    source/domain, chosen by a deterministic id-hash ranking (so the
+    survivors are a stable pseudo-random sample, not a head-of-file
+    artifact). Domain capping is the standard guard against a single
+    crawl host dominating a pretraining mixture.
+
+    Plan shape: one hash shuffle on the domain, per-domain top-N via
+    ``row_number`` — Spark rewrites the rank filter to WindowGroupLimit
+    (partial per-partition top-N before the shuffle), so the sort never
+    sees more than N rows per domain per partition. Survives skewed
+    domains at 100 TB because the partial limit bounds what shuffles.
+    """
+    from pyspark.sql import Window
+
+    h = affine_hash(F.col(id_col).cast("bigint"), CAP_A, CAP_B)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+def quality_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Global quality-based selection: the K highest-quality documents
+    by the deterministic quality score (ties broken by doc_id) — the
+    "keep the best X documents" corpus-selection pass.
+
+    Plan shape: global ``row_number`` with a rank filter — Spark's
+    WindowGroupLimit computes a per-partition partial top-K first, so
+    only K rows per input partition reach the single final-ranking
+    task; the full corpus is never globally sorted. K must be
+    moderate (selection budgets, not percentiles — use
+    ``approx_percentile`` thresholds for fractional selection).
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(token_stats(df, text_col), text_col)
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "quality", "rank")
+    )
+
+
 def corpus_report(
     df: DataFrame, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -2703,3 +2703,158 @@ def emb_ivf_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+_FUNNEL_WINDOW_US = 7 * 86_400_000_000
+
+
+@q(
+    "funnel_conversion",
+    f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type AS et FROM events
+    ), tl AS (
+        SELECT user_id,
+               list(struct_pack(
+                   t1 := NULL::BIGINT, t2 := NULL::BIGINT, t3 := NULL::BIGINT,
+                   us := us, eid := event_id, et := et)
+                 ORDER BY us, event_id, et) AS evs
+        FROM e GROUP BY user_id
+    ), folded AS (
+        SELECT user_id,
+               list_reduce(
+                 [struct_pack(t1 := NULL::BIGINT, t2 := NULL::BIGINT,
+                              t3 := NULL::BIGINT, us := NULL::BIGINT,
+                              eid := NULL::BIGINT, et := NULL::VARCHAR)] || evs,
+                 (acc, e) -> struct_pack(
+                    t1 := CASE WHEN acc.t1 IS NULL AND e.et = 'view'
+                               THEN e.us ELSE acc.t1 END,
+                    t2 := CASE WHEN acc.t1 IS NOT NULL AND acc.t2 IS NULL
+                                    AND e.et = 'click'
+                                    AND (e.us - acc.t1) <= {_FUNNEL_WINDOW_US}
+                               THEN e.us ELSE acc.t2 END,
+                    t3 := CASE WHEN acc.t2 IS NOT NULL AND acc.t3 IS NULL
+                                    AND e.et = 'purchase'
+                                    AND (e.us - acc.t1) <= {_FUNNEL_WINDOW_US}
+                               THEN e.us ELSE acc.t3 END,
+                    us := NULL::BIGINT, eid := NULL::BIGINT,
+                    et := NULL::VARCHAR)) AS st
+        FROM tl
+    )
+    SELECT user_id,
+           CAST(CASE WHEN st.t3 IS NOT NULL THEN 3
+                     WHEN st.t2 IS NOT NULL THEN 2
+                     WHEN st.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS steps,
+           st.t1 AS t1_us, st.t2 AS t2_us, st.t3 AS t3_us
+    FROM folded
+    """,
+    "bench",
+)
+def funnel_conversion(spark, sf_dir):
+    """ClickHouse windowFunnel-style greedy funnel (view->click->purchase
+    within 7 days) — the canonical dashboard query over the reference's
+    sink tables. Single shuffle on user_id; per-user timeline folded by
+    a Catalyst ``aggregate`` (dataops/behavior.py)."""
+    from .dataops.behavior import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), u AS (
+        SELECT user_id, list_distinct(list(day)) AS ds FROM d GROUP BY user_id
+    ), f AS (
+        SELECT list_min(ds) AS cohort_day,
+               list_contains(ds, list_min(ds) + 1) AS r1,
+               list_contains(ds, list_min(ds) + 7) AS r7
+        FROM u
+    )
+    SELECT cohort_day, count(*) AS n_users,
+           CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS retained_d1,
+           CAST(sum(CASE WHEN r7 THEN 1 ELSE 0 END) AS BIGINT) AS retained_d7
+    FROM f GROUP BY cohort_day
+    """,
+    "bench",
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention flags (ClickHouse retention-style) aggregated to
+    per-cohort counts; distinct-active-day sets per user, one shuffle
+    (dataops/behavior.py)."""
+    from .dataops.behavior import retention_cohorts as _retention
+
+    return _retention(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "docs_domain_cap",
+    f"""
+    SELECT doc_id, source, domain_rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 65867 + 987) % {HASH_MOD}, doc_id
+               ) AS INTEGER) AS domain_rank
+        FROM documents
+    ) WHERE domain_rank <= 10
+    """,
+    "bench",
+)
+def docs_domain_cap(spark, sf_dir):
+    """Per-domain capping: at most 10 docs per source, deterministic
+    hash-ranked survivors (WindowGroupLimit partial top-N — bounded
+    shuffle even under domain skew)."""
+    from .dataops.text import domain_cap
+
+    return domain_cap(_t(spark, sf_dir, "documents"), max_per_domain=10).select(
+        "doc_id", "source", "domain_rank"
+    )
+
+
+@q(
+    "docs_quality_topk",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_q,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ({_EN_STOPS}))) AS BIGINT) AS n_stop,
+               CAST(list_reduce([0::BIGINT] || list_transform(
+                   list_filter(string_split(text, ' '), t -> len(t) > 0),
+                   t -> CAST(len(t) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS sum_tok_len,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_nonempty
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id,
+               CASE WHEN n_chars_q > 0 THEN n_punct / n_chars_q ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens_q > 0 THEN n_stop / n_tokens_q ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_nonempty > 0 THEN sum_tok_len / n_nonempty ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_chars_q >= 50 AND n_chars_q <= 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+        FROM base
+    ), scored AS (
+        SELECT doc_id,
+               0.3 * length_ok
+             + 0.3 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * stop_ratio
+             + 0.2 * (1.0 - punct_ratio) AS quality
+        FROM ratios
+    )
+    SELECT doc_id, quality, rank FROM (
+        SELECT doc_id, quality,
+               CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 100
+    """,
+    "bench",
+)
+def docs_quality_topk(spark, sf_dir):
+    """Global corpus selection: top-100 docs by deterministic quality
+    score (ties by doc_id). WindowGroupLimit keeps the global ranking
+    to K rows per partition — no full corpus sort."""
+    from .dataops.text import quality_topk
+
+    return quality_topk(_t(spark, sf_dir, "documents"), k=100)

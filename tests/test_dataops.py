@@ -220,3 +220,93 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     k1 = m.filter("keep").count()
     k2 = mixture_sample(docs.repartition(5)).filter("keep").count()
     assert k1 == k2
+
+
+# ---- behavior analytics (funnel / retention) ----
+
+
+def _ev(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(microseconds=us), uid, et, 0.0, "{}")
+        for eid, us, uid, et in rows
+    ]
+    return spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def test_funnel_greedy_order_and_window(spark):
+    from clickhouse_etl_spark.dataops.behavior import US_PER_DAY, funnel_steps
+
+    rows = [
+        # user 1: full chain in order -> 3 steps
+        (1, 0, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "purchase"),
+        # user 2: click precedes the first view -> funnel stalls at 1
+        (4, 0, 2, "click"), (5, 10, 2, "view"),
+        # user 3: click lands beyond the 7-day window -> 1 step
+        (6, 0, 3, "view"), (7, 8 * US_PER_DAY, 3, "click"),
+        # user 4: purchase without click -> 1 step (no skipping)
+        (8, 0, 4, "view"), (9, 10, 4, "purchase"),
+        # user 5: no chain head at all -> 0 steps
+        (10, 0, 5, "error"),
+    ]
+    out = {r["user_id"]: r["steps"] for r in funnel_steps(_ev(spark, rows)).collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
+def test_retention_day_flags(spark):
+    from clickhouse_etl_spark.dataops.behavior import US_PER_DAY, retention_cohorts
+
+    rows = [
+        # user 1: day0 and day1 -> retained_d1
+        (1, 0, 1, "view"), (2, 1 * US_PER_DAY + 5, 1, "click"),
+        # user 2: day0 and day7 -> retained_d7
+        (3, 0, 2, "view"), (4, 7 * US_PER_DAY + 5, 2, "view"),
+        # user 3: day0 only
+        (5, 0, 3, "view"),
+        # user 4: cohort day1, active day2 -> second cohort, retained_d1
+        (6, 1 * US_PER_DAY, 4, "view"), (7, 2 * US_PER_DAY, 4, "view"),
+    ]
+    out = {
+        r["cohort_day"]: (r["n_users"], r["retained_d1"], r["retained_d7"])
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    d0 = 19723  # 2024-01-01 in epoch days
+    assert out[d0] == (3, 1, 1)
+    assert out[d0 + 1] == (1, 1, 0)
+
+
+def test_domain_cap_bounds_and_determinism(spark):
+    from clickhouse_etl_spark.dataops.text import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", f"src{i % 3}", 10) for i in range(60)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    kept = domain_cap(docs, max_per_domain=5)
+    per_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"src0": 5, "src1": 5, "src2": 5}
+    ids_a = sorted(r["doc_id"] for r in kept.collect())
+    ids_b = sorted(r["doc_id"] for r in domain_cap(docs.repartition(7), max_per_domain=5).collect())
+    assert ids_a == ids_b  # survivor set independent of physical layout
+
+
+def test_quality_topk_plan_is_partial_topk(spark):
+    """The global ranking must plan as TakeOrderedAndProject (or
+    WindowGroupLimit) — never a full global sort of the corpus."""
+    from clickhouse_etl_spark.dataops.text import quality_topk
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", "en", "s", 44) for i in range(50)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df = quality_topk(docs, k=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert ("TakeOrderedAndProject" in plan) or ("WindowGroupLimit" in plan)
+    assert df.count() == 3
