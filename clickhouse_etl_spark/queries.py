@@ -2858,3 +2858,92 @@ def docs_quality_topk(spark, sf_dir):
     from .dataops.text import quality_topk
 
     return quality_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@q(
+    "pivot_user_event_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+    "bench",
+)
+def pivot_user_event_counts(spark, sf_dir):
+    """Pivot surface: long->wide per-user event-type counts via the
+    native ``pivot`` with an explicit value list (no extra pass to
+    discover values — the scale-safe form; one hash shuffle, map-side
+    partial counts). Oracle is the equivalent conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*types])
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types]
+    )
+
+
+@q(
+    "ntile_price_quartiles",
+    """
+    SELECT o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile,
+           o_orderkey, o_totalprice
+    FROM orders
+    """,
+    "bench",
+)
+def ntile_price_quartiles(spark, sf_dir):
+    """ntile window surface: per-priority price quartiles (windows keyed
+    by a grouping column — scales with the key count, never a global
+    sort; total tie-break keeps the bucket assignment deterministic)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@q(
+    "value_histogram",
+    """
+    SELECT (CAST(round(value * 100) AS BIGINT) // 500) AS bucket,
+           count(*) AS n,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY 1
+    """,
+    "bench",
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram over event values in exact integer cents
+    (5-unit buckets) — the single-shuffle distributed histogram; bucket
+    ids via integer div so any engine bins identically."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        ev.select(cents.alias("cents"))
+        .select(F.expr("cents div 500").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
