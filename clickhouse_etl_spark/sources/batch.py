@@ -1,11 +1,14 @@
 """Batch parquet sources for the TPC-H-ish test tables (TESTDATA.md).
 
-The driver-generated tables store timestamps as parquet
-``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects by
-default — ``spark.sql.legacy.parquet.nanosAsLong`` turns them into
-nano-epoch longs, which ``load_table`` normalizes back to proper
-TimestampType (microsecond truncation, matching a ``::TIMESTAMP`` cast
-in DuckDB) so downstream operators see real event-time columns.
+The driver-generated tables have stored ``events.ts`` in different
+physical forms across rounds — parquet ``TIMESTAMP(NANOS)`` (which,
+under ``spark.sql.legacy.parquet.nanosAsLong``, reads as a nano-epoch
+long) and plain ``TIMESTAMP(MICROS)`` without a UTC flag (which Spark 4
+reads as ``TIMESTAMP_NTZ``).  ``load_table`` normalizes every form to
+session-zone ``TimestampType`` (session tz is pinned to UTC by
+``session.get_spark``), matching DuckDB's naive-as-UTC ``epoch_us``
+semantics, so downstream operators can rely on instant-typed event-time
+columns regardless of how the generator wrote the file.
 """
 
 from __future__ import annotations
@@ -18,18 +21,26 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: columns stored as TIMESTAMP(NANOS) in the generated parquet
-_NANO_TS_COLS = {"events": ["ts"]}
+#: event-time columns whose physical parquet type has varied across
+#: generator versions (nano-epoch long / TIMESTAMP_NTZ / TIMESTAMP)
+_EVENT_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+    for c in _EVENT_TS_COLS.get(name, []):
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             # integer `div`, not `/`: double division of nano-epochs loses
             # precision past 2^53 and rounds the microsecond
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # session tz is UTC, so the cast reinterprets NTZ wall-time as
+            # the same UTC instant — identical to DuckDB epoch_us(naive)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
