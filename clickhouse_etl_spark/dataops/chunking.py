@@ -101,3 +101,69 @@ def scrub_pii(
         F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
     )
     return df.withColumn(out_col, scrubbed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "source",
+    shards: int = 1,
+) -> DataFrame:
+    """Deterministic context-window packing (concat-then-chunk).
+
+    Assigns every document a position in the concatenated token stream
+    of its ``stream_col`` group (documents ordered by ``id_col``) and
+    derives which fixed-``capacity`` training sequence its first token
+    lands in — the GPT-style "concatenate the corpus, slice into
+    context windows" preparation, expressed as pure window arithmetic:
+
+    - ``start_offset``: running token count before this doc (exclusive
+      prefix sum over the stream order),
+    - ``pack_id``: ``start_offset div capacity``,
+    - ``offset_in_pack``: position of the doc's first token inside it,
+    - ``packs_spanned``: how many sequence boundaries the doc crosses
+      (a doc longer than ``capacity`` spans several).
+
+    Scale shape: one window per stream — parallelism is the stream
+    count, never a global sort.  At production SF pass ``shards > 1``
+    to sub-shard each stream by ``pmod(id, shards)`` (each shard packs
+    independently; the concatenation order within a shard is still
+    total, so results stay deterministic).  Token counting matches
+    dataops.text.token_stats (whitespace tokens, empties dropped).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    n_tokens = F.size(toks).cast("bigint")
+    d = df.select(
+        F.col(id_col), F.col(stream_col).alias("stream"), n_tokens.alias("n_tokens")
+    )
+    if shards > 1:
+        d = d.withColumn("_shard", F.pmod(F.col(id_col), F.lit(shards)))
+        w = Window.partitionBy("stream", "_shard").orderBy(id_col)
+    else:
+        w = Window.partitionBy("stream").orderBy(id_col)
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    cap = int(capacity)
+    # end = offset of the doc's last token (empty docs occupy one slot so
+    # every doc lands in exactly one pack); integer `div` keeps the whole
+    # computation in exact bigints on both engines
+    d = (
+        d.withColumn("start_offset", start)
+        .withColumn(
+            "_end", F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1).cast("bigint")) - 1
+        )
+        .withColumn("pack_id", F.expr(f"start_offset div {cap}"))
+    )
+    return d.select(
+        F.col(id_col),
+        F.col("stream").alias(stream_col),
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+        F.pmod(F.col("start_offset"), F.lit(cap).cast("bigint")).alias("offset_in_pack"),
+        (F.expr(f"_end div {cap}") - F.col("pack_id") + 1).cast("bigint").alias("packs_spanned"),
+    )

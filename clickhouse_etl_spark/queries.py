@@ -85,6 +85,21 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _fact(df):
+    """Pin a fact table to the shuffle side of its joins.
+
+    Column pruning shrinks the size estimate of lineitem/orders below
+    ``spark.sql.autoBroadcastJoinThreshold`` at test SF, flipping
+    Catalyst to a fact-table broadcast build — a plan that is an OOM at
+    production SF (you cannot broadcast a 100 TB lineitem) and already
+    stalls the driver at bench SF when dozens of multi-MB broadcast
+    relations are built back to back.  ``merge`` (sort-merge) is the
+    canonical fact⋈fact strategy; true dims stay explicitly
+    ``F.broadcast``-hinted, and AQE still coalesces/skew-splits the
+    shuffle but does not override the explicit hint."""
+    return df.hint("merge")
+
+
 # ------------------------------------------------------------------ #
 # reference ETL surface (SURVEY.md §2)                                #
 # ------------------------------------------------------------------ #
@@ -527,9 +542,9 @@ def q3_top_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     )
-    l = _t(spark, sf_dir, "lineitem").filter(
+    l = _fact(_t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
-    )
+    ))
     ep, disc = _cents("l_extendedprice"), _cents("l_discount")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -567,7 +582,7 @@ def q5_region_revenue(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
-    l = _t(spark, sf_dir, "lineitem")
+    l = _fact(_t(spark, sf_dir, "lineitem"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -788,7 +803,7 @@ def anti_join_inactive_users(spark, sf_dir):
     """NOT EXISTS -> left-anti join: customers with orders but no
     purchase events."""
     o = _t(spark, sf_dir, "orders")
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = _fact(_t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase"))
     return (
         o.join(e, o.o_custkey == e.user_id, "left_anti")
         .groupBy("o_custkey")
@@ -876,7 +891,7 @@ def q4_order_priority(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
     )
-    l = _t(spark, sf_dir, "lineitem")
+    l = _fact(_t(spark, sf_dir, "lineitem"))
     semi = o.join(
         l,
         (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
@@ -906,7 +921,7 @@ def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: group-having semi-filter feeding a join + agg."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _fact(_t(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("bigint")
     # rename the semi-filter key: `big` shares lineage with `l` and the
     # analyzer rejects the ambiguous self-join otherwise
@@ -916,6 +931,7 @@ def q18_large_orders(spark, sf_dir):
         .filter(F.col("_sq") > 150)
         .select("_big_orderkey")
     )
+    big = _fact(big)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
@@ -978,11 +994,11 @@ def q19_disjunctive_predicates(spark, sf_dir):
 def q12_priority_buckets(spark, sf_dir):
     """TPC-H Q12 shape: disjunctive predicates + conditional counting."""
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem").filter(
+    l = _fact(_t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & ((F.col("l_returnflag") == "R") | (F.col("l_returnflag") == "A"))
-    )
+    ))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
@@ -1014,7 +1030,7 @@ def q10_returned_revenue(spark, sf_dir):
     deterministic top-20)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    l = _fact(_t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R"))
     n = _t(spark, sf_dir, "nation")
     ep, disc = _cents("l_extendedprice"), _cents("l_discount")
     return (
@@ -1128,11 +1144,11 @@ def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: bidirectional nation-pair flows — the disjunctive
     join predicate over two broadcast dims plus a two-fact join."""
     s = _t(spark, sf_dir, "supplier")
-    l = _t(spark, sf_dir, "lineitem").filter(
+    l = _fact(_t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-    )
-    o = _t(spark, sf_dir, "orders")
+    ))
+    o = _fact(_t(spark, sf_dir, "orders"))
     c = _t(spark, sf_dir, "customer")
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -1188,12 +1204,12 @@ def q8_market_share(spark, sf_dir):
     (both operands exact integer cents -> the double ratio is
     engine-identical)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _fact(_t(spark, sf_dir, "lineitem"))
     s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders").filter(
+    o = _fact(_t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-    )
+    ))
     c = _t(spark, sf_dir, "customer")
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -1241,9 +1257,9 @@ def q9_product_profit(spark, sf_dir):
     amount omits ps_supplycost): product-line profit by supplier nation
     and order year, with a LIKE-filtered part dimension."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    l = _t(spark, sf_dir, "lineitem")
+    l = _fact(_t(spark, sf_dir, "lineitem"))
     s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
+    o = _fact(_t(spark, sf_dir, "orders"))
     n = _t(spark, sf_dir, "nation")
     ep, disc = _cents("l_extendedprice"), _cents("l_discount")
     return (
@@ -1276,7 +1292,7 @@ def q13_customer_distribution(spark, sf_dir):
     per-customer order counts; the filtered-join predicate replaces the
     o_comment NOT LIKE of the spec — no comment column in testdata)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    o = _fact(_t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT"))
     per_cust = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy(c.c_custkey)
@@ -1372,11 +1388,11 @@ def q17_small_quantity_revenue(spark, sf_dir):
     'quantity < 0.2 * avg(quantity)' predicate is algebraically
     rearranged to pure integers (q*5*cnt < sum) so both engines decide
     ties identically."""
-    l = _t(spark, sf_dir, "lineitem")
-    part_avg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    l = _fact(_t(spark, sf_dir, "lineitem"))
+    part_avg = _fact(l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sumq"),
         F.count("*").alias("cnt"),
-    )
+    ))
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     ep = _cents("l_extendedprice")
     return (
@@ -1417,14 +1433,14 @@ def q21_waiting_suppliers(spark, sf_dir):
     testdata): the correlated EXISTS / NOT-EXISTS pair compiles to a
     semi-join plus an anti-join on the order key."""
     s = _t(spark, sf_dir, "supplier")
-    l1 = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l2 = _t(spark, sf_dir, "lineitem").select(
+    l1 = _fact(_t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R"))
+    o = _fact(_t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F"))
+    l2 = _fact(_t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
-    )
-    l3 = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+    ))
+    l3 = _fact(_t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
-    )
+    ))
     base = l1.join(o, F.col("o_orderkey") == F.col("l_orderkey")).join(
         F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey")
     )
@@ -1471,7 +1487,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
     in for the phone country code). The average comparison is
     rearranged to integers (cents * count > sum_cents)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = _fact(_t(spark, sf_dir, "orders").select("o_custkey"))
     bal = _cents("c_acctbal")
     pos = c.filter(F.col("c_acctbal") > 0).agg(
         F.sum(bal).alias("sum_cents"), F.count("*").alias("cnt")
@@ -2947,6 +2963,39 @@ def value_histogram(spark, sf_dir):
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@q(
+    "docs_sequence_packing",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM d
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // 512 AS pack_id,
+           start_offset % 512 AS offset_in_pack,
+           CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
+                - start_offset // 512 + 1 AS BIGINT) AS packs_spanned
+    FROM o
+    """,
+    "bench",
+)
+def docs_sequence_packing(spark, sf_dir):
+    """Deterministic context-window packing: concatenate each source's
+    documents in id order and slice the token stream into 512-token
+    training sequences (dataops/chunking.pack_sequences) — exclusive
+    prefix sum + integer div, exact on both engines."""
+    from .dataops.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=512)
 
 
 # ---------------------------------------------------------------------------

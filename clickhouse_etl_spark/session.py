@@ -44,7 +44,25 @@ def get_spark(
         # Arrow for any pandas-UDF path (dataops / multimodal)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        # 32g, NOT most-of-RAM: an oversized heap lets garbage pile up
+        # until G1 mixed collections stall heavy queries for seconds-to-
+        # tens (measured: the same 53-query sweep ran 161s timed at 90g
+        # with 10-60s GC outliers vs 39s at 24g with none), and the
+        # leftover RAM is worth more as OS page cache for the scans
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # the whole-stage-codegen class cache defaults to 100 entries; a
+        # session running the full query surface (80+ plans, several
+        # codegen stages each) evicts and re-Janino-compiles hot stages —
+        # multi-second stalls that look like data-scale cost but aren't
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # shuffle/spill files on tmpfs: running many explode-heavy queries
+        # back to back dirties enough page cache on /tmp (disk) that OS
+        # writeback stalls later shuffles 10×; RAM-backed local dirs make
+        # single-node timings reflect the plan, not the disk scheduler
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -310,3 +310,37 @@ def test_quality_topk_plan_is_partial_topk(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert ("TakeOrderedAndProject" in plan) or ("WindowGroupLimit" in plan)
     assert df.count() == 3
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk packing: exclusive prefix offsets are contiguous
+    per stream, pack assignment is start_offset div capacity, and span
+    counts cover multi-capacity documents."""
+    from clickhouse_etl_spark.dataops.chunking import pack_sequences
+
+    rows = [
+        # (doc_id, text, stream) — stream "a": 3+4+10 tokens, capacity 8
+        (1, "w w w", "a"),
+        (2, "x x x x", "a"),
+        (3, " ".join(["y"] * 10), "a"),
+        (4, "", "a"),              # empty doc occupies one slot
+        (5, "z z", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, capacity=8).collect()
+    }
+    assert (out[1]["start_offset"], out[1]["pack_id"], out[1]["packs_spanned"]) == (0, 0, 1)
+    assert (out[2]["start_offset"], out[2]["offset_in_pack"]) == (3, 3)
+    # doc 3: starts at 7 (pack 0), 10 tokens -> ends at 16 (pack 2): spans 3
+    assert (out[3]["start_offset"], out[3]["pack_id"], out[3]["packs_spanned"]) == (7, 0, 3)
+    # empty doc: one slot at offset 17 -> pack 2, spans 1
+    assert (out[4]["start_offset"], out[4]["n_tokens"], out[4]["packs_spanned"]) == (17, 0, 1)
+    # stream b packs independently from offset 0
+    assert (out[5]["start_offset"], out[5]["pack_id"]) == (0, 0)
+
+    # sharded variant: each shard is its own independent stream
+    sharded = pack_sequences(docs, capacity=8, shards=2).collect()
+    by_id = {r["doc_id"]: r for r in sharded}
+    assert by_id[2]["start_offset"] == 0 or by_id[1]["start_offset"] == 0
