@@ -291,3 +291,41 @@ def lsh_bucket_topk(
             F.round(F.col("sim"), 6).alias("sim"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level near-duplicate CLUSTERING with one survivor per
+    cluster — the semantic-dedup stage of a training-data pipeline
+    (SemDeDup-style: cosine-near neighbors collapse to a single
+    representative).
+
+    Composition: exact cosine pairs (:func:`embedding_near_dup_pairs`)
+    → undirected transitive closure (``connected_components``, min-id
+    labels) → ``is_kept = (id == cluster_id)``.  The pair stage is the
+    exact quadratic baseline, appropriate up to broadcast-size corpora;
+    at web scale swap it for the ``lsh_bucket_topk`` candidate
+    generator and keep the clustering stage unchanged — the closure
+    only ever sees the (sparse) edge list.
+
+    Output: (id, cluster_id, cluster_size, is_kept) for every vector.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    cc = connected_components(
+        pairs, df.select(id_col), src_col="id_a", dst_col="id_b", id_col=id_col
+    )
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col(id_col),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
+    )

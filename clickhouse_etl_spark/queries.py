@@ -2998,6 +2998,40 @@ def docs_sequence_packing(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=512)
 
 
+@q(
+    "emb_semantic_dedup",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.45
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON r.id = e.a
+    ), cc AS (
+        SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_kept
+    FROM cc
+    """,
+    "bench",
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup: exact cosine pairs -> transitive
+    closure (min-label propagation) -> one surviving representative per
+    cluster (dataops/similarity.semantic_dedup). The oracle mirrors the
+    closure with a recursive CTE over the identical pair set."""
+    from .dataops.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (round 2 recorded only
