@@ -93,3 +93,15 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     n_click = ev.filter("event_type = 'click'").count()
     assert df.count() == n_click
+
+
+def test_fact_joins_never_broadcast_fact_side(spark, sf_dir):
+    """Column pruning pushes lineitem's estimate under the broadcast
+    threshold at test SF; the _fact merge hint must keep the fact⋈fact
+    join a shuffle join (a fact broadcast is an OOM at production SF)."""
+    for name in ["q3_top_revenue", "q18_large_orders", "q12_priority_buckets"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" in plan, name
+    # q3's only broadcast build is the customer dim
+    q3 = _plan(spark, sf_dir, "q3_top_revenue")
+    assert q3.count("BroadcastExchange") <= 1
