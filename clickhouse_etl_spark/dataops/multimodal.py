@@ -140,3 +140,183 @@ def decode_assets(
             )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("resize_ok", T.BooleanType()),
+    ]
+)
+
+
+def _resize_bytes(payload: bytes, fmt: str, width: int, height: int) -> bytes:
+    """STUB — deterministic fake resizer (real deployments: PIL/libav).
+
+    Emits a compact deterministic digest payload instead of real pixel
+    data so tests are stable and memory-bounded; raises for unknown
+    formats exactly like a real codec would."""
+    if fmt not in ("png", "jpeg"):
+        raise NotImplementedError(f"no resizer for format {fmt!r} (resize stub)")
+    if not payload:
+        raise ValueError("empty payload (a real codec fails on truncated input)")
+    h = 1469598103934665603
+    for b in payload[:4096]:
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    h ^= (width << 32) | height
+    return h.to_bytes(8, "big") + len(payload).to_bytes(8, "big")
+
+
+def resize_assets(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize image assets to (width, height) via Arrow-batched
+    mapInPandas — the standard vision-pipeline normalization stage.
+    Unknown formats produce resize_ok=false rows (row-level isolation,
+    same DLQ-style contract as decode_assets)."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            fmts = pdf["asset_meta"].map(lambda m: _meta_field(m, "format"))
+            payloads = pdf[payload_col].map(
+                lambda b: b if isinstance(b, bytes) else (b"" if b is None else bytes(b))
+            )
+            out = np.full(n, None, dtype=object)
+            ok = np.zeros(n, dtype=bool)
+            decodable = fmts.isin(("png", "jpeg")).to_numpy()
+            idxs = np.flatnonzero(decodable)
+            for i, payload, fmt in zip(idxs, payloads.to_numpy()[idxs], fmts.to_numpy()[idxs]):
+                try:
+                    out[i] = _resize_bytes(payload, fmt, width, height)
+                    ok[i] = True
+                except Exception:  # noqa: BLE001 — row-level isolation
+                    pass
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "format": fmts,
+                    "width": pd.array([width] * n, dtype="Int32"),
+                    "height": pd.array([height] * n, dtype="Int32"),
+                    "payload": out,
+                    "resize_ok": ok,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample frames from video assets at a fixed stride — the 1→N
+    explode shape of a frame-extraction stage, as mapInPandas yielding
+    multiple output rows per input row (memory stays bounded by the
+    Arrow batch, not the video length).
+
+    STUB codec: the fake "video" duration is ``n_bytes`` milliseconds
+    and each frame payload is a deterministic 8-byte slice digest; a
+    real deployment decodes with pyav and yields JPEG frames. Non-video
+    assets yield no rows (filter-in-flight, the frame table is sparse).
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, fts, fpay = [], [], [], []
+            metas = pdf["asset_meta"]
+            for aid, payload, m in zip(
+                pdf[id_col].to_numpy(),
+                pdf[payload_col].to_numpy(),
+                metas.to_numpy(),
+            ):
+                if _meta_field(m, "media_type") != "video":
+                    continue
+                raw = payload if isinstance(payload, bytes) else (b"" if payload is None else bytes(payload))
+                duration_ms = len(raw)
+                n = min(max_frames, max(duration_ms // every_ms, 0))
+                for k in range(n):
+                    ts = k * every_ms
+                    lo = ts % max(len(raw) - 8, 1) if raw else 0
+                    ids.append(int(aid)); fidx.append(k); fts.append(ts)
+                    fpay.append(raw[lo : lo + 8] if raw else b"")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "frame_index": pd.array(fidx, dtype="Int32"),
+                    "frame_ts_ms": pd.array(fts, dtype="int64"),
+                    "frame_payload": pd.array(fpay, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Asset → fixed-``dim`` float feature vector (the embedding stage
+    of a multimodal pipeline), Arrow-batched and numpy-vectorized: the
+    byte histogram fold runs as one bincount per row, no per-byte
+    Python. STUB featurizer — deterministic byte-bucket histogram,
+    L2-normalized; a real deployment swaps in a vision/audio encoder.
+    The output column shape matches the embeddings table
+    (``array<float>``), so the similarity/dedup ops (cosine_topk,
+    semantic_dedup, lsh/ivf) compose directly downstream."""
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf[payload_col].to_numpy():
+                raw = payload if isinstance(payload, bytes) else (b"" if payload is None else bytes(payload))
+                if not raw:
+                    feats.append(None); oks.append(False); continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                nrm = float(np.sqrt((hist * hist).sum()))
+                feats.append((hist / nrm).astype(np.float32) if nrm else None)
+                oks.append(nrm > 0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "feature": pd.array(feats, dtype=object),
+                    "feature_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)

@@ -344,3 +344,56 @@ def test_pack_sequences_invariants(spark):
     sharded = pack_sequences(docs, capacity=8, shards=2).collect()
     by_id = {r["doc_id"]: r for r in sharded}
     assert by_id[2]["start_offset"] == 0 or by_id[1]["start_offset"] == 0
+
+
+def test_multimodal_resize_frames_features(spark):
+    """Resize / frame-sample / feature-extract plumbing: schema
+    contracts, 1→N frame explode, deterministic stub outputs, row-level
+    error isolation for unknown formats."""
+    from clickhouse_etl_spark.dataops.multimodal import (
+        attach_asset_meta,
+        extract_features,
+        resize_assets,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, b"a" * 100), (2, b"b" * 5000), (3, None)], ["asset_id", "payload"]
+    )
+    imgs = attach_asset_meta(base, media_type="image", fmt="png")
+    rs = {r["asset_id"]: r for r in resize_assets(imgs, 224, 224).collect()}
+    assert rs[1]["resize_ok"] and rs[1]["width"] == 224 and len(rs[1]["payload"]) == 16
+    assert not rs[3]["resize_ok"] and rs[3]["payload"] is None
+    # deterministic: same input -> identical stub payload
+    rs2 = {r["asset_id"]: r for r in resize_assets(imgs, 224, 224).collect()}
+    assert rs[1]["payload"] == rs2[1]["payload"]
+    # unknown format isolated, not fatal
+    gifs = attach_asset_meta(base, media_type="image", fmt="gif")
+    assert all(not r["resize_ok"] for r in resize_assets(gifs, 64, 64).collect())
+
+    vids = attach_asset_meta(base, media_type="video", fmt="mp4")
+    frames = sample_frames(vids, every_ms=1000, max_frames=4).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # 100-byte "video" = 100ms -> 0 frames; 5000ms -> capped at 4
+    assert 1 not in by_asset and len(by_asset[2]) == 4
+    assert [r["frame_ts_ms"] for r in sorted(by_asset[2], key=lambda r: r["frame_index"])] == [0, 1000, 2000, 3000]
+    # non-video rows yield nothing
+    assert sample_frames(imgs, every_ms=1000).count() == 0
+
+    feats = {r["asset_id"]: r for r in extract_features(imgs, dim=16).collect()}
+    assert feats[1]["feature_ok"] and len(feats[1]["feature"]) == 16
+    import math
+    assert math.isclose(sum(x * x for x in feats[1]["feature"]), 1.0, rel_tol=1e-5)
+    assert not feats[3]["feature_ok"]
+    # composes with the similarity ops: array<float> column shape
+    from clickhouse_etl_spark.dataops.similarity import cosine_topk
+    emb = (
+        extract_features(imgs, dim=16)
+        .filter(F.col("feature_ok"))
+        .select(F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    )
+    topk = cosine_topk(emb, emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding"), k=1)
+    assert topk.count() == 1
