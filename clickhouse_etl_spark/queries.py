@@ -3032,6 +3032,40 @@ def emb_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@q("multimodal_pipeline", None)
+def multimodal_pipeline(spark, sf_dir):
+    """Composed multimodal chain over documents-as-assets: attach meta →
+    decode → feature-extract (array<float>) → semantic near-dup
+    clustering on the extracted features.  Rows-only (binary payloads /
+    float vectors aren't SQL-oracle-able); the per-stage contracts are
+    unit-tested in test_dataops.py."""
+    from .dataops.multimodal import attach_asset_meta, decode_assets, extract_features
+    from .dataops.similarity import semantic_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_asset_meta(
+        docs.select(F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")),
+        media_type="image",
+        fmt="png",
+    )
+    decoded = decode_assets(assets).filter(F.col("decode_ok"))
+    feats = (
+        extract_features(assets, dim=32)
+        .filter(F.col("feature_ok"))
+        .select(F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    )
+    clusters = semantic_dedup(feats, threshold=0.995)
+    return (
+        decoded.join(clusters, decoded.asset_id == clusters.vec_id)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("n_bytes")).alias("total_bytes"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (round 2 recorded only
