@@ -177,3 +177,62 @@ def asof_join(
     out = [F.col(f"_lpayload.{c}").alias(c) for c in left.columns]
     out += [F.col(f"_match.{c}").alias(c) for c in rcols]
     return rows.select(*out)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    key: Optional[str] = None,
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Distributed interval (range) join: left rows match right rows
+    whose ``[start, end)`` interval contains ``left_ts`` (plus an
+    optional equi-key).
+
+    Naively this is a non-equi theta join — Catalyst plans it as a
+    BroadcastNestedLoopJoin (or cartesian), which dies at scale.  The
+    scalable formulation buckets time into ``bucket_s``-second cells:
+    each right interval explodes to every bucket it overlaps
+    (``sequence`` — bounded by interval length / bucket size), the left
+    row computes its single containing bucket, and the join becomes an
+    EQUI-join on (key, bucket) refined by the exact range predicate.
+    Each (left, right) match shares exactly one bucket — the left's —
+    so no post-join dedup is needed.  One hash shuffle per side; same
+    pattern as Databricks' range-join optimization / Flink's interval
+    join.
+
+    Pick ``bucket_s`` near the typical interval length: too small
+    explodes the right side, too large degrades to a per-key bucket
+    scan (AQE skew-split covers hot buckets).
+    """
+    bus = int(bucket_s) * 1_000_000  # bucket width in µs; integer div = exact
+    rhs = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.expr(
+                f"sequence(unix_micros(cast(`{start_col}` as timestamp)) div {bus},"
+                # end is exclusive: the last overlapped bucket holds end-1µs
+                f" (unix_micros(cast(`{end_col}` as timestamp)) - 1) div {bus})"
+            )
+        ),
+    )
+    if key is not None:
+        rhs = rhs.withColumnRenamed(key, f"_r_{key}")
+    lhs = left.withColumn(
+        "_bucket", F.expr(f"unix_micros(cast(`{left_ts}` as timestamp)) div {bus}")
+    )
+    cond = (
+        (lhs["_bucket"] == rhs["_bucket"])
+        & (F.col(left_ts).cast("timestamp") >= F.col(start_col).cast("timestamp"))
+        & (F.col(left_ts).cast("timestamp") < F.col(end_col).cast("timestamp"))
+    )
+    if key is not None:
+        cond = cond & (lhs[key] == rhs[f"_r_{key}"])
+    out = lhs.join(rhs, cond, how)
+    for c in ["_bucket"] + ([f"_r_{key}"] if key is not None else []):
+        out = out.drop(c)
+    return out

@@ -3032,6 +3032,58 @@ def emb_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@q(
+    "range_join_attribution",
+    """
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) AS s_us, epoch_us(ts) + 3600000000 AS e_us
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, epoch_us(ts) AS c_us, value FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, count(*) AS n_clicks,
+           CAST(sum(CAST(round(c.value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id AND c.c_us >= p.s_us AND c.c_us < p.e_us
+    GROUP BY p.purchase_id
+    """,
+    "bench",
+)
+def range_join_attribution(spark, sf_dir):
+    """Interval containment as a bucketed EQUI-join
+    (operators/join.range_join): clicks landing inside each purchase's
+    one-hour attribution window. The oracle is the plain theta join —
+    same matches, but the Spark plan is shuffle-hash on (user, bucket),
+    never a BroadcastNestedLoopJoin."""
+    from .operators.join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    joined = range_join(
+        clicks.withColumnRenamed("c_user", "user_id"),
+        purchases,
+        left_ts="c_ts",
+        start_col="w_start",
+        end_col="w_end",
+        key="user_id",
+        bucket_s=3600,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("click_cents"),
+    )
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →

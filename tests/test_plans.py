@@ -105,3 +105,13 @@ def test_fact_joins_never_broadcast_fact_side(spark, sf_dir):
     # q3's only broadcast build is the customer dim
     q3 = _plan(spark, sf_dir, "q3_top_revenue")
     assert q3.count("BroadcastExchange") <= 1
+
+
+def test_range_join_is_equi_join_not_bnlj(spark, sf_dir):
+    """The bucketed range join must plan as a hash/merge EQUI-join with
+    the interval predicate as a refinement — a naive non-equi join
+    plans BroadcastNestedLoopJoin, which dies at scale."""
+    plan = _plan(spark, sf_dir, "range_join_attribution")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
