@@ -63,6 +63,19 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
         )
+        # RocksDB state store: streaming state (watermark dedup, stateful
+        # joins) lives off-heap and spills to local disk instead of the
+        # executor heap — the difference between "state fits this node's
+        # JVM" and "state scales with local disk" on a 1000-executor
+        # cluster. Changelog checkpointing keeps commit cost incremental.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
