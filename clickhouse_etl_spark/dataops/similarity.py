@@ -293,16 +293,85 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pair candidates via multi-table hyperplane LSH, exact
+    cosine verify — the WEB-SCALE pair generator for
+    :func:`semantic_dedup` (the exact quadratic
+    :func:`embedding_near_dup_pairs` is the oracle/baseline form).
+
+    Two vectors are candidates if they share a bucket in ANY table
+    (recall 1-(1-p^b)^L against the threshold's angular similarity);
+    candidates dedupe on (a, b) before the one exact cosine per pair.
+    Join key is (table, bucket) — high-cardinality, skew-free; no
+    all-pairs stage anywhere. Output schema matches
+    embedding_near_dup_pairs: (id_a, id_b, sim), a < b, recall < 1.0
+    by construction (measured against the exact form in
+    tests/test_dataops.py).
+    """
+    def buckets(vec: Column) -> Column:
+        per_table = []
+        for t in range(n_tables):
+            bits = F.lit(0).cast("bigint")
+            for p in range(bits_per_table):
+                plane = F.array(
+                    *[F.lit(v) for v in _pseudo_hyperplane(dim, t * bits_per_table + p)]
+                )
+                d = _dot(vec, plane)
+                bits = bits + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            per_table.append(F.concat_ws(":", F.lit(str(t)), bits.cast("string")))
+        return F.array(*per_table)
+
+    base = scale_out(df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_n"),
+        F.explode(buckets(F.col(vec_col))).alias("_bkt"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_bkt",
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_bkt",
+    )
+    cand = (
+        a.join(b, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
 ) -> DataFrame:
     """Embedding-level near-duplicate CLUSTERING with one survivor per
     cluster — the semantic-dedup stage of a training-data pipeline
     (SemDeDup-style: cosine-near neighbors collapse to a single
     representative).
+
+    ``method="exact"`` (default, the oracle form) generates pairs with
+    the quadratic baseline; ``method="lsh"`` swaps in
+    :func:`lsh_near_dup_pairs` — bucketed candidates, no all-pairs
+    stage, recall < 1.0 — for web-scale corpora.
 
     Composition: exact cosine pairs (:func:`embedding_near_dup_pairs`)
     → undirected transitive closure (``connected_components``, min-id
@@ -318,7 +387,10 @@ def semantic_dedup(
 
     from .dedup import connected_components
 
-    pairs = embedding_near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    if method == "lsh":
+        pairs = lsh_near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    else:
+        pairs = embedding_near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
     cc = connected_components(
         pairs, df.select(id_col), src_col="id_a", dst_col="id_b", id_col=id_col
     )

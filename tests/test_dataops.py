@@ -397,3 +397,23 @@ def test_multimodal_resize_frames_features(spark):
     )
     topk = cosine_topk(emb, emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding"), k=1)
     assert topk.count() == 1
+
+
+def test_lsh_near_dup_pairs_recall(spark, sf_dir):
+    """The LSH pair generator must find a usable fraction of the exact
+    near-dup pairs (recall compounds across tables) and never invent a
+    below-threshold pair (precision 1.0 — exact verify stage)."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in lsh_near_dup_pairs(emb, threshold=0.45, n_tables=12, bits_per_table=4).collect()}
+    assert approx <= exact                      # precision 1.0
+    assert exact and len(approx) / len(exact) >= 0.5  # usable recall
+    # the clustering stage composes unchanged
+    out = semantic_dedup(emb, threshold=0.45, method="lsh")
+    assert out.filter("is_kept").count() <= out.count()
