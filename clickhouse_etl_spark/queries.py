@@ -3084,6 +3084,43 @@ def range_join_attribution(spark, sf_dir):
     )
 
 
+@q(
+    "docs_vocab_stats",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+               t -> len(t) >= 2)) AS term
+        FROM documents
+    )
+    SELECT term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS tf_total
+    FROM words GROUP BY term HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "bench",
+)
+def docs_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary table: per-term document frequency + total term
+    frequency (the exact-integer inputs an idf/BM25 filter consumes
+    downstream — log-free so both engines agree bit-for-bit). One
+    explode + one agg keyed by term: high-cardinality, skew-free."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) >= 2)
+        ).alias("term"),
+    )
+    return (
+        words.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf_total"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →
