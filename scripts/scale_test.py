@@ -3,33 +3,33 @@
 operator plans hold beyond the test SF: every stage distributes across
 all cores, no driver-side collection, shuffles only on declared keys.
 
-Run: python scripts/scale_test.py
+Run: python scripts/scale_test.py            # all sections
+     python scripts/scale_test.py <section>  # one of: ops text multimodal new
+
+Each section runs in its OWN subprocess/JVM: a single long session
+accumulates an (unattributed) slowdown on this host that inflates
+late-section timings 5-15x even best-of-2; fresh JVMs keep every
+section's numbers comparable. Within a section, timings are best-of-2
+(the host VM shows bursty CPU steal).
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: E402
 
-from clickhouse_etl_spark.operators.dedup import dedup_windowed
-from clickhouse_etl_spark.operators.filter import apply_filter
-from clickhouse_etl_spark.operators.join import asof_join, temporal_join_batch
-from clickhouse_etl_spark.session import get_spark
-from clickhouse_etl_spark.sources.batch import load_table
-from clickhouse_etl_spark.spec.model import (
-    FilterConfig,
-    JoinConfig,
-    JoinOutputField,
-    JoinSourceConfig,
-)
+from clickhouse_etl_spark.session import get_spark  # noqa: E402
+from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
+SECTIONS = ["ops", "text", "multimodal", "new"]
 
 
 def materialize(spark) -> None:
@@ -52,57 +52,11 @@ def materialize(spark) -> None:
     big_ord.repartition(16).write.mode("overwrite").parquet(f"{BASE}/orders")
 
 
-def main() -> None:
-    spark = get_spark(
-        app_name="scale-test",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _ensure_data(spark) -> None:
     if not os.path.isdir(f"{BASE}/events"):
         t0 = time.perf_counter()
         materialize(spark)
         print(f"materialized 10M events + 1.5M orders in {time.perf_counter()-t0:.1f}s")
-
-    bev = spark.read.parquet(f"{BASE}/events")
-    bord = spark.read.parquet(f"{BASE}/orders")
-
-    def timed(name, df):
-        # best-of-2: the host VM has bursty CPU steal (measured ~0.7%
-        # average with multi-second spikes) — the min reflects the plan
-        dt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            dt = min(dt, time.perf_counter() - t0)
-        print(f"{name}: {dt:.2f}s ({N_ROWS/dt/1e6:.1f}M rows/s)")
-
-    timed("filter_project", apply_filter(bev, FilterConfig("value > 50 and event_type == 'click'")))
-    timed("dedup_windowed", dedup_windowed(bev, "user_id", "ts", 3600, ["event_id"]))
-    cfg = JoinConfig(
-        left=JoinSourceConfig("e", "user_id", 0, "left"),
-        right=JoinSourceConfig("o", "o_custkey", 0, "right"),
-        output_fields=(
-            JoinOutputField("e", "event_id", "event_id"),
-            JoinOutputField("e", "user_id", "user_id"),
-            JoinOutputField("o", "o_totalprice", "total_price"),
-        ),
-    )
-    timed(
-        "temporal_join",
-        temporal_join_batch(bev, bord, cfg, right_ts_col="o_orderdate", right_tiebreak=["o_orderkey"]),
-    )
-    clicks = bev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purch = bev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_event_id"), "user_id", "ts"
-    )
-    timed("asof_join", asof_join(clicks, purch, "user_id", "ts", "ts", right_cols=["p_event_id"], how="left"))
-    timed("group_agg", bev.groupBy("event_type").agg(F.sum("value"), F.countDistinct("user_id")))
-
-    # ---- text dataops at 100k docs (20x replicated sf0.1 documents) ----
-    from clickhouse_etl_spark.dataops.chunking import chunk_documents, top_terms
-    from clickhouse_etl_spark.dataops.dedup import exact_dedup, ngram_jaccard_pairs, simhash
-    from clickhouse_etl_spark.dataops.text import language_id
-
     if not os.path.isdir(f"{BASE}/docs"):
         docs = load_table(spark, "/root/testdata/sf0.1", "documents")
         mult = spark.range(20).select(F.col("id").alias("rep"))
@@ -114,54 +68,99 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(f"{BASE}/docs")
         )
-    bd = spark.read.parquet(f"{BASE}/docs")
-    nd = bd.count()
 
-    def timed_docs(name, df, warm=None):
-        # first execution of a heavy expression pays Janino/codegen
-        # compilation (10s+ for wide expressions) — warm on a tiny
-        # slice so the timed run measures throughput, not compilation
-        if warm is not None:
-            warm.write.mode("overwrite").format("noop").save()
-        dt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            dt = min(dt, time.perf_counter() - t0)
-        print(f"{name}: {dt:.1f}s ({nd/dt/1000:.0f}k docs/s)")
 
-    tiny = bd.limit(200)
-    timed_docs("docs_exact_dedup", exact_dedup(bd), warm=exact_dedup(tiny))
-    timed_docs("docs_chunking", chunk_documents(bd), warm=chunk_documents(tiny))
-    timed_docs("docs_langid", language_id(bd), warm=language_id(tiny))
-    timed_docs("docs_top_terms", top_terms(bd), warm=top_terms(tiny))
-    timed_docs("docs_simhash", simhash(bd), warm=simhash(tiny))
-    timed_docs(
-        "docs_ngram_jaccard",
-        ngram_jaccard_pairs(bd, n=5, threshold=0.5),
-        warm=ngram_jaccard_pairs(tiny, n=5, threshold=0.5),
+def _timed(name, df, unit_n, unit="rows", warm=None) -> None:
+    # warm-up immediately before the timed runs pays Janino/codegen
+    # compilation outside the metric; best-of-2 dodges host CPU-steal
+    if warm is not None:
+        warm.write.mode("overwrite").format("noop").save()
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        dt = min(dt, time.perf_counter() - t0)
+    if unit == "rows":
+        print(f"{name}: {dt:.2f}s ({unit_n/dt/1e6:.1f}M rows/s)")
+    else:
+        print(f"{name}: {dt:.1f}s ({unit_n/dt/1000:.0f}k docs/s)")
+
+
+def section_ops(spark) -> None:
+    from clickhouse_etl_spark.operators.dedup import dedup_windowed
+    from clickhouse_etl_spark.operators.filter import apply_filter
+    from clickhouse_etl_spark.operators.join import asof_join, temporal_join_batch
+    from clickhouse_etl_spark.spec.model import (
+        FilterConfig,
+        JoinConfig,
+        JoinOutputField,
+        JoinSourceConfig,
     )
 
+    bev = spark.read.parquet(f"{BASE}/events")
+    bord = spark.read.parquet(f"{BASE}/orders")
+    _timed("filter_project", apply_filter(bev, FilterConfig("value > 50 and event_type == 'click'")), N_ROWS)
+    _timed("dedup_windowed", dedup_windowed(bev, "user_id", "ts", 3600, ["event_id"]), N_ROWS)
+    cfg = JoinConfig(
+        left=JoinSourceConfig("e", "user_id", 0, "left"),
+        right=JoinSourceConfig("o", "o_custkey", 0, "right"),
+        output_fields=(
+            JoinOutputField("e", "event_id", "event_id"),
+            JoinOutputField("e", "user_id", "user_id"),
+            JoinOutputField("o", "o_totalprice", "total_price"),
+        ),
+    )
+    _timed(
+        "temporal_join",
+        temporal_join_batch(bev, bord, cfg, right_ts_col="o_orderdate", right_tiebreak=["o_orderkey"]),
+        N_ROWS,
+    )
+    clicks = bev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    _timed("asof_join", asof_join(clicks, purch, "user_id", "ts", "ts", right_cols=["p_event_id"], how="left"), N_ROWS)
+    _timed("group_agg", bev.groupBy("event_type").agg(F.sum("value"), F.countDistinct("user_id")), N_ROWS)
+
+
+def section_text(spark) -> None:
+    from clickhouse_etl_spark.dataops.chunking import chunk_documents, top_terms
+    from clickhouse_etl_spark.dataops.dedup import exact_dedup, ngram_jaccard_pairs, simhash
     from clickhouse_etl_spark.dataops.text import (
         boilerplate_ngrams,
+        language_id,
         mixture_sample,
         repetition_signals,
         split_assign,
     )
 
-    timed_docs("docs_repetition_signals", repetition_signals(bd), warm=repetition_signals(tiny))
-    timed_docs(
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+    tiny = bd.limit(200)
+    _timed("docs_exact_dedup", exact_dedup(bd), nd, "docs", warm=exact_dedup(tiny))
+    _timed("docs_chunking", chunk_documents(bd), nd, "docs", warm=chunk_documents(tiny))
+    _timed("docs_langid", language_id(bd), nd, "docs", warm=language_id(tiny))
+    _timed("docs_top_terms", top_terms(bd), nd, "docs", warm=top_terms(tiny))
+    _timed("docs_simhash", simhash(bd), nd, "docs", warm=simhash(tiny))
+    _timed(
+        "docs_ngram_jaccard",
+        ngram_jaccard_pairs(bd, n=5, threshold=0.5),
+        nd, "docs",
+        warm=ngram_jaccard_pairs(tiny, n=5, threshold=0.5),
+    )
+    _timed("docs_repetition_signals", repetition_signals(bd), nd, "docs", warm=repetition_signals(tiny))
+    _timed(
         "docs_boilerplate_ngrams",
         boilerplate_ngrams(bd, n=3, min_doc_freq=100),
+        nd, "docs",
         warm=boilerplate_ngrams(tiny, n=3, min_doc_freq=100),
     )
-    timed_docs("docs_split_assign", split_assign(bd), warm=split_assign(tiny))
-    timed_docs("docs_mixture_sample", mixture_sample(bd), warm=mixture_sample(tiny))
+    _timed("docs_split_assign", split_assign(bd), nd, "docs", warm=split_assign(tiny))
+    _timed("docs_mixture_sample", mixture_sample(bd), nd, "docs", warm=mixture_sample(tiny))
 
-    # ---- multimodal decode plumbing at 100k assets ----
-    from clickhouse_etl_spark.dataops.multimodal import decode_assets
 
-    assets = bd.select(
+def _assets(bd):
+    return bd.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("payload"),
         F.struct(
@@ -173,7 +172,69 @@ def main() -> None:
             F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
         ).alias("asset_meta"),
     )
-    timed_docs("multimodal_decode", decode_assets(assets), warm=decode_assets(assets.limit(200)))
+
+
+def section_multimodal(spark) -> None:
+    from clickhouse_etl_spark.dataops.multimodal import (
+        decode_assets,
+        extract_features,
+        resize_assets,
+    )
+
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+    assets = _assets(bd)
+    warm = _assets(bd.limit(200))
+    _timed("multimodal_decode", decode_assets(assets), nd, "docs", warm=decode_assets(warm))
+    _timed("multimodal_resize", resize_assets(assets, 224, 224), nd, "docs", warm=resize_assets(warm, 224, 224))
+    _timed("multimodal_features", extract_features(assets, dim=64), nd, "docs", warm=extract_features(warm, dim=64))
+
+
+def section_new(spark) -> None:
+    from clickhouse_etl_spark.dataops.chunking import pack_sequences
+    from clickhouse_etl_spark.operators.join import range_join
+
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+    tiny = bd.limit(200)
+    _timed(
+        "docs_sequence_packing",
+        pack_sequences(bd, capacity=2048, shards=32),
+        nd, "docs",
+        warm=pack_sequences(tiny, capacity=2048, shards=32),
+    )
+    # interval join at 10M events: clicks inside each purchase's hour
+    bev = spark.read.parquet(f"{BASE}/events")
+    purchases = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    clicks = bev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("c_ts"))
+    rj = range_join(
+        clicks, purchases, left_ts="c_ts", start_col="w_start", end_col="w_end",
+        key="user_id", bucket_s=3600,
+    ).groupBy("purchase_id").agg(F.count("*").alias("n"))
+    _timed("range_join", rj, N_ROWS)
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        section = sys.argv[1]
+        spark = get_spark(
+            app_name=f"scale-test-{section}",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        _ensure_data(spark)
+        {"ops": section_ops, "text": section_text,
+         "multimodal": section_multimodal, "new": section_new}[section](spark)
+        return
+    # parent: one fresh JVM per section (see module docstring)
+    for section in SECTIONS:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), section])
+        if r.returncode != 0:
+            sys.exit(r.returncode)
 
 
 if __name__ == "__main__":
