@@ -5,6 +5,15 @@ Prints exactly one JSON line:
 
 Each query is executed to completion via the no-op sink (full compute,
 no write cost). Timings include plan + execution, not session startup.
+
+Structure: the parent process splits the bench set into chunks and runs
+each chunk in a CHILD process (fresh JVM), then merges the children's
+JSON. One long session on this host accumulates an unattributed
+slowdown that inflates late queries 5-15x even best-of-2 (see
+CLAUDE.md); per-chunk JVMs keep every query's number comparable.
+Within a chunk: warm-up at sf0.001 immediately before each query's
+timed runs (codegen compiled outside the metric), then best-of-2
+(host CPU steal is bursty — the min reflects the plan).
 """
 
 from __future__ import annotations
@@ -12,57 +21,56 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_etl_spark.queries import QUERIES  # noqa: E402
-from clickhouse_etl_spark.session import get_spark  # noqa: E402
+
+CHUNK = 14
 
 
-def main() -> None:
+def _bench_names() -> list[str]:
+    return [n for n, qd in QUERIES.items() if "bench" in qd.tags]
+
+
+def _run_child(args_env: dict) -> dict:
+    env = dict(os.environ, **args_env, SPARK_GRAFT_BENCH_CHILD="1")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True,
+    )
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return {"error": (r.stderr or "no output")[-300:]}
+
+
+def main_parent() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(app_name="bench")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    bench_queries = {n: qd for n, qd in QUERIES.items() if "bench" in qd.tags}
-    # BENCH_FILTER=name1,name2 restricts the set (debug / contract tests)
+    names = _bench_names()
     flt = os.environ.get("BENCH_FILTER")
     if flt:
         wanted = set(flt.split(","))
-        bench_queries = {n: qd for n, qd in bench_queries.items() if n in wanted}
+        names = [n for n in names if n in wanted]
 
-    # Warm-up: run every query once at the smallest SF so whole-stage
-    # codegen (Janino) and JIT compilation are paid outside the timed
-    # region — the metric is data-scale efficiency, not JVM warm-up.
-    warm_dir = "/root/testdata/sf0.001"
-
-    # best-of-2: local[32] timings are noisy (GC, page cache); the min is
-    # the stable measure of the plan's cost.  Warm-up runs IMMEDIATELY
-    # before each query's timed runs (not one pass over the whole set up
-    # front): with 50+ queries a single warm-up pass outruns the JVM's
-    # codegen class cache, and the timed run re-pays Janino compilation —
-    # a multi-second stall that has nothing to do with the plan.
     timings: dict[str, float] = {}
-    for name, qd in bench_queries.items():
-        if os.path.isdir(warm_dir):
-            try:
-                qd.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-            except Exception:
-                pass
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qd.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    for i in range(0, len(names), CHUNK):
+        chunk = names[i : i + CHUNK]
+        out = _run_child({"BENCH_FILTER": ",".join(chunk), "BENCH_SKIP_STREAMING": "1"})
+        timings.update(out.get("queries", {}))
 
-    streaming = {} if flt else _streaming_ingest_bench(spark, sf_dir)
+    streaming = {} if flt else _run_child({"BENCH_STREAMING_ONLY": "1"})
+    streaming.pop("queries", None)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +87,42 @@ def main() -> None:
     )
 
 
+def main_child() -> None:
+    from clickhouse_etl_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if os.environ.get("BENCH_STREAMING_ONLY"):
+        print(json.dumps(_streaming_ingest_bench(spark, sf_dir)))
+        return
+
+    bench_queries = {n: qd for n, qd in QUERIES.items() if "bench" in qd.tags}
+    flt = os.environ.get("BENCH_FILTER")
+    if flt:
+        wanted = set(flt.split(","))
+        bench_queries = {n: qd for n, qd in bench_queries.items() if n in wanted}
+
+    warm_dir = "/root/testdata/sf0.001"
+    timings: dict[str, float] = {}
+    for name, qd in bench_queries.items():
+        if os.path.isdir(warm_dir):
+            try:
+                qd.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    print(json.dumps({"queries": timings}))
+
+
 def _streaming_ingest_bench(spark, sf_dir: str) -> dict:
     """End-to-end streaming chain throughput (validate-typed source ->
     filter -> watermark dedup -> sink mapping -> foreachBatch sink with
@@ -87,8 +131,8 @@ def _streaming_ingest_bench(spark, sf_dir: str) -> dict:
 
     A warm-up pass at the small SF runs first: the streaming paths
     (state store, foreachBatch sink, checkpoint IO) are otherwise cold
-    in a session that has only run batch queries, and the recorded
-    number would measure first-query JIT instead of throughput."""
+    and the recorded number would measure first-query JIT instead of
+    throughput."""
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         _streaming_ingest_once(spark, warm_dir, "/tmp/bench_stream_warm")
@@ -154,4 +198,7 @@ def _streaming_ingest_once(spark, sf_dir: str, base: str) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        main_child()
+    else:
+        main_parent()
