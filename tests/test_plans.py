@@ -115,3 +115,35 @@ def test_range_join_is_equi_join_not_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
+    """Registry-wide sweep: every declared query must avoid
+    CartesianProduct and BroadcastNestedLoopJoin — the two plan shapes
+    that silently work at test SF and die at production SF.
+
+    Allowlisted BNLJ uses are the bounded-broadcast-side patterns that
+    remain correct at any corpus scale:
+    - q22: scalar-aggregate join (1-row broadcast, the SQL scalar
+      subquery pattern);
+    - emb_cosine_topk: query-set × corpus scoring — the query set is
+      bounded and broadcast, the corpus never shuffles;
+    - emb_near_dup_pairs: the exact quadratic baseline, explicitly
+      scoped to broadcast-size corpora (lsh_near_dup_pairs is the
+      scale path and must stay BNLJ-free — it is NOT allowlisted via
+      emb_semantic_dedup's default exact method here because the
+      registry entry uses the exact form as the oracle contract).
+    """
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup"}
+    bad = {}
+    for name, qd in QUERIES.items():
+        try:
+            plan = _plan(spark, sf_dir, name)
+        except Exception as e:  # noqa: BLE001 — plan build failure is its own bug
+            bad[name] = f"plan build failed: {e}"[:120]
+            continue
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            bad[name] = "BroadcastNestedLoopJoin"
+    assert not bad, bad
