@@ -21,26 +21,41 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: event-time columns whose physical parquet type has varied across
-#: generator versions (nano-epoch long / TIMESTAMP_NTZ / TIMESTAMP)
-_EVENT_TS_COLS = {"events": ["ts"]}
+#: temporal columns whose physical parquet type has varied across
+#: generator versions (nano-epoch long / TIMESTAMP_NTZ / TIMESTAMP /
+#: DATE), and the logical type each must be normalized to.  events.ts
+#: is an instant (operators watermark/window on it); the TPC-H date
+#: columns are civil dates compared against wall-time literals, so
+#: they normalize to TIMESTAMP_NTZ (what the current generator writes
+#: and what every oracle pair is proven against).
+_NORM_TS_COLS = {
+    "events": {"ts": "timestamp"},
+    "orders": {"o_orderdate": "timestamp_ntz"},
+    "lineitem": {"l_shipdate": "timestamp_ntz"},
+}
+
+
+def _normalize_temporal(df: DataFrame, c: str, target: str) -> DataFrame:
+    dtype = dict(df.dtypes)[c]
+    if dtype == target:
+        return df
+    if dtype == "bigint":
+        # nano-epoch long (legacy nanosAsLong read); integer `div`, not
+        # `/`: double division of nano-epochs loses precision past 2^53
+        # and rounds the microsecond
+        return df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast(target))
+    # timestamp <-> timestamp_ntz and date -> either: with the session
+    # pinned to UTC these casts reinterpret wall-time as the same UTC
+    # instant — identical to DuckDB's naive-as-UTC epoch_us semantics
+    return df.withColumn(c, F.col(c).cast(target))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _EVENT_TS_COLS.get(name, []):
-        if c not in df.columns:
-            continue
-        dtype = dict(df.dtypes)[c]
-        if dtype == "bigint":
-            # integer `div`, not `/`: double division of nano-epochs loses
-            # precision past 2^53 and rounds the microsecond
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif dtype == "timestamp_ntz":
-            # session tz is UTC, so the cast reinterprets NTZ wall-time as
-            # the same UTC instant — identical to DuckDB epoch_us(naive)
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for c, target in _NORM_TS_COLS.get(name, {}).items():
+        if c in df.columns:
+            df = _normalize_temporal(df, c, target)
     return df
 
 
