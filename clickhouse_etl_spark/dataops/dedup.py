@@ -40,6 +40,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Row-preserving exact dedup: the surviving (min-id) full row per
+    distinct text, original schema unchanged — the chainable form for
+    pipeline composition (exact_dedup returns the per-content summary).
+    row_number()=1 compiles to WindowGroupLimit (partial top-k per
+    hash group), so no group ever fully sorts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _word_ngrams(text: Column, n: int) -> Column:
     """Distinct n-word shingles as strings (space-joined)."""
     toks = F.split(text, " ")

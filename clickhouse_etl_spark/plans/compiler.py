@@ -31,7 +31,7 @@ from ..operators.filter import apply_filter
 from ..operators.join import temporal_join_batch
 from ..operators.mapper import apply_sink_mapping
 from ..operators.transform import apply_transform
-from ..spec.model import PipelineSpec, SourceConfig
+from ..spec.model import PipelineSpec, SourceConfig, SpecError
 
 
 @dataclass
@@ -96,9 +96,50 @@ def _chain_for_source(
                 df = dedup_first_wins(df, src.dedup.key, order or df.columns[:1])
         if src.transform is not None:
             df = apply_transform(df, src.transform)
+        for d in src.dataops:
+            df = resolve_dataop(d.op)(df, **d.params)
         return df
 
     return chain
+
+
+def resolve_dataop(op: str):
+    """Beyond-reference spec extension: training-data ops declared as
+    ``{"type": "dataop", "config": {"op": ..., ...params}}`` transforms
+    run on the same compiled chain (batch AND streaming runners) after
+    the reference's fixed stage order.  Only stream-safe, row-local or
+    windowless ops are exposed here; corpus-global ops (near-dup pair
+    mining, clustering, packing) stay library-level because they need a
+    bounded batch to be well-defined."""
+    from ..dataops.chunking import chunk_documents, scrub_pii
+    from ..dataops.dedup import exact_dedup_keep, simhash
+    from ..dataops.text import (
+        doc_fingerprint,
+        language_id,
+        mixture_sample,
+        quality_score,
+        repetition_signals,
+        split_assign,
+        token_stats,
+    )
+
+    registry = {
+        "exact_dedup": exact_dedup_keep,
+        "simhash": simhash,
+        "language_id": language_id,
+        "quality_score": quality_score,
+        "token_stats": token_stats,
+        "fingerprint": doc_fingerprint,
+        "repetition_signals": repetition_signals,
+        "split_assign": split_assign,
+        "mixture_sample": mixture_sample,
+        "scrub_pii": scrub_pii,
+        "chunk_documents": chunk_documents,
+    }
+    try:
+        return registry[op]
+    except KeyError:
+        raise SpecError(f"unknown dataop {op!r}; available: {sorted(registry)}") from None
 
 
 def compile_pipeline(

@@ -54,6 +54,17 @@ class TransformConfig:
 
 
 @dataclass(frozen=True)
+class DataopConfig:
+    """Beyond-reference spec extension: a declared training-data op
+    (``{"type": "dataop", "config": {"op": <name>, ...params}}``).
+    Ops resolve against plans.compiler.DATAOPS and run after the
+    reference's fixed filter→dedup→transform chain, in declared order."""
+
+    op: str
+    params: dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass(frozen=True)
 class SourceConfig:
     source_id: str
     topic: str = ""
@@ -63,6 +74,7 @@ class SourceConfig:
     filter: Optional[FilterConfig] = None
     dedup: Optional[DedupConfig] = None
     transform: Optional[TransformConfig] = None
+    dataops: tuple[DataopConfig, ...] = ()
     kafka_options: dict[str, str] = dc_field(default_factory=dict)
 
 
@@ -142,6 +154,12 @@ def _parse_transforms(transforms: list[dict], sources: dict[str, dict]) -> None:
             slot["dedup"] = DedupConfig(
                 key=key, time_window_s=parse_duration_seconds(cfg.get("time_window"))
             )
+        elif ttype == "dataop":
+            op = cfg.get("op", "")
+            if not op:
+                raise SpecError("dataop transform requires config.op")
+            params = {k: v for k, v in cfg.items() if k != "op"}
+            slot["dataops"].append(DataopConfig(op=op, params=params))
         elif ttype in ("stateless", "transform"):
             outs = tuple(
                 TransformOutput(
@@ -185,6 +203,7 @@ def parse_pipeline_json(doc: str | dict) -> PipelineSpec:
             "filter": None,
             "dedup": None,
             "transform": None,
+            "dataops": [],
             "kafka_options": _kafka_options(s.get("connection_params") or {}),
         }
 
@@ -252,6 +271,7 @@ def parse_pipeline_json(doc: str | dict) -> PipelineSpec:
             filter=v["filter"],
             dedup=v["dedup"],
             transform=v["transform"],
+            dataops=tuple(v["dataops"]),
             kafka_options=v["kafka_options"],
         )
         for v in slots.values()

@@ -104,3 +104,67 @@ def test_parse_and_run(spark):
     assert r["order_id"] == "o1"
     assert r["email"] == "b@x.com"
     assert r["created_at"] == dt.datetime(2024, 1, 1, 10)
+
+
+def test_dataop_transforms_in_spec(spark):
+    """Beyond-reference spec extension: training-data ops declared as
+    v3 `dataop` transforms run on the compiled chain after the fixed
+    filter→dedup→transform order, in declared order."""
+    from clickhouse_etl_spark.plans import compile_pipeline
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+
+    doc = {
+        "version": "v3",
+        "pipeline_id": "curation",
+        "name": "doc-curation",
+        "sources": [{
+            "type": "kafka", "source_id": "documents", "topic": "documents",
+            "schema_fields": [
+                {"name": "doc_id", "type": "int64"},
+                {"name": "text", "type": "string"},
+                {"name": "source", "type": "string"},
+            ],
+        }],
+        "transforms": [
+            {"type": "filter", "source_id": "documents",
+             "config": {"expression": "text != ''"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "exact_dedup"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "quality_score"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "token_stats"}},
+        ],
+        "sink": {"type": "clickhouse", "table": "curated", "table_mapping": [
+            {"source_id": "documents", "field_name": "doc_id",
+             "column_name": "doc_id", "column_type": "Int64"},
+            {"source_id": "documents", "field_name": "quality_score",
+             "column_name": "quality", "column_type": "Float64"},
+            {"source_id": "documents", "field_name": "n_tokens",
+             "column_name": "n_tokens", "column_type": "Int64"},
+        ]},
+    }
+    spec = parse_pipeline_json(doc)
+    assert [d.op for d in spec.source("documents").dataops] == [
+        "exact_dedup", "quality_score", "token_stats"
+    ]
+    plan = compile_pipeline(spec)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = plan.run_batch({"documents": docs})
+    assert out.columns == ["doc_id", "quality", "n_tokens"]
+    n = out.count()
+    assert 0 < n <= docs.count()
+    assert out.filter("n_tokens > 0").count() == n
+
+    # unknown op fails at compile-or-run with a named error
+    bad = dict(doc)
+    bad["transforms"] = [{"type": "dataop", "source_id": "documents",
+                          "config": {"op": "nope"}}]
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.spec.model import SpecError
+    spec_bad = parse_pipeline_json(bad)
+    plan_bad = compile_pipeline(spec_bad)
+    with _pytest.raises(SpecError, match="unknown dataop"):
+        plan_bad.run_batch({"documents": docs}).count()
