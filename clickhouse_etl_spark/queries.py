@@ -2499,16 +2499,31 @@ def otlp_flatten_logs(spark, sf_dir):
            '[1,4]', '[2.5]',
            '{"host":"' || event_type || '"}', 'meter'
     FROM e
+    UNION ALL
+    SELECT epoch_us(ts), NULL, 'eh', 's', 'exp_histogram', '2', NULL, 0,
+           NULL, NULL, 7, value, CAST(0.5 AS DOUBLE), CAST(NULL AS DOUBLE),
+           NULL, NULL,
+           '{"host":"' || event_type || '"}', 'meter'
+    FROM e
+    UNION ALL
+    SELECT epoch_us(ts), NULL, 'sm', 's', 'summary', NULL, NULL, 0,
+           NULL, NULL, 9, value, NULL, NULL, NULL, NULL,
+           '{"host":"' || event_type || '"}', 'meter'
+    FROM e
     """,
 )
 def otlp_flatten_metrics(spark, sf_dir):
-    """S5 OTLP metrics flattener — gauge + sum + histogram datapoints
-    synthesized per sampled event row, so all three union branches of
-    the wide row are exercised. Doubles round-trip exactly (Java
+    """S5 OTLP metrics flattener — gauge + sum + histogram +
+    exponential-histogram + summary datapoints synthesized per sampled
+    event row, so all five union branches of the wide row are
+    exercised. The exp-histogram datapoint carries scale/zeroCount/
+    positive-bucket members the reference record drops (proving the
+    flattener drops them too); summary carries quantileValues (also
+    dropped, no temporality). Doubles round-trip exactly (Java
     shortest-repr string -> JSON parse); always-null / array columns
     are JSON-stringified for the canonicalizer.
 
-    Reference: flattener/metrics.go:13-213."""
+    Reference: flattener/metrics.go:13-203, models/otlp.go:134-157."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
     t_ns = (F.unix_micros("ts") * 1000).cast("string")
     val = F.col("value").cast("string")
@@ -2532,7 +2547,19 @@ def otlp_flatten_metrics(spark, sf_dir):
         F.lit('","count":"5","sum":'),
         val,
         F.lit(',"min":0.25,"max":9.5,"bucketCounts":["1","4"],"explicitBounds":[2.5]}],'
-              '"aggregationTemporality":1}}'),
+              '"aggregationTemporality":1}},'),
+        F.lit('{"name":"eh","unit":"s","exponentialHistogram":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","count":"7","sum":'),
+        val,
+        F.lit(',"min":0.5,"scale":3,"zeroCount":"2",'
+              '"positive":{"offset":1,"bucketCounts":["1","2"]}}],'
+              '"aggregationTemporality":2}},'),
+        F.lit('{"name":"sm","unit":"s","summary":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","count":"9","sum":'),
+        val,
+        F.lit(',"quantileValues":[{"quantile":0.5,"value":1.0}]}]}}'),
         F.lit(']}]}]}'),
     )
     from .sources.otlp import flatten_metrics

@@ -193,6 +193,36 @@ _HIST_DP = T.StructType(
         T.StructField("attributes", _ATTR),
     ]
 )
+# Exponential-histogram datapoint: the reference record keeps only
+# count/sum/min/max (+ timestamps/flags/attrs) — scale, zeroCount and the
+# positive/negative bucket runs are NOT carried into the flattened row
+# (models/otlp.go:134-157 has no fields for them; flattener/metrics.go:144-178
+# never reads them), so the parse schema omits them too (from_json drops
+# unknown members).
+_EXPHIST_DP = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+        T.StructField("flags", T.LongType()),
+        T.StructField("attributes", _ATTR),
+    ]
+)
+# Summary datapoint: reference keeps only count/sum (+ timestamps/flags/attrs);
+# quantileValues are dropped (flattener/metrics.go:179-203).
+_SUMMARY_DP = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("flags", T.LongType()),
+        T.StructField("attributes", _ATTR),
+    ]
+)
 
 
 def _metric() -> T.StructType:
@@ -223,6 +253,19 @@ def _metric() -> T.StructType:
                         T.StructField("aggregationTemporality", T.LongType()),
                     ]
                 ),
+            ),
+            T.StructField(
+                "exponentialHistogram",
+                T.StructType(
+                    [
+                        T.StructField("dataPoints", T.ArrayType(_EXPHIST_DP)),
+                        T.StructField("aggregationTemporality", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "summary",
+                T.StructType([T.StructField("dataPoints", T.ArrayType(_SUMMARY_DP))]),
             ),
         ]
     )
@@ -399,9 +442,14 @@ def flatten_traces(df: DataFrame, payload_col: str = "value") -> DataFrame:
 
 
 def flatten_metrics(df: DataFrame, payload_col: str = "value") -> DataFrame:
-    """One wide nullable row per datapoint for gauge/sum/histogram
-    (flattener/metrics.go:13-213; exp-histogram/summary follow the same
-    union pattern — the wide row carries nulls for absent members)."""
+    """One wide nullable row per datapoint for all five metric kinds —
+    gauge / sum / histogram / exponential-histogram / summary
+    (flattener/metrics.go:13-203).  Parity notes: the reference's record
+    (models/otlp.go:134-157) carries count/sum unconditionally (proto
+    zero-defaults), min/max only when present, and for exp-histogram
+    drops scale/zeroCount/bucket runs entirely; summary drops
+    quantileValues and has no temporality.  The wide row carries nulls
+    for members a branch never sets."""
     req = F.from_json(F.col(payload_col).cast("string"), METRICS_REQUEST_SCHEMA)
     rm = df.select(F.explode(req.getField("resourceMetrics")).alias("rm"))
     sm = rm.select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
@@ -448,33 +496,60 @@ def flatten_metrics(df: DataFrame, payload_col: str = "value") -> DataFrame:
         F.col("m.sum.dataPoints"),
     )
 
-    hist_src = mt.filter(F.col("m.histogram.dataPoints").isNotNull()).select(
-        "resource", "scope", "m",
-        F.col("m.histogram.aggregationTemporality").alias("_tempo"),
-        F.explode("m.histogram.dataPoints").alias("dp"),
+    def agg_rows(kind: str, temporality: Column, dps: Column, *, buckets: bool, minmax: bool):
+        """Shared select for the count/sum datapoint family (histogram /
+        exp-histogram / summary).  count and sum default to proto zeros
+        (reference sets them unconditionally via GetCount/GetSum); min/max
+        stay null when absent or when the kind never carries them."""
+        src = mt.filter(dps.isNotNull()).select(
+            "resource", "scope", "m", temporality.alias("_tempo"), F.explode(dps).alias("dp"),
+        )
+        return src.select(
+            _nano_ts(F.col("dp.timeUnixNano")).alias("timestamp"),
+            _nano_ts(F.col("dp.startTimeUnixNano")).alias("start_timestamp"),
+            F.coalesce(F.col("m.name"), F.lit("")).alias("metric_name"),
+            F.coalesce(F.col("m.description"), F.lit("")).alias("metric_description"),
+            F.coalesce(F.col("m.unit"), F.lit("")).alias("metric_unit"),
+            F.lit(kind).alias("metric_type"),
+            F.col("_tempo").cast("string").alias("aggregation_temporality"),
+            F.lit(None).cast("boolean").alias("is_monotonic"),
+            F.coalesce(F.col("dp.flags"), F.lit(0)).alias("flags"),
+            F.lit(None).cast("double").alias("value_double"),
+            F.lit(None).cast("bigint").alias("value_int"),
+            F.coalesce(F.col("dp.count").cast("bigint"), F.lit(0)).alias("count"),
+            F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("sum"),
+            (F.col("dp.min") if minmax else F.lit(None).cast("double")).alias("min"),
+            (F.col("dp.max") if minmax else F.lit(None).cast("double")).alias("max"),
+            (
+                F.coalesce(
+                    F.transform(F.col("dp.bucketCounts"), lambda x: x.cast("bigint")),
+                    F.array().cast(T.ArrayType(T.LongType())),
+                )
+                if buckets
+                else F.lit(None).cast(T.ArrayType(T.LongType()))
+            ).alias("bucket_counts"),
+            (
+                F.coalesce(F.col("dp.explicitBounds"), F.array().cast(T.ArrayType(T.DoubleType())))
+                if buckets
+                else F.lit(None).cast(T.ArrayType(T.DoubleType()))
+            ).alias("explicit_bounds"),
+            _attrs_to_map(F.col("resource.attributes")).alias("resource_attributes"),
+            _attrs_to_map(F.col("scope.attributes")).alias("scope_attributes"),
+            _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+            F.coalesce(F.col("scope.name"), F.lit("")).alias("scope_name"),
+            F.coalesce(F.col("scope.version"), F.lit("")).alias("scope_version"),
+        )
+
+    hist = agg_rows(
+        "histogram", F.col("m.histogram.aggregationTemporality"),
+        F.col("m.histogram.dataPoints"), buckets=True, minmax=True,
     )
-    hist = hist_src.select(
-        _nano_ts(F.col("dp.timeUnixNano")).alias("timestamp"),
-        _nano_ts(F.col("dp.startTimeUnixNano")).alias("start_timestamp"),
-        F.coalesce(F.col("m.name"), F.lit("")).alias("metric_name"),
-        F.coalesce(F.col("m.description"), F.lit("")).alias("metric_description"),
-        F.coalesce(F.col("m.unit"), F.lit("")).alias("metric_unit"),
-        F.lit("histogram").alias("metric_type"),
-        F.col("_tempo").cast("string").alias("aggregation_temporality"),
-        F.lit(None).cast("boolean").alias("is_monotonic"),
-        F.coalesce(F.col("dp.flags"), F.lit(0)).alias("flags"),
-        F.lit(None).cast("double").alias("value_double"),
-        F.lit(None).cast("bigint").alias("value_int"),
-        F.col("dp.count").cast("bigint").alias("count"),
-        F.col("dp.sum").alias("sum"),
-        F.col("dp.min").alias("min"),
-        F.col("dp.max").alias("max"),
-        F.transform(F.col("dp.bucketCounts"), lambda x: x.cast("bigint")).alias("bucket_counts"),
-        F.col("dp.explicitBounds").alias("explicit_bounds"),
-        _attrs_to_map(F.col("resource.attributes")).alias("resource_attributes"),
-        _attrs_to_map(F.col("scope.attributes")).alias("scope_attributes"),
-        _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
-        F.coalesce(F.col("scope.name"), F.lit("")).alias("scope_name"),
-        F.coalesce(F.col("scope.version"), F.lit("")).alias("scope_version"),
+    exp_hist = agg_rows(
+        "exp_histogram", F.col("m.exponentialHistogram.aggregationTemporality"),
+        F.col("m.exponentialHistogram.dataPoints"), buckets=False, minmax=True,
     )
-    return gauge.unionByName(sum_).unionByName(hist)
+    summary = agg_rows(
+        "summary", F.lit(None).cast("long"),
+        F.col("m.summary.dataPoints"), buckets=False, minmax=False,
+    )
+    return gauge.unionByName(sum_).unionByName(hist).unionByName(exp_hist).unionByName(summary)

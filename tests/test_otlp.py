@@ -83,6 +83,25 @@ METRICS_REQ = {
                               "sum": 123.5, "min": 1.0, "max": 50.0,
                               "bucketCounts": ["1", "4", "5"],
                               "explicitBounds": [10.0, 25.0]}]}},
+                        # exp-histogram: scale/zeroCount/positive runs are
+                        # present in the wire payload but dropped by the
+                        # flattener (models/otlp.go:134-157 has no fields);
+                        # max absent -> null
+                        {"name": "latency_exp", "unit": "ms",
+                         "exponentialHistogram": {"aggregationTemporality": 1,
+                             "dataPoints": [
+                                 {"timeUnixNano": "1704067200000000000",
+                                  "count": "6", "sum": 44.25, "min": 0.5,
+                                  "scale": 3, "zeroCount": "2",
+                                  "positive": {"offset": 1,
+                                               "bucketCounts": ["1", "5"]}}]}},
+                        # summary: quantileValues dropped, no temporality
+                        {"name": "rpc_summary", "unit": "s",
+                         "summary": {"dataPoints": [
+                             {"timeUnixNano": "1704067200000000000",
+                              "count": "9", "sum": 7.5,
+                              "quantileValues": [
+                                  {"quantile": 0.5, "value": 0.8}]}]}},
                     ],
                 }
             ],
@@ -134,7 +153,7 @@ def test_flatten_metrics(spark):
 
     out = flatten_metrics(_payload_df(spark, METRICS_REQ)).collect()
     by_type = {r["metric_type"]: r for r in out}
-    assert set(by_type) == {"gauge", "sum", "histogram"}
+    assert set(by_type) == {"gauge", "sum", "histogram", "exp_histogram", "summary"}
     assert by_type["gauge"]["value_double"] == 0.75
     assert by_type["gauge"]["value_int"] is None
     assert by_type["sum"]["value_int"] == 42
@@ -144,3 +163,16 @@ def test_flatten_metrics(spark):
     assert h["bucket_counts"] == [1, 4, 5]
     assert h["explicit_bounds"] == [10.0, 25.0]
     assert h["resource_attributes"] == {"host": "h1"}
+    eh = by_type["exp_histogram"]
+    assert eh["metric_name"] == "latency_exp"
+    assert eh["aggregation_temporality"] == "1"
+    assert eh["count"] == 6 and eh["sum"] == 44.25
+    assert eh["min"] == 0.5 and eh["max"] is None  # max absent in payload
+    # reference record carries no exp-histogram bucket structure
+    assert eh["bucket_counts"] is None and eh["explicit_bounds"] is None
+    sm = by_type["summary"]
+    assert sm["metric_name"] == "rpc_summary"
+    assert sm["aggregation_temporality"] is None
+    assert sm["count"] == 9 and sm["sum"] == 7.5
+    assert sm["min"] is None and sm["max"] is None
+    assert sm["bucket_counts"] is None
