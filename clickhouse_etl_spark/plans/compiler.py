@@ -103,14 +103,31 @@ def _chain_for_source(
     return chain
 
 
+# Every dataop name a spec may declare (validated at parse time by
+# spec.model). The batch chain applies all of them; the streaming chain
+# applies only STREAM_SAFE_DATAOPS and raises SpecError on the rest.
+DATAOPS = frozenset({
+    "exact_dedup", "simhash", "language_id", "quality_score", "token_stats",
+    "fingerprint", "repetition_signals", "split_assign", "mixture_sample",
+    "scrub_pii", "chunk_documents",
+})
+# Row-local / explode-only ops — no window, no aggregation, no global
+# state — safe as mid-chain transforms under Structured Streaming
+# append mode.  exact_dedup (row_number window over the full corpus)
+# and simhash (per-doc aggregation after an explode) are batch-only:
+# streaming dedup is the spec's dedup stage (dropDuplicatesWithinWatermark).
+STREAM_SAFE_DATAOPS = DATAOPS - {"exact_dedup", "simhash"}
+
+
 def resolve_dataop(op: str):
     """Beyond-reference spec extension: training-data ops declared as
     ``{"type": "dataop", "config": {"op": ..., ...params}}`` transforms
-    run on the same compiled chain (batch AND streaming runners) after
-    the reference's fixed stage order.  Only stream-safe, row-local or
-    windowless ops are exposed here; corpus-global ops (near-dup pair
-    mining, clustering, packing) stay library-level because they need a
-    bounded batch to be well-defined."""
+    run after the reference's fixed stage order — the batch chain
+    applies every op in ``DATAOPS``; the streaming chain applies the
+    ``STREAM_SAFE_DATAOPS`` subset and rejects the rest at assembly
+    time.  Corpus-global ops (near-dup pair mining, clustering,
+    packing) stay library-level because they need a bounded batch to
+    be well-defined."""
     from ..dataops.chunking import chunk_documents, scrub_pii
     from ..dataops.dedup import exact_dedup_keep, simhash
     from ..dataops.text import (
@@ -136,6 +153,7 @@ def resolve_dataop(op: str):
         "scrub_pii": scrub_pii,
         "chunk_documents": chunk_documents,
     }
+    assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:
         return registry[op]
     except KeyError:

@@ -57,8 +57,10 @@ class TransformConfig:
 class DataopConfig:
     """Beyond-reference spec extension: a declared training-data op
     (``{"type": "dataop", "config": {"op": <name>, ...params}}``).
-    Ops resolve against plans.compiler.DATAOPS and run after the
-    reference's fixed filter→dedup→transform chain, in declared order."""
+    Op names are validated at parse time against
+    ``plans.compiler.DATAOPS`` and run after the reference's fixed
+    filter→dedup→transform chain, in declared order (batch: all ops;
+    streaming: the ``STREAM_SAFE_DATAOPS`` subset, others raise)."""
 
     op: str
     params: dict[str, Any] = dc_field(default_factory=dict)
@@ -158,6 +160,12 @@ def _parse_transforms(transforms: list[dict], sources: dict[str, dict]) -> None:
             op = cfg.get("op", "")
             if not op:
                 raise SpecError("dataop transform requires config.op")
+            # fail at parse time, not first chain run (lazy import — the
+            # compiler imports this module at load)
+            from ..plans.compiler import DATAOPS
+
+            if op not in DATAOPS:
+                raise SpecError(f"unknown dataop {op!r}; available: {sorted(DATAOPS)}")
             params = {k: v for k, v in cfg.items() if k != "op"}
             slot["dataops"].append(DataopConfig(op=op, params=params))
         elif ttype in ("stateless", "transform"):

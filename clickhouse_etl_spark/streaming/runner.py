@@ -74,8 +74,11 @@ def streaming_source_chain(
     dlq_sink: Optional[Callable[[DataFrame], None]] = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Per-source streaming chain: validate -> filter -> dedup-within-
-    watermark -> transform. Same fixed order as batch
-    (cmd/glassflow/dedup_component.go:210-225)."""
+    watermark -> transform -> dataops. Same fixed order as batch
+    (cmd/glassflow/dedup_component.go:210-225); spec-declared dataops
+    apply the STREAM_SAFE_DATAOPS subset only — batch-only ops
+    (exact_dedup's corpus window, simhash's per-doc aggregation) raise
+    SpecError at assembly time instead of silently skipping."""
 
     def chain(df: DataFrame) -> DataFrame:
         if value_is_json and src.schema_fields and "value" in df.columns:
@@ -100,6 +103,19 @@ def streaming_source_chain(
             )
         if src.transform is not None:
             df = apply_transform(df, src.transform)
+        if src.dataops:
+            from ..plans.compiler import STREAM_SAFE_DATAOPS, resolve_dataop
+            from ..spec.model import SpecError
+
+            for d in src.dataops:
+                if d.op not in STREAM_SAFE_DATAOPS:
+                    raise SpecError(
+                        f"dataop {d.op!r} is batch-only (needs a bounded corpus); "
+                        f"stream-safe ops: {sorted(STREAM_SAFE_DATAOPS)}. For "
+                        "streaming dedup use the dedup stage "
+                        "(dropDuplicatesWithinWatermark)."
+                    )
+                df = resolve_dataop(d.op)(df, **d.params)
         return df
 
     return chain

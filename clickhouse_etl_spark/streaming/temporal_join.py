@@ -134,34 +134,31 @@ def _coercer(dtype: T.DataType):
     return _py
 
 
-def _make_processor(
+def _make_step(
     cfg: JoinConfig,
     l_out: list[str],   # output names fed by the left side, in _l{i} order
     r_out: list[str],   # output names fed by the right side, in _r{i} order
     l_coerce: list,     # per-left-field state coercers
     r_coerce: list,     # per-right-field state coercers
     out_names: list[str],  # full output column order
-    state_gc_timeout_ms: int | None,
 ):
+    """The engine-agnostic per-key micro-batch step: vectorized
+    searchsorted join over one key's sorted rows + the columnar state
+    tuple.  Both stateful-API adapters (applyInPandasWithState and
+    transformWithStateInPandas) call this — one algorithm, two wirings.
+
+    Signature: step(rows_pdf, state_tuple_or_None) ->
+    (out_pdf_or_None, new_state_tuple_or_None) where the state tuple is
+    (has_right, right_us, *right_fields, left_us_list, *left_field_lists)
+    — the exact _state_schema layout."""
     left_ttl_us = int(cfg.left.time_window_s * 1_000_000)
     right_ttl_us = int(cfg.right.time_window_s * 1_000_000)
     l_cols = [f"_l{i}" for i in range(len(l_out))]
     r_cols = [f"_r{i}" for i in range(len(r_out))]
     n_r = len(r_cols)
 
-    def empty_out() -> pd.DataFrame:
-        return pd.DataFrame(columns=out_names)
-
-    def process(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            yield empty_out()
-            return
-
-        if state.exists:
-            st = state.get
+    def step(rows: pd.DataFrame, st: tuple | None):
+        if st is not None:
             has_right = bool(st[0])
             right_us = st[1]
             st_r = list(st[2 : 2 + n_r])
@@ -173,8 +170,6 @@ def _make_processor(
             st_l_us = np.asarray([], dtype="int64")
             st_l = [[] for _ in l_cols]
 
-        chunks = list(pdfs)
-        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         rows = rows.sort_values(["_us", "_side"], kind="mergesort")
 
         us = rows["_us"].to_numpy(dtype="int64", na_value=0)
@@ -279,17 +274,51 @@ def _make_processor(
             st_r = [None] * n_r
 
         if not has_right and not new_l_us.size:
+            new_state = None
+        else:
+            new_state = (
+                has_right,
+                right_us,
+                *st_r,
+                [int(v) for v in new_l_us],
+                *new_l,
+            )
+        out = pd.concat(emits, ignore_index=True) if emits else None
+        return out, new_state
+
+    return step
+
+
+def _make_processor(
+    cfg: JoinConfig,
+    l_out: list[str],
+    r_out: list[str],
+    l_coerce: list,
+    r_coerce: list,
+    out_names: list[str],
+    state_gc_timeout_ms: int | None,
+):
+    step = _make_step(cfg, l_out, r_out, l_coerce, r_coerce, out_names)
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame(columns=out_names)
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield empty_out()
+            return
+
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        out, new_state = step(rows, state.get if state.exists else None)
+
+        if new_state is None:
             state.remove()
         else:
-            state.update(
-                (
-                    has_right,
-                    right_us,
-                    *st_r,
-                    [int(v) for v in new_l_us],
-                    *new_l,
-                )
-            )
+            state.update(new_state)
             # GC backstop for keys that go quiet — ONLY when configured:
             # a registered processing-time timer keeps an availableNow
             # query alive with empty epochs until it fires, so
@@ -298,10 +327,7 @@ def _make_processor(
             if state_gc_timeout_ms is not None:
                 state.setTimeoutDuration(state_gc_timeout_ms)
 
-        if emits:
-            yield pd.concat(emits, ignore_index=True)
-        else:
-            yield empty_out()
+        yield out if out is not None else empty_out()
 
     return process
 

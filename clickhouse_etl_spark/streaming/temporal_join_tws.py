@@ -5,15 +5,24 @@ left pending queue, TTL expiry — reference algorithm at
 glassflow-api/internal/join/temporal.go:119-291) expressed on the
 modern arbitrary-stateful API: typed state variables (ValueState for
 the right buffer, ListState for pending lefts) with native state TTL
-instead of hand-rolled timestamp pruning. Preferred for new
-deployments; the applyInPandasWithState variant remains for engines
-without the new API.
+as the GC backstop instead of a registered timer.
+
+The join computation itself is NOT duplicated: both this processor and
+the applyInPandasWithState variant call ``temporal_join._make_step`` —
+the vectorized searchsorted step over one key's sorted rows and the
+columnar state tuple. This module only adapts the state tuple to/from
+the TWS typed state variables (ValueState row for the right side,
+ListState rows for pending lefts — typed columns, no JSON, no Python
+row loops).
+
+Gated by ``HAS_TWS``: the TWS state protocol needs google.protobuf,
+which is unavailable in some environments — the applyInPandasWithState
+variant is the active path there.
 """
 
 from __future__ import annotations
 
-import json
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,90 +41,90 @@ except ImportError:  # pragma: no cover — older Spark or no protobuf
     HAS_TWS = False
 
 from ..spec.model import JoinConfig
-from .temporal_join import _tagged_union
+from .temporal_join import _coercer, _make_step, _side_fields, _tagged_union
 
-_RIGHT_SCHEMA = T.StructType(
-    [
-        T.StructField("payload", T.StringType()),
-        T.StructField("us", T.LongType()),
-    ]
-)
-_LEFT_SCHEMA = T.StructType(
-    [
-        T.StructField("payload", T.StringType()),
-        T.StructField("us", T.LongType()),
-    ]
-)
+
+def _right_schema(r_fields) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("has_right", T.BooleanType()),
+            T.StructField("right_us", T.LongType()),
+            *[T.StructField(f"_r{i}", t) for i, (_, _, t) in enumerate(r_fields)],
+        ]
+    )
+
+
+def _pending_schema(l_fields) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("us", T.LongType()),
+            *[T.StructField(f"_l{i}", t) for i, (_, _, t) in enumerate(l_fields)],
+        ]
+    )
 
 
 class _TemporalJoinProcessor(StatefulProcessor):
-    def __init__(self, cfg: JoinConfig, out_fields: list[tuple[str, str, str]]):
-        self.cfg = cfg
-        self.out_fields = out_fields
-        self.left_ttl_us = int(cfg.left.time_window_s * 1_000_000)
-        self.right_ttl_us = int(cfg.right.time_window_s * 1_000_000)
+    """Adapter: TWS typed state <-> the shared columnar state tuple."""
+
+    def __init__(self, step, n_l: int, n_r: int,
+                 right_schema: T.StructType, pending_schema: T.StructType,
+                 out_names: list[str], ttl_ms: int | None):
+        self.step = step
+        self.n_l = n_l
+        self.n_r = n_r
+        self.right_schema = right_schema
+        self.pending_schema = pending_schema
+        self.out_names = out_names
+        self.ttl_ms = ttl_ms
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        ttl_ms = max(self.left_ttl_us, self.right_ttl_us) // 1000 * 2 or 60_000
-        self.right = handle.getValueState("right", _RIGHT_SCHEMA, ttlDurationMs=ttl_ms)
-        self.pending = handle.getListState("pending", _LEFT_SCHEMA, ttlDurationMs=ttl_ms)
+        kw = {"ttlDurationMs": self.ttl_ms} if self.ttl_ms else {}
+        self.right = handle.getValueState("right", self.right_schema, **kw)
+        self.pending = handle.getListState("pending", self.pending_schema, **kw)
 
-    def _emit(self, left_row: dict, right_row: dict) -> dict:
-        out: dict[str, Any] = {}
-        for source_id, name, out_name in self.out_fields:
-            src = left_row if source_id == self.cfg.left.source_id else right_row
-            out[out_name] = src.get(name)
-        return out
-
-    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:  # noqa: N802
-        right_state = self.right.get() if self.right.exists() else None
-        right_json, right_us = (right_state[0], right_state[1]) if right_state else (None, None)
-        pending = [(r[1], r[0]) for r in self.pending.get()] if self._has_pending() else []
-
-        batch = pd.concat(list(rows), ignore_index=True)
-        batch = batch.sort_values(["_us", "_side"], kind="mergesort")
-
-        out_rows: list[dict] = []
-        max_us = 0
-        for _, r in batch.iterrows():
-            us = int(r["_us"]) if pd.notna(r["_us"]) else 0
-            max_us = max(max_us, us)
-            payload = json.loads(r["_payload"]) if r["_payload"] else {}
-            if int(r["_side"]) == 1:  # right: overwrite + drain lefts
-                right_json, right_us = r["_payload"], us
-                for lus, lj in pending:
-                    if self.left_ttl_us == 0 or us - lus <= self.left_ttl_us:
-                        out_rows.append(self._emit(json.loads(lj), payload))
-                pending = []
-            else:  # left: immediate join or buffer
-                right_alive = right_json is not None and (
-                    self.right_ttl_us == 0 or us - (right_us or 0) <= self.right_ttl_us
-                )
-                if right_alive:
-                    out_rows.append(self._emit(payload, json.loads(right_json)))
-                else:
-                    pending.append((us, r["_payload"]))
-
-        if self.left_ttl_us:
-            pending = [(u, j) for u, j in pending if max_us - u <= self.left_ttl_us]
-        if self.right_ttl_us and right_us is not None and max_us - right_us > self.right_ttl_us:
-            right_json, right_us = None, None
-
-        if right_json is not None:
-            self.right.update((right_json, right_us))
+    def _load_state(self) -> tuple | None:
+        right = self.right.get() if self.right.exists() else None
+        pend = list(self.pending.get()) if self._pending_exists() else []
+        if right is None and not pend:
+            return None
+        if right is None:
+            has_right, right_us, st_r = False, None, [None] * self.n_r
         else:
-            self.right.clear()
+            has_right, right_us = bool(right[0]), right[1]
+            st_r = list(right[2 : 2 + self.n_r])
+        # ListState rows -> columnar lists (us list + one list per field)
+        left_us = [r[0] for r in pend]
+        st_l = [[r[1 + i] for r in pend] for i in range(self.n_l)]
+        return (has_right, right_us, *st_r, left_us, *st_l)
+
+    def _store_state(self, new_state: tuple | None) -> None:
+        self.right.clear()
         self.pending.clear()
-        if pending:
-            self.pending.put([(j, u) for u, j in pending])
+        if new_state is None:
+            return
+        has_right, right_us = new_state[0], new_state[1]
+        st_r = new_state[2 : 2 + self.n_r]
+        left_us = new_state[2 + self.n_r]
+        st_l = new_state[3 + self.n_r :]
+        if has_right:
+            self.right.update((True, right_us, *st_r))
+        if left_us:
+            self.pending.put(
+                [tuple([u, *(col[i] for col in st_l)]) for i, u in enumerate(left_us)]
+            )
 
-        yield pd.DataFrame(out_rows, columns=[o[2] for o in self.out_fields])
-
-    def _has_pending(self) -> bool:
+    def _pending_exists(self) -> bool:
         try:
             return self.pending.exists()
-        except Exception:
+        except Exception:  # some engine versions lack exists() on ListState
             return True
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:  # noqa: N802
+        chunks = list(rows)
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        out, new_state = self.step(batch, self._load_state())
+        self._store_state(new_state)
+        yield out if out is not None else pd.DataFrame(columns=self.out_names)
 
     def close(self) -> None:
         pass
@@ -128,17 +137,39 @@ def temporal_join_tws(
     left_ts: str,
     right_ts: str,
     output_schema: T.StructType,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
-    """transformWithStateInPandas wiring; requires Spark 4 (HAS_TWS)."""
+    """transformWithStateInPandas wiring; requires Spark 4 + protobuf
+    (``HAS_TWS``).  Same contract as
+    ``temporal_join.temporal_join_streaming``; ``state_ttl_ms`` maps to
+    native state-variable TTL (GC backstop — event-time pruning inside
+    the shared step is the semantic expiry)."""
     if not HAS_TWS:
-        raise RuntimeError("transformWithStateInPandas requires Spark 4")
-    out_fields = [(r.source_id, r.name, r.output_name) for r in cfg.output_fields]
-    if not out_fields:
+        raise RuntimeError("transformWithStateInPandas requires Spark 4 + protobuf")
+    if not cfg.output_fields:
         raise ValueError("streaming temporal join requires explicit output_fields")
-    union = _tagged_union(left, right, cfg, left_ts, right_ts)
+    l_rules = [r for r in cfg.output_fields if r.source_id == cfg.left.source_id]
+    r_rules = [r for r in cfg.output_fields if r.source_id != cfg.left.source_id]
+    l_fields = _side_fields(left, l_rules)
+    r_fields = _side_fields(right, r_rules)
+    out_names = [r.output_name for r in cfg.output_fields]
+
+    step = _make_step(
+        cfg,
+        [o for _, o, _ in l_fields],
+        [o for _, o, _ in r_fields],
+        [_coercer(t) for _, _, t in l_fields],
+        [_coercer(t) for _, _, t in r_fields],
+        out_names,
+    )
+    union = _tagged_union(left, right, cfg, left_ts, right_ts, l_fields, r_fields)
     return union.groupBy("_key").transformWithStateInPandas(
-        statefulProcessor=_TemporalJoinProcessor(cfg, out_fields),
+        statefulProcessor=_TemporalJoinProcessor(
+            step, len(l_fields), len(r_fields),
+            _right_schema(r_fields), _pending_schema(l_fields),
+            out_names, state_ttl_ms,
+        ),
         outputStructType=output_schema,
         outputMode="Append",
-        timeMode="ProcessingTime",
+        timeMode="None",
     )

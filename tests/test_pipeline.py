@@ -157,14 +157,54 @@ def test_dataop_transforms_in_spec(spark):
     assert 0 < n <= docs.count()
     assert out.filter("n_tokens > 0").count() == n
 
-    # unknown op fails at compile-or-run with a named error
+    # unknown op fails at PARSE time with a named error (not first run)
     bad = dict(doc)
     bad["transforms"] = [{"type": "dataop", "source_id": "documents",
                           "config": {"op": "nope"}}]
     import pytest as _pytest
 
     from clickhouse_etl_spark.spec.model import SpecError
-    spec_bad = parse_pipeline_json(bad)
-    plan_bad = compile_pipeline(spec_bad)
     with _pytest.raises(SpecError, match="unknown dataop"):
-        plan_bad.run_batch({"documents": docs}).count()
+        parse_pipeline_json(bad)
+
+
+def test_streaming_chain_applies_stream_safe_dataops(spark, tmp_path):
+    """ADVICE r3: spec-declared dataops must not silently vanish in a
+    streaming deployment — the stream-safe subset applies in
+    streaming_source_chain; batch-only ops raise SpecError at assembly
+    time (plan construction, no query started)."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.spec.model import (
+        DataopConfig,
+        SourceConfig,
+        SpecError,
+    )
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(1, "hello world example", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    safe = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(op="token_stats"), DataopConfig(op="quality_score")),
+    )
+    out = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out.isStreaming
+    assert "n_tokens" in out.columns and "quality" in out.columns
+
+    unsafe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="exact_dedup"),)
+    )
+    with _pytest.raises(SpecError, match="batch-only"):
+        streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
