@@ -64,27 +64,36 @@ def main_parent() -> None:
         names = [n for n in names if n in wanted]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i in range(0, len(names), CHUNK):
         chunk = names[i : i + CHUNK]
         out = _run_child({"BENCH_FILTER": ",".join(chunk), "BENCH_SKIP_STREAMING": "1"})
         timings.update(out.get("queries", {}))
+        # a crashed child JVM must not make the bench look faster/complete:
+        # record which queries vanished and exit non-zero at the end
+        if "error" in out:
+            errors[f"chunk:{chunk[0]}..{chunk[-1]}"] = out["error"]
+        missing = [n for n in chunk if n not in timings]
+        if missing and "error" not in out:
+            errors[f"missing:{','.join(missing)}"] = "child emitted no timing"
 
     streaming = {} if flt else _run_child({"BENCH_STREAMING_ONLY": "1"})
     streaming.pop("queries", None)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming_ingest": streaming,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming_ingest": streaming,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    if errors:
+        sys.exit(1)
 
 
 def main_child() -> None:

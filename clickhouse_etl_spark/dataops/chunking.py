@@ -130,7 +130,11 @@ def pack_sequences(
     count, never a global sort.  At production SF pass ``shards > 1``
     to sub-shard each stream by ``pmod(id, shards)`` (each shard packs
     independently; the concatenation order within a shard is still
-    total, so results stay deterministic).  Token counting matches
+    total, so results stay deterministic).  With ``shards > 1`` the
+    shard id is folded into the pack namespace —
+    ``pack_id = local_pack * shards + shard`` — so (stream, pack_id)
+    stays globally unique and downstream can reconstruct distinct
+    packs; a ``shard`` column is also emitted.  Token counting matches
     dataops.text.token_stats (whitespace tokens, empties dropped).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
@@ -156,14 +160,24 @@ def pack_sequences(
         .withColumn(
             "_end", F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1).cast("bigint")) - 1
         )
-        .withColumn("pack_id", F.expr(f"start_offset div {cap}"))
+        .withColumn("_local_pack", F.expr(f"start_offset div {cap}"))
     )
+    spanned = (F.expr(f"_end div {cap}") - F.col("_local_pack") + 1).cast("bigint")
+    if shards > 1:
+        # fold the shard into the pack namespace: local pack p of shard s
+        # -> p*shards + s, globally unique per (stream, pack_id)
+        pack_id = (F.col("_local_pack") * shards + F.col("_shard")).cast("bigint")
+        extra = [F.col("_shard").cast("bigint").alias("shard")]
+    else:
+        pack_id = F.col("_local_pack")
+        extra = []
     return d.select(
         F.col(id_col),
         F.col("stream").alias(stream_col),
         "n_tokens",
         "start_offset",
-        "pack_id",
+        pack_id.alias("pack_id"),
         F.pmod(F.col("start_offset"), F.lit(cap).cast("bigint")).alias("offset_in_pack"),
-        (F.expr(f"_end div {cap}") - F.col("pack_id") + 1).cast("bigint").alias("packs_spanned"),
+        spanned.alias("packs_spanned"),
+        *extra,
     )

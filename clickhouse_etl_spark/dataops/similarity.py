@@ -78,20 +78,41 @@ def cosine_topk(
     )
 
 
+def _guard_quadratic(df: DataFrame, max_rows: int | None, op: str, alternative: str) -> None:
+    """Steer callers off the O(n²) baselines above broadcast scale.
+
+    ``limit(max_rows+1).count()`` short-circuits the scan, so the probe
+    costs one cheap bounded job — negligible next to the quadratic join
+    it prevents. ``max_rows=None`` disables the guard (documented
+    contract for callers that know their input)."""
+    if max_rows is None:
+        return
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{op} is quadratic in its input and received more than "
+            f"max_rows={max_rows} rows; use {alternative} at this scale, "
+            "or pass max_rows=None to force the exact form"
+        )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All (a, b) pairs with cosine >= threshold, a < b.
 
     Quadratic candidate set — appropriate for corpora that fit a
-    broadcast (dims/dedup batches); use lsh_bucket_topk for web scale.
-    Norms are precomputed per vector (a narrow projection) so the
-    pairwise stage computes only the dot product — the fold result is
-    bit-identical to computing norms inline, so the oracle is unchanged.
+    broadcast (dims/dedup batches); use lsh_near_dup_pairs /
+    lsh_bucket_topk for web scale. The ``max_rows`` guard raises above
+    broadcast scale (None disables). Norms are precomputed per vector
+    (a narrow projection) so the pairwise stage computes only the dot
+    product — the fold result is bit-identical to computing norms
+    inline, so the oracle is unchanged.
     """
+    _guard_quadratic(df, max_rows, "embedding_near_dup_pairs", "lsh_near_dup_pairs")
     df = scale_out(df)
     withn = df.select(
         F.col(id_col).alias("id"),
@@ -362,6 +383,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "exact",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-level near-duplicate CLUSTERING with one survivor per
     cluster — the semantic-dedup stage of a training-data pipeline
@@ -369,7 +391,8 @@ def semantic_dedup(
     representative).
 
     ``method="exact"`` (default, the oracle form) generates pairs with
-    the quadratic baseline; ``method="lsh"`` swaps in
+    the quadratic baseline and is guarded by ``max_rows`` (raises above
+    broadcast scale; None disables); ``method="lsh"`` swaps in
     :func:`lsh_near_dup_pairs` — bucketed candidates, no all-pairs
     stage, recall < 1.0 — for web-scale corpora.
 
@@ -390,7 +413,11 @@ def semantic_dedup(
     if method == "lsh":
         pairs = lsh_near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
     else:
-        pairs = embedding_near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+        # the max_rows guard (raises above broadcast scale) steers
+        # web-scale callers to method="lsh"
+        pairs = embedding_near_dup_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col, max_rows=max_rows
+        )
     cc = connected_components(
         pairs, df.select(id_col), src_col="id_a", dst_col="id_b", id_col=id_col
     )

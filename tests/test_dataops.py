@@ -344,6 +344,13 @@ def test_pack_sequences_invariants(spark):
     sharded = pack_sequences(docs, capacity=8, shards=2).collect()
     by_id = {r["doc_id"]: r for r in sharded}
     assert by_id[2]["start_offset"] == 0 or by_id[1]["start_offset"] == 0
+    # ADVICE r3: pack_id is namespaced by shard (p*shards + s) and the
+    # shard column is emitted -> (stream, pack_id) never collides across
+    # shards of one stream
+    assert all(r["shard"] == r["doc_id"] % 2 for r in sharded)
+    assert all(r["pack_id"] % 2 == r["shard"] for r in sharded)
+    keys = [(r["source"], r["pack_id"], r["offset_in_pack"]) for r in sharded]
+    assert len(keys) == len(set(keys))  # distinct docs -> distinct slots
 
 
 def test_multimodal_resize_frames_features(spark):
@@ -417,3 +424,27 @@ def test_lsh_near_dup_pairs_recall(spark, sf_dir):
     # the clustering stage composes unchanged
     out = semantic_dedup(emb, threshold=0.45, method="lsh")
     assert out.filter("is_kept").count() <= out.count()
+
+
+def test_quadratic_guard_fires(spark, sf_dir):
+    """VERDICT r3 #8: the exact quadratic baselines refuse inputs above
+    broadcast scale (max_rows guard) and point at the LSH path; the LSH
+    method itself is unguarded."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    with _pytest.raises(ValueError, match="quadratic"):
+        embedding_near_dup_pairs(emb, threshold=0.45, max_rows=n - 1)
+    with _pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        semantic_dedup(emb, threshold=0.45, method="exact", max_rows=n - 1)
+    # under the cap / disabled: plan builds
+    assert embedding_near_dup_pairs(emb, threshold=0.45, max_rows=n).columns == ["id_a", "id_b", "sim"]
+    assert embedding_near_dup_pairs(emb, threshold=0.45, max_rows=None).columns == ["id_a", "id_b", "sim"]
+    # lsh path never counts the input
+    semantic_dedup(emb, threshold=0.45, method="lsh", max_rows=n - 1)
