@@ -10,6 +10,14 @@ from clickhouse_etl_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "live: smoke tests against real Kafka/ClickHouse endpoints "
+        "(skip unless KAFKA_BOOTSTRAP / CLICKHOUSE_JDBC_URL are set)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
