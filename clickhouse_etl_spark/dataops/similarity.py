@@ -129,6 +129,62 @@ def embedding_near_dup_pairs(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    sample_factor: int = 32,
+    lloyd_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids from a bounded sample.
+
+    Sample: the ``n_centroids * sample_factor`` corpus vectors that rank
+    first under the portable affine hash of their id (hash-order ≈
+    uniform, yet fully reproducible — no RNG).  Seeding: greedy
+    farthest-point (the deterministic k-means++ variant — each next seed
+    maximizes its min cosine distance to the chosen set).  Refinement:
+    ``lloyd_iters`` Lloyd iterations with cosine assignment and
+    renormalized mean updates.  All numpy on the driver: the sample is
+    bounded (n_centroids*factor vectors), so even 4096 centroids × 64
+    dims is a few MB — the corpus itself is never collected.
+    """
+    import numpy as np
+
+    from .hashing import affine_hash
+
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(affine_hash(F.col(id_col).cast("bigint"), 2654435761 % HASH_MOD, 97), F.col(id_col))
+        .limit(n_centroids * sample_factor)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in sample_rows], dtype="float64")
+    n = X.shape[0]
+    k = min(n_centroids, n)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    # greedy farthest-point seeding (deterministic k-means++)
+    chosen = [0]
+    best_sim = Xn @ Xn[0]  # similarity to nearest chosen centroid
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))  # farthest = lowest max-cosine
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, Xn @ Xn[nxt])
+    C = Xn[chosen].copy()
+
+    for _ in range(lloyd_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 1e-12:
+                    C[j] = m / nm
+    return [list(map(float, c)) for c in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,10 +198,10 @@ def ivf_topk(
     """Approximate top-k via IVF (inverted-file) cells — the other
     standard ANN scale path next to LSH.
 
-    1. centroids: a deterministic small sample of the corpus (first
-       ``n_centroids`` by id — a k-means refinement would drop in here;
-       determinism matters more than cell quality for this engine's
-       reproducibility contract);
+    1. centroids: deterministic spherical k-means over a bounded
+       hash-ordered sample (:func:`_kmeans_centroids` — greedy
+       farthest-point seeding + Lloyd refinement, no RNG, corpus never
+       collected);
     2. every corpus vector is assigned to its nearest centroid's cell
        (argmax cosine, Catalyst-only expressions over broadcast
        centroid literals — no UDF, no shuffle);
@@ -157,12 +213,8 @@ def ivf_topk(
     brute-force ``cosine_topk`` is the quality oracle
     (tests/test_dataops.py measures recall like the LSH path).
     """
-    cents = (
-        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    )  # n_centroids rows — the one intentionally-small driver fetch
-    cent_arrays = [
-        F.array(*[F.lit(float(v)) for v in row[vec_col]]) for row in cents
-    ]
+    cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    cent_arrays = [F.array(*[F.lit(v) for v in c]) for c in cents]
 
     def cell_ranking(vec: Column) -> Column:
         sims = F.array(

@@ -149,6 +149,53 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert a == again
 
 
+def test_ivf_kmeans_centroids_beat_naive_on_clustered_data(spark):
+    """VERDICT r3 #7: the deterministic k-means seeding (farthest-point
+    + Lloyd) must beat the old first-N-by-id seeding where centroid
+    quality actually matters — clustered corpora. (The sf* embeddings
+    are isotropic random vectors, where no seeding can help; this
+    builds a deterministic 16-cluster corpus instead.)"""
+    import numpy as np
+
+    import clickhouse_etl_spark.dataops.similarity as S
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 32)) * 5
+    pts = np.concatenate([c + rng.normal(size=(40, 32)) for c in centers])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+        ["vec_id", "embedding"],
+    ).cache()
+    df.count()
+    queries = (
+        df.filter(F.col("vec_id") % 40 == 7).limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(df, queries, k=5).collect()}
+
+    def recall():
+        a = {(r["query_id"], r["neighbor_id"])
+             for r in S.ivf_topk(df, queries, k=5, n_centroids=16, n_probe=2).collect()}
+        return len(a & brute) / len(brute)
+
+    kmeans_recall = recall()
+
+    def naive(corpus, n_centroids, vec_col, id_col, **kw):
+        rows = corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        return [[float(v) for v in r[vec_col]] for r in rows]
+
+    orig = S._kmeans_centroids
+    S._kmeans_centroids = naive
+    try:
+        naive_recall = recall()
+    finally:
+        S._kmeans_centroids = orig
+    # measured at introduction: kmeans 1.00 vs naive 0.92 (n_probe=2/16)
+    assert kmeans_recall > naive_recall
+    assert kmeans_recall >= 0.95
+
+
 def test_repetition_signals_known_values(spark):
     from clickhouse_etl_spark.dataops.text import repetition_signals
 
