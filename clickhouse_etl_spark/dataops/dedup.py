@@ -361,3 +361,63 @@ def simhash(
             F.lit(0).cast("bigint")
         )
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash — the third pair generator next
+    to MinHash-LSH and the n-gram inverted index.
+
+    Pigeonhole guarantee: with ``max_hamming < bands``, any pair within
+    the Hamming budget differs in at most ``max_hamming`` bands, so it
+    SHARES at least one band — candidate generation by equi-join on
+    (band_idx, band_value) has recall 1.0 (no LSH-style misses), and
+    the join key is high-cardinality/skew-free.  Candidates dedupe on
+    (a, b) before the single exact ``bit_count(xor)`` verify.  No
+    all-pairs stage anywhere; at 100-TB scale this is one explode
+    (bands per doc) + one bucketed shuffle.
+
+    Output: (id_a, id_b, hamming), a < b, hamming <= max_hamming.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole recall needs max_hamming < bands")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.shiftright(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_sig", F.col("_b.bi").alias("_bi"), F.col("_b.bv").alias("_bv"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "_bi", "_bv"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "_bi", "_bv"
+    )
+    cand = (
+        a.join(b, ["_bi", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

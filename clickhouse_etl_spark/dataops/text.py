@@ -379,3 +379,74 @@ def corpus_report(
         F.sum(F.when(F.col("quality") >= 0.7, 1).otherwise(0)).alias("n_high_quality"),
         F.sum(F.when(F.col("quality") < 0.4, 1).otherwise(0)).alias("n_low_quality"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 2,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    standard lexical ranking a corpus-curation / retrieval stage needs
+    next to the embedding ANN path.
+
+    Determinism shims (both engines agree bit-for-bit):
+
+    - rational idf ``(N - df + 0.5) / (df + 0.5)`` instead of the
+      logarithmic form — engine libm ``ln`` rounding differs, rational
+      arithmetic over exact integers does not;
+    - each per-(doc, term) score is rounded to micro-units
+      (``round(score * 1e6)`` -> BIGINT) BEFORE the per-doc sum, so the
+      aggregation is exact integer addition in any order (double sums
+      are shuffle-order-dependent).
+
+    Plan shape: one explode for doc lengths (scan-speed agg), the tf
+    explode filters to the query terms BEFORE its (doc, term) agg so
+    the shuffle carries only matching postings; N/avgdl and the df map
+    ride a broadcast join. Output: (id, score_micros) for docs matching
+    >= 1 term.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda t: F.length(t) >= min_token_len,
+    )
+    base = scale_out(df).select(F.col(id_col), toks.alias("_toks"))
+    doclen = base.select(id_col, F.size("_toks").cast("bigint").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+
+    words = base.select(id_col, F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).cast("bigint").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(doclen.withColumnRenamed(id_col, "_dlid")),
+              F.col(id_col) == F.col("_dlid"))
+        .crossJoin(F.broadcast(stats))
+    )
+    # keep the arithmetic order EXACTLY as written in the oracle SQL
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * (tfd * F.lit(k1 + 1.0)) / denom
+    micros = F.round(term_score * F.lit(1000000.0)).cast("bigint")
+    return (
+        scored.withColumn("_micros", micros)
+        .groupBy(id_col)
+        .agg(F.sum("_micros").cast("bigint").alias("score_micros"))
+    )

@@ -3167,6 +3167,157 @@ def docs_vocab_stats(spark, sf_dir):
     )
 
 
+@q(
+    "docs_simhash_pairs",
+    f"""
+    WITH sigs AS ({_simhash_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+        FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bi) u
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    "bench",
+)
+def docs_simhash_pairs(spark, sf_dir):
+    """Banded-SimHash near-dup pairs (dataops/dedup.simhash_near_dup_
+    pairs): 4 bands x 8 bits, Hamming <= 3 — pigeonhole makes band
+    sharing a recall-1.0 candidate filter, so the oracle's theta join
+    and the engine's bucketed equi-join agree exactly."""
+    from .dataops.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+BM25_QUERY_TERMS = ["spark", "join", "window", "query"]
+
+
+@q(
+    "docs_bm25",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> len(t) >= 2) AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_len
+        FROM dl
+    ), w AS (
+        SELECT doc_id, unnest(toks) AS term FROM d
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM w WHERE term IN ('spark', 'join', 'window', 'query')
+        GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                 ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                        / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                 * 1000000.0) AS BIGINT) AS micros
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micros
+    FROM scored GROUP BY doc_id
+    """,
+    "bench",
+)
+def docs_bm25(spark, sf_dir):
+    """BM25 lexical relevance against a fixed query-term set
+    (dataops/text.bm25_scores). Determinism shims: rational idf (no
+    libm ln) and per-(doc, term) micro-unit rounding BEFORE the per-doc
+    sum so aggregation is exact integer addition on both engines."""
+    from .dataops.text import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+
+
+@q(
+    "events_zscore_anomalies",
+    """
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), st AS (
+        SELECT event_id, user_id, cents,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(cents) OVER w AS BIGINT) AS s,
+               CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+        FROM c WINDOW w AS (PARTITION BY user_id)
+    ), z AS (
+        SELECT event_id, user_id, cents,
+               n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+        FROM st
+    )
+    SELECT event_id, user_id, cents,
+           round((CAST(cents AS DOUBLE) - mean) / sqrt(var), 6) AS z
+    FROM z
+    WHERE n >= 5 AND var > 0
+      AND abs((CAST(cents AS DOUBLE) - mean) / sqrt(var)) >= 2.5
+    """,
+    "bench",
+)
+def events_zscore_anomalies(spark, sf_dir):
+    """Per-user z-score outliers over event values — the anomaly /
+    outlier-filter primitive of a telemetry or data-quality pipeline.
+    Mean and variance come from exact BIGINT window sums of integer
+    cents (count, sum, sum-of-squares), so the double arithmetic is
+    order-identical on both engines; sqrt is IEEE correctly rounded.
+    One hash-shuffle on user_id; no sort, no collect."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id")
+    c = ev.select("event_id", "user_id", cents.alias("cents"))
+    st = c.select(
+        "event_id", "user_id", "cents",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("cents").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n").cast("double")
+        - (F.col("s").cast("double") / F.col("n").cast("double"))
+        * (F.col("s").cast("double") / F.col("n").cast("double"))
+    )
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    return (
+        st.withColumn("_mean", mean)
+        .withColumn("_var", var)
+        .filter((F.col("n") >= 5) & (F.col("_var") > 0))
+        .filter(F.abs((F.col("cents").cast("double") - F.col("_mean")) / F.sqrt(F.col("_var"))) >= 2.5)
+        .select(
+            "event_id", "user_id", "cents",
+            F.round(
+                (F.col("cents").cast("double") - F.col("_mean")) / F.sqrt(F.col("_var")), 6
+            ).alias("z"),
+        )
+    )
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →

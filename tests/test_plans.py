@@ -132,9 +132,11 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
       scoped to broadcast-size corpora (lsh_near_dup_pairs is the
       scale path and must stay BNLJ-free — it is NOT allowlisted via
       emb_semantic_dedup's default exact method here because the
-      registry entry uses the exact form as the oracle contract).
+      registry entry uses the exact form as the oracle contract);
+    - docs_bm25: crossJoin of the SINGLE-ROW corpus-stats aggregate
+      (N, total_len) — a 1×n broadcast stream, not a quadratic.
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup"}
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
