@@ -363,6 +363,72 @@ def simhash(
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
 
+def span_dedup(
+    df: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact dedup: per-document duplicated-span report.
+
+    The aligned-window approximation of exact-substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): tokenize, slice each document into non-overlapping
+    ``span_tokens``-token spans, keep the globally-first occurrence of
+    every distinct span (total order: ``(doc_id, span_idx)``), and
+    report how much of each document is repeated content.
+
+    Scale shape: one posexplode producing corpus_tokens/span_tokens
+    rows, then one hash-shuffle keyed by the span digest (md5 —
+    high-cardinality, skew-free, engine-portable). No pairwise stage;
+    the window per digest only ranks the copies of one span.
+
+    Output: (doc_id, n_spans, dup_spans, dup_permille). Documents with
+    zero tokens produce no spans and are omitted.
+    """
+    from pyspark.sql import Window
+
+    df = scale_out(df)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    d = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n_spans",
+        F.floor((F.size("_toks") + (span_tokens - 1)) / span_tokens).cast("int"),
+    )
+    idx = F.when(
+        F.col("_n_spans") >= 1, F.sequence(F.lit(0), F.col("_n_spans") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    spans = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice("_toks", i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_idx", "_span"),
+    )
+    w = Window.partitionBy("_h").orderBy(id_col, "span_idx")
+    ranked = spans.withColumn("_h", F.md5("_span")).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    dup = F.sum(F.when(F.col("_rk") > 1, F.lit(1)).otherwise(F.lit(0))).alias(
+        "dup_spans"
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(F.count("*").alias("n_spans"), dup)
+        .select(
+            id_col,
+            "n_spans",
+            "dup_spans",
+            F.expr("dup_spans * 1000 div n_spans").alias("dup_permille"),
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

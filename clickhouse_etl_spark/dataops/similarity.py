@@ -480,3 +480,35 @@ def semantic_dedup(
         F.count("*").over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Class-balanced downsample: keep exactly min-class-count rows per
+    label, chosen by a deterministic hash order — the rebalancing step
+    before training on a label-skewed corpus (no RNG, so any engine
+    reproduces the same sample).
+
+    Per-label rank by ``(affine_hash(id), id)`` is a windowed
+    row_number over the label key (one hash-shuffle, skew bounded by
+    the largest class); the min class size is a single-row aggregate
+    broadcast back (bounded BNLJ). Rank <= n filter keeps the sample.
+
+    Output: (id, label, sample_rank), sample_rank in [1, n_min].
+    """
+    from .hashing import affine_hash
+
+    counts = df.groupBy(label_col).count()
+    n_min = counts.agg(F.min("count").alias("_n_keep"))
+    w = Window.partitionBy(label_col).orderBy(
+        affine_hash(F.col(id_col), 1103, 12289), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_min))
+        .filter(F.col("_rk") <= F.col("_n_keep"))
+        .select(id_col, label_col, F.col("_rk").cast("int").alias("sample_rank"))
+    )

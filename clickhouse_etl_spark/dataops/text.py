@@ -381,6 +381,54 @@ def corpus_report(
     )
 
 
+def rare_token_ratio(
+    df: DataFrame,
+    k_rare: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tail-vocabulary scoring: share of each document's tokens drawn
+    from the corpus's ``k_rare`` rarest terms (lowest document
+    frequency, term as tie-break) — the OOV/rare-token signal quality
+    filters use to flag jargon-heavy or corrupted documents.
+
+    Plan shape: one explode + term-keyed agg builds the df table (same
+    shuffle as vocab_stats); the rare set is a top-k
+    (TakeOrderedAndProject — no global sort materialization) and rides
+    a broadcast back onto the token stream, so the corpus is shuffled
+    once, by doc id, for the final agg.
+
+    Output: (doc_id, n_tokens, n_rare, rare_permille). All integer —
+    oracle-exact.
+    """
+    words = scale_out(df).select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0)
+        ).alias("term"),
+    )
+    vocab = words.groupBy("term").agg(F.countDistinct(id_col).alias("dfreq"))
+    rare = (
+        vocab.orderBy("dfreq", "term")
+        .limit(k_rare)
+        .select("term", F.lit(1).alias("_rare"))
+    )
+    flagged = words.join(F.broadcast(rare), "term", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_rare"), F.lit(0))).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_rare",
+            F.expr("n_rare * 1000 div n_tokens").alias("rare_permille"),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -3318,6 +3318,98 @@ def events_zscore_anomalies(spark, sf_dir):
     )
 
 
+@q(
+    "docs_span_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tokens
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+               md5(array_to_string(list_slice(tokens, i*16+1, i*16+16), ' ')) AS h
+        FROM toks, LATERAL unnest(
+            generate_series(0, CAST((len(tokens) + 15) // 16 AS BIGINT) - 1)) AS t(i)
+    ), ranked AS (
+        SELECT doc_id, span_idx,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rk
+        FROM spans
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS dup_permille
+    FROM ranked GROUP BY doc_id
+    """,
+    "bench",
+)
+def docs_span_dedup(spark, sf_dir):
+    """Span-level exact dedup (dataops/dedup.span_dedup): aligned
+    16-token windows, globally-first occurrence wins, per-doc
+    duplicated-span report — the Lee-et-al-2021-style repeated-content
+    signal. One posexplode + one md5-keyed shuffle; no pairwise stage."""
+    from .dataops.dedup import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), span_tokens=16)
+
+
+@q(
+    "docs_rare_token_ratio",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+               t -> len(t) > 0)) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term, count(DISTINCT doc_id) AS dfreq FROM words GROUP BY term
+    ), rare AS (
+        SELECT term FROM vocab ORDER BY dfreq, term LIMIT 8
+    )
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(r.term) AS BIGINT) AS n_rare,
+           CAST(count(r.term) * 1000 // count(*) AS BIGINT) AS rare_permille
+    FROM words w LEFT JOIN rare r ON w.term = r.term
+    GROUP BY w.doc_id
+    """,
+    "bench",
+)
+def docs_rare_token_ratio(spark, sf_dir):
+    """Tail-vocabulary share per document (dataops/text.rare_token_
+    ratio): tokens drawn from the corpus's 8 rarest terms (df-ordered,
+    term tie-break). The rare set is a top-k broadcast; the corpus
+    shuffles once by doc id. All-integer output — oracle-exact."""
+    from .dataops.text import rare_token_ratio
+
+    return rare_token_ratio(_t(spark, sf_dir, "documents"), k_rare=8)
+
+
+@q(
+    "emb_balanced_sample",
+    f"""
+    WITH ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY label
+                   ORDER BY {affine_hash_sql('vec_id', 1103, 12289)}, vec_id) AS rk
+        FROM embeddings
+    ), n AS (
+        SELECT min(cnt) AS n_keep FROM (
+            SELECT count(*) AS cnt FROM embeddings GROUP BY label)
+    )
+    SELECT vec_id, label, CAST(rk AS INTEGER) AS sample_rank
+    FROM ranked, n WHERE rk <= n.n_keep
+    """,
+    "bench",
+)
+def emb_balanced_sample(spark, sf_dir):
+    """Class-balanced deterministic downsample (dataops/similarity.
+    balanced_sample): min-class-count rows per label chosen by affine-
+    hash order — RNG-free rebalancing before training. The min class
+    size is a 1-row broadcast (bounded BNLJ, allowlisted)."""
+    from .dataops.similarity import balanced_sample
+
+    return balanced_sample(_t(spark, sf_dir, "embeddings"))
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →

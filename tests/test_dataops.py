@@ -495,3 +495,59 @@ def test_quadratic_guard_fires(spark, sf_dir):
     assert embedding_near_dup_pairs(emb, threshold=0.45, max_rows=None).columns == ["id_a", "id_b", "sim"]
     # lsh path never counts the input
     semantic_dedup(emb, threshold=0.45, method="lsh", max_rows=n - 1)
+
+
+def test_span_dedup_planted_duplicate_spans(spark):
+    from clickhouse_etl_spark.dataops.dedup import span_dedup
+
+    block = " ".join(f"w{i}" for i in range(16))        # one full 16-token span
+    other = " ".join(f"x{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (1, block + " " + other),                   # first occurrence of both
+            (2, block + " " + block),                   # both spans are copies of doc 1's
+            (3, other),                                 # one span, already seen
+            (4, ""),                                    # no tokens -> omitted
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df, span_tokens=16).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["dup_spans"] == 0
+    assert out[2]["n_spans"] == 2 and out[2]["dup_spans"] == 2
+    assert out[2]["dup_permille"] == 1000
+    assert out[3]["n_spans"] == 1 and out[3]["dup_spans"] == 1
+    assert 4 not in out
+
+
+def test_rare_token_ratio_flags_tail_vocab(spark):
+    from clickhouse_etl_spark.dataops.text import rare_token_ratio
+
+    common = "the the the the"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(1, 9)] + [(9, common + " zyzzyx")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in rare_token_ratio(df, k_rare=1).collect()}
+    # 'zyzzyx' (df=1) is the single rarest term; 'the' (df=9) is not
+    assert out[9]["n_rare"] == 1 and out[9]["n_tokens"] == 5
+    assert out[9]["rare_permille"] == 200
+    assert all(out[i]["n_rare"] == 0 for i in range(1, 9))
+
+
+def test_balanced_sample_equal_classes_deterministic(spark):
+    from clickhouse_etl_spark.dataops.similarity import balanced_sample
+
+    rows = [(i, [0.0], i % 3) for i in range(30)] + [(100 + i, [0.0], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = balanced_sample(df).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r["vec_id"])
+    # min class size is 10 (labels 1 and 2); every label keeps exactly 10
+    assert {len(v) for v in by_label.values()} == {10}
+    assert set(by_label) == {0, 1, 2}
+    # deterministic: a second run picks the identical sample
+    again = balanced_sample(df).collect()
+    assert sorted((r["vec_id"], r["label"]) for r in out) == sorted(
+        (r["vec_id"], r["label"]) for r in again
+    )
