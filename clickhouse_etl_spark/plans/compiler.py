@@ -109,14 +109,19 @@ def _chain_for_source(
 DATAOPS = frozenset({
     "exact_dedup", "simhash", "language_id", "quality_score", "token_stats",
     "fingerprint", "repetition_signals", "split_assign", "mixture_sample",
-    "scrub_pii", "chunk_documents",
+    "scrub_pii", "chunk_documents", "span_dedup", "rare_token_ratio",
+    "balanced_sample",
 })
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
-# append mode.  exact_dedup (row_number window over the full corpus)
-# and simhash (per-doc aggregation after an explode) are batch-only:
+# append mode.  exact_dedup (row_number window over the full corpus),
+# simhash (per-doc aggregation after an explode), span_dedup (window
+# over the global span digest), rare_token_ratio (corpus df top-k),
+# and balanced_sample (global min class count) are batch-only:
 # streaming dedup is the spec's dedup stage (dropDuplicatesWithinWatermark).
-STREAM_SAFE_DATAOPS = DATAOPS - {"exact_dedup", "simhash"}
+STREAM_SAFE_DATAOPS = DATAOPS - {
+    "exact_dedup", "simhash", "span_dedup", "rare_token_ratio", "balanced_sample"
+}
 
 
 def resolve_dataop(op: str):
@@ -129,12 +134,14 @@ def resolve_dataop(op: str):
     packing) stay library-level because they need a bounded batch to
     be well-defined."""
     from ..dataops.chunking import chunk_documents, scrub_pii
-    from ..dataops.dedup import exact_dedup_keep, simhash
+    from ..dataops.dedup import exact_dedup_keep, simhash, span_dedup
+    from ..dataops.similarity import balanced_sample
     from ..dataops.text import (
         doc_fingerprint,
         language_id,
         mixture_sample,
         quality_score,
+        rare_token_ratio,
         repetition_signals,
         split_assign,
         token_stats,
@@ -143,6 +150,9 @@ def resolve_dataop(op: str):
     registry = {
         "exact_dedup": exact_dedup_keep,
         "simhash": simhash,
+        "span_dedup": span_dedup,
+        "rare_token_ratio": rare_token_ratio,
+        "balanced_sample": balanced_sample,
         "language_id": language_id,
         "quality_score": quality_score,
         "token_stats": token_stats,

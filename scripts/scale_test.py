@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4"]
 
 
 def materialize(spark) -> None:
@@ -219,6 +219,37 @@ def section_new(spark) -> None:
     _timed("range_join", rj, N_ROWS)
 
 
+def section_r4(spark) -> None:
+    from clickhouse_etl_spark.dataops.dedup import simhash_near_dup_pairs, span_dedup
+    from clickhouse_etl_spark.dataops.similarity import balanced_sample
+    from clickhouse_etl_spark.dataops.text import bm25_scores, rare_token_ratio
+
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+    tiny = bd.limit(200)
+    _timed("docs_span_dedup", span_dedup(bd), nd, "docs", warm=span_dedup(tiny))
+    _timed(
+        "docs_rare_token_ratio", rare_token_ratio(bd), nd, "docs",
+        warm=rare_token_ratio(tiny),
+    )
+    # NOTE: the 20x-replicated corpus is the pathological all-dup case
+    # for pair mining — every doc has 19 exact copies sharing all bands
+    _timed(
+        "docs_simhash_pairs", simhash_near_dup_pairs(bd), nd, "docs",
+        warm=simhash_near_dup_pairs(tiny),
+    )
+    terms = ["spark", "join", "window", "query"]
+    _timed(
+        "docs_bm25", bm25_scores(bd, terms), nd, "docs",
+        warm=bm25_scores(tiny, terms),
+    )
+    ids = spark.range(N_ROWS).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 97).alias("label")
+    )
+    _timed("balanced_sample", balanced_sample(ids), N_ROWS,
+           warm=balanced_sample(ids.limit(1000)))
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -228,7 +259,8 @@ def main() -> None:
         )
         _ensure_data(spark)
         {"ops": section_ops, "text": section_text,
-         "multimodal": section_multimodal, "new": section_new}[section](spark)
+         "multimodal": section_multimodal, "new": section_new,
+         "r4": section_r4}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

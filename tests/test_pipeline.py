@@ -9,6 +9,8 @@ with a rename + DateTime cast.
 import datetime as dt
 import json
 
+import pytest
+
 from clickhouse_etl_spark.plans import compile_pipeline
 from clickhouse_etl_spark.spec import parse_pipeline_json
 
@@ -208,3 +210,39 @@ def test_streaming_chain_applies_stream_safe_dataops(spark, tmp_path):
     )
     with _pytest.raises(SpecError, match="batch-only"):
         streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
+
+
+def test_r4_dataops_on_spec_surface(spark, tmp_path):
+    """The r4 corpus-global ops are declarable as v3 dataop transforms
+    (batch chain) and correctly rejected by the streaming chain."""
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    new_ops = {"span_dedup", "rare_token_ratio", "balanced_sample"}
+    assert new_ops <= DATAOPS and not (new_ops & STREAM_SAFE_DATAOPS)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    assert resolve_dataop("span_dedup")(docs, span_tokens=2).count() == 2
+    assert resolve_dataop("rare_token_ratio")(docs, k_rare=1).count() == 2
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "never_started"
+    src.mkdir()
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    for op in sorted(new_ops):
+        cfg = SourceConfig(source_id="documents", dataops=(DataopConfig(op=op),))
+        with pytest.raises(SpecError, match="batch-only"):
+            streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
