@@ -379,6 +379,32 @@ def simhash(
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
 
+def dedup_against(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup: drop new documents whose content
+    digest already appears in a previously-ingested corpus, then keep
+    the first occurrence within the new batch itself — the
+    dedup-per-ingest-wave step of a continuously-growing corpus
+    (sources/filestream.py does the streaming form across runs).
+
+    Scale shape: the seen side reduces to DISTINCT digests before the
+    join, so the anti-join shuffle carries 32-hex-char digests, never
+    text; AQE broadcasts the digest set when it is small. Within-batch
+    first-wins is the usual WindowGroupLimit row_number()=1.
+    """
+    seen = seen_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    survivors = (
+        new_df.withColumn("_h", F.md5(F.col(text_col)))
+        .join(seen, "_h", "left_anti")
+        .drop("_h")
+    )
+    return exact_dedup_keep(survivors, text_col=text_col, id_col=id_col)
+
+
 def span_dedup(
     df: DataFrame,
     span_tokens: int = 16,

@@ -381,6 +381,42 @@ def corpus_report(
     )
 
 
+def quality_deciles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-curriculum bucketing: assign every document a decile of
+    the corpus quality distribution — the stratification step before
+    curriculum ordering or per-tier mixture weighting.
+
+    Scale shape: NO ntile (a global-sort single-partition window);
+    thresholds are the nine exact decile percentiles of the
+    micro-rounded quality score computed in one 1-row aggregate and
+    broadcast back (bounded BNLJ); assignment is a Catalyst
+    filter-count over the 9-element threshold array. Determinism:
+    quality is micro-rounded to BIGINT first, and Spark ``percentile``
+    matches DuckDB ``quantile_cont`` exactly on integer inputs.
+
+    Output: (doc_id, qm, decile), decile in [1, 10].
+    """
+    q = quality_score(df, text_col)
+    qm = q.select(
+        F.col(id_col),
+        F.round(F.col("quality") * 1000000.0).cast("bigint").alias("qm"),
+    )
+    th = qm.agg(
+        F.percentile("qm", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("th")
+    )
+    decile = (
+        F.lit(1)
+        + F.size(F.filter(F.col("th"), lambda t: F.col("qm").cast("double") > t))
+    ).cast("int")
+    return (
+        qm.crossJoin(F.broadcast(th)).select(id_col, "qm", decile.alias("decile"))
+    )
+
+
 def rare_token_ratio(
     df: DataFrame,
     k_rare: int = 8,

@@ -1829,9 +1829,7 @@ def docs_langid(spark, sf_dir):
 
 _EN_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
-@q(
-    "docs_quality_score",
-    f"""
+_QUALITY_SQL = f"""
     WITH base AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_q,
@@ -1857,9 +1855,10 @@ _EN_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
          + 0.2 * stop_ratio
          + 0.2 * (1.0 - punct_ratio) AS quality
     FROM ratios
-    """,
-    "bench",
-)
+    """
+
+
+@q("docs_quality_score", _QUALITY_SQL, "bench")
 def docs_quality_score(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars_q", "n_tokens_q", "punct_ratio", "stop_ratio",
@@ -3408,6 +3407,69 @@ def emb_balanced_sample(spark, sf_dir):
     from .dataops.similarity import balanced_sample
 
     return balanced_sample(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "docs_quality_deciles",
+    f"""
+    WITH q AS (
+        SELECT doc_id, quality FROM ({_QUALITY_SQL})
+    ), qm AS (
+        SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q
+    ), th AS (
+        SELECT quantile_cont(qm, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th
+        FROM qm
+    )
+    SELECT doc_id, qm,
+           CAST(1 + len(list_filter(th, t -> CAST(qm AS DOUBLE) > t)) AS INTEGER) AS decile
+    FROM qm, th
+    """,
+    "bench",
+)
+def docs_quality_deciles(spark, sf_dir):
+    """Quality-decile curriculum bucketing (dataops/text.quality_
+    deciles): exact decile thresholds from one 1-row percentile
+    aggregate broadcast back — no ntile global-sort window. Spark
+    percentile == DuckDB quantile_cont exactly on the micro-rounded
+    BIGINT quality."""
+    from .dataops.text import quality_deciles
+
+    return quality_deciles(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_incremental_dedup",
+    """
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) < 10
+    ), news AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) >= 10
+    ), surv AS (
+        SELECT n.* FROM news n
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(n.text))
+    ), ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        FROM surv
+    )
+    SELECT doc_id, source FROM ranked WHERE rk = 1
+    """,
+    "bench",
+)
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingest-wave dedup (dataops/dedup.dedup_against):
+    new-wave documents (src10+) anti-joined against the seen corpus's
+    (src0-9) distinct digests, then first-wins within the wave. The
+    shuffle carries digests, never text."""
+    from .dataops.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    wave = F.substring("source", 4, 10).cast("int")
+    seen = docs.filter(wave < 10)
+    new = docs.filter(wave >= 10)
+    return dedup_against(new, seen).select("doc_id", "source")
 
 
 @q("multimodal_pipeline", None)

@@ -551,3 +551,35 @@ def test_balanced_sample_equal_classes_deterministic(spark):
     assert sorted((r["vec_id"], r["label"]) for r in out) == sorted(
         (r["vec_id"], r["label"]) for r in again
     )
+
+
+def test_quality_deciles_bounds_and_monotonicity(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.text import quality_deciles
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_deciles(docs).collect()
+    assert len(out) == docs.count()
+    assert all(1 <= r["decile"] <= 10 for r in out)
+    # monotone: a higher quality score never lands in a lower decile
+    rows = sorted(out, key=lambda r: r["qm"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["decile"] <= b["decile"]
+
+
+def test_dedup_against_drops_seen_and_within_wave(spark):
+    from clickhouse_etl_spark.dataops.dedup import dedup_against
+
+    seen = spark.createDataFrame(
+        [(1, "known content"), (2, "other known")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "known content"),    # dup of seen -> dropped
+            (11, "fresh content"),    # survives
+            (12, "fresh content"),    # within-wave dup of 11 -> dropped
+            (13, "more new text"),    # survives
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    assert kept == [11, 13]

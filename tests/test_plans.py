@@ -136,9 +136,11 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
     - docs_bm25: crossJoin of the SINGLE-ROW corpus-stats aggregate
       (N, total_len) — a 1×n broadcast stream, not a quadratic;
     - emb_balanced_sample: crossJoin of the SINGLE-ROW min-class-count
-      aggregate — same bounded 1×n pattern as docs_bm25.
+      aggregate — same bounded 1×n pattern as docs_bm25;
+    - docs_quality_deciles: crossJoin of the SINGLE-ROW decile-
+      threshold aggregate — same bounded 1×n pattern.
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample"}
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
