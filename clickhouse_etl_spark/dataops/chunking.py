@@ -181,3 +181,45 @@ def pack_sequences(
         spanned.alias("packs_spanned"),
         *extra,
     )
+
+
+#: epoch-shuffle permutation constants (MinHash family member) and the
+#: per-epoch offset that decorrelates successive epochs
+SHUF_A, SHUF_B = 48497, 121949
+EPOCH_OFFSET = 777_767
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-varying global shuffle: assign every
+    document a training shard and a position within it — the
+    data-ordering step before writing per-worker epoch files. Changing
+    ``epoch`` permutes the order reproducibly (no RNG, so any engine
+    and any re-run agree).
+
+    Scale shape: shard = affine-hash mod n_shards (one hash shuffle,
+    uniform by construction); within-shard order is a per-shard window
+    sort — n_shards independent sorts, never a global one. At cluster
+    scale set n_shards to the writer parallelism.
+
+    Output: (id, shard, pos), pos = 1..shard size.
+    """
+    from .hashing import HASH_MOD, affine_hash
+
+    # epoch MULTIPLIES (never shifts): adding a constant before the
+    # affine hash is a uniform key shift that can preserve both shard
+    # assignment and order; multiplying by (1 + epoch*OFFSET) mod P
+    # genuinely permutes. Product fits int64 for epoch < ~4000.
+    base = affine_hash(F.col(id_col).cast("bigint"), SHUF_A, SHUF_B)
+    key = (base * F.lit(1 + epoch * EPOCH_OFFSET)) % F.lit(HASH_MOD)
+    d = df.select(F.col(id_col), key.alias("_key")).withColumn(
+        "shard", (F.col("_key") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return d.select(
+        id_col, "shard", F.row_number().over(w).cast("int").alias("pos")
+    )

@@ -305,6 +305,44 @@ def mixture_sample(
     return df.withColumn("rate_bp", rate_bp).withColumn("keep", keep)
 
 
+def upsample_mixture(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-source UPsampling — the epochs-per-subset
+    knob of a pretraining data recipe (high-quality subsets repeated
+    >1x, others fractionally sampled), complementing
+    :func:`mixture_sample`'s pure downsampling.
+
+    Each source gets a rate in basis points (derived from a hash of
+    the source name so the demo is self-contained; production passes a
+    real weight map — can exceed 10000 = more than one epoch). A
+    document yields ``rate // 10000`` guaranteed copies plus one more
+    iff the id-hash gate falls under the fractional remainder — the
+    same hash-gate convention as mixture_sample, so re-runs are
+    bit-reproducible. Copies materialize via one explode
+    (copy_idx = 1..n); zero-copy documents drop out.
+
+    Scale shape: pure Catalyst (hash + sequence + explode), row-local,
+    no shuffle at all; output size = sum of rates.
+    """
+    rate_bp = (
+        (char_fold_hash(F.col(source_col)) % 5) * F.lit(6000) + F.lit(2500)
+    ).cast("bigint")
+    gate = (
+        affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B) % 10000
+    ) < (rate_bp % 10000)
+    n_copies = (F.floor(rate_bp / 10000).cast("bigint")
+                + F.when(gate, F.lit(1)).otherwise(F.lit(0)))
+    seq = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies.cast("int"))).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    return (
+        df.withColumn("n_copies", n_copies)
+        .withColumn("copy_idx", F.explode(seq))
+        .select(id_col, source_col, "copy_idx", "n_copies")
+    )
+
+
 #: domain-cap ranking constants (MinHash family member, fixed forever)
 CAP_A, CAP_B = 65867, 987
 

@@ -3472,6 +3472,63 @@ def docs_incremental_dedup(spark, sf_dir):
     return dedup_against(new, seen).select("doc_id", "source")
 
 
+from .dataops.chunking import SHUF_A, SHUF_B  # noqa: E402 — oracle SQL constants
+
+
+@q(
+    "docs_epoch_shuffle",
+    f"""
+    WITH k AS (
+        SELECT doc_id, {affine_hash_sql('doc_id', SHUF_A, SHUF_B)} AS key
+        FROM documents
+    )
+    SELECT doc_id, CAST(key % 32 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 32
+                ORDER BY key, doc_id) AS INTEGER) AS pos
+    FROM k
+    """,
+    "bench",
+)
+def docs_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-0 training shuffle (dataops/chunking.
+    epoch_shuffle): affine-hash shard assignment + per-shard position.
+    One hash shuffle, n_shards independent window sorts — never a
+    global sort."""
+    from .dataops.chunking import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=0, n_shards=32)
+
+
+@q(
+    "docs_upsample_mixture",
+    f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               CAST(({char_fold_hash_sql('source')} % 5) * 6000 + 2500 AS BIGINT) AS bp
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source,
+               CAST(bp // 10000
+                    + CASE WHEN ({affine_hash_sql('doc_id', SAMPLE_A, SAMPLE_B)}) % 10000
+                                < bp % 10000
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM r
+    )
+    SELECT doc_id, source, CAST(i AS INTEGER) AS copy_idx, n_copies
+    FROM c, LATERAL unnest(generate_series(1, n_copies)) AS t(i)
+    """,
+    "bench",
+)
+def docs_upsample_mixture(spark, sf_dir):
+    """Per-source upsampling to epochs-per-subset rates (dataops/text.
+    upsample_mixture): floor copies guaranteed, one extra under the
+    fractional hash gate, materialized by a row-local explode — no
+    shuffle, no RNG."""
+    from .dataops.text import upsample_mixture
+
+    return upsample_mixture(_t(spark, sf_dir, "documents"))
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →

@@ -583,3 +583,47 @@ def test_dedup_against_drops_seen_and_within_wave(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
     assert kept == [11, 13]
+
+
+def test_epoch_shuffle_permutes_across_epochs(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.chunking import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    e0 = epoch_shuffle(docs, epoch=0, n_shards=8)
+    n = docs.count()
+    rows0 = e0.collect()
+    assert len(rows0) == n
+    # every (shard, pos) slot is unique and positions are 1..shard_size
+    slots = {(r["shard"], r["pos"]) for r in rows0}
+    assert len(slots) == n
+    by_shard = {}
+    for r in rows0:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different epoch yields a different global order, deterministically
+    order1 = [r["doc_id"] for r in sorted(epoch_shuffle(docs, epoch=1, n_shards=8).collect(), key=lambda r: (r["shard"], r["pos"]))]
+    order0 = [r["doc_id"] for r in sorted(rows0, key=lambda r: (r["shard"], r["pos"]))]
+    assert order0 != order1
+    again = [r["doc_id"] for r in sorted(epoch_shuffle(docs, epoch=1, n_shards=8).collect(), key=lambda r: (r["shard"], r["pos"]))]
+    assert order1 == again
+
+
+def test_upsample_mixture_copy_counts(spark):
+    from clickhouse_etl_spark.dataops.text import upsample_mixture
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}", "x") for i in range(200)], ["doc_id", "source", "text"]
+    )
+    out = upsample_mixture(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # copy_idx is exactly 1..n_copies for every emitted doc
+    for rows, n in ((v, len(v)) for v in by_doc.values()):
+        assert sorted(rows) == list(range(1, n + 1))
+    # rates above 10000 bp guarantee at least floor(rate) copies per doc
+    from clickhouse_etl_spark.dataops.hashing import HASH_MOD
+    n_copies = {r["doc_id"]: r["n_copies"] for r in out}
+    for r in out:
+        assert len(by_doc[r["doc_id"]]) == n_copies[r["doc_id"]]
