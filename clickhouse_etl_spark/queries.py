@@ -3529,6 +3529,88 @@ def docs_upsample_mixture(spark, sf_dir):
     return upsample_mixture(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "events_winsorize",
+    """
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), b AS (
+        SELECT event_type,
+               quantile_cont(cents, 0.01) AS lo,
+               quantile_cont(cents, 0.99) AS hi
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           round(least(greatest(CAST(c.cents AS DOUBLE), lo), hi), 6) AS clamped
+    FROM c JOIN b USING (event_type)
+    """,
+    "bench",
+)
+def events_winsorize(spark, sf_dir):
+    """Winsorization — clamp outliers to the exact per-group p01/p99
+    (the standard robust-statistics cleanup before value aggregation).
+    Per-type bounds are one small aggregate broadcast back onto the
+    stream; Spark percentile == DuckDB quantile_cont exactly on the
+    integer cents."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = ev.select("event_id", "event_type", cents.alias("cents"))
+    b = c.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.01)).alias("lo"),
+        F.percentile("cents", F.lit(0.99)).alias("hi"),
+    )
+    clamped = F.round(
+        F.least(F.greatest(F.col("cents").cast("double"), F.col("lo")), F.col("hi")), 6
+    )
+    return c.join(F.broadcast(b), "event_type").select(
+        "event_id", "event_type", "cents", clamped.alias("clamped")
+    )
+
+
+@q(
+    "events_moving_sum_1h",
+    """
+    WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, us,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(cents) OVER w AS BIGINT) AS sum_1h
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    "bench",
+)
+def events_moving_sum_1h(spark, sf_dir):
+    """Per-user trailing-1h moving count/sum at every event — the
+    RANGE-frame sliding aggregate (vs the bucketed F.window form in
+    sliding_window_agg). One hash-shuffle on user_id, per-user ordered
+    frame scan; exact BIGINT sums so engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3599999999, Window.currentRow)
+    )
+    return c.select(
+        "event_id", "user_id", "us",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum("cents").over(w).cast("bigint").alias("sum_1h"),
+    )
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →
