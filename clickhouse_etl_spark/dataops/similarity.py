@@ -512,3 +512,187 @@ def balanced_sample(
         .filter(F.col("_rk") <= F.col("_n_keep"))
         .select(id_col, label_col, F.col("_rk").cast("int").alias("sample_rank"))
     )
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    n_codes: int,
+    vec_col: str,
+    id_col: str,
+    sample_factor: int = 64,
+    lloyd_iters: int = 3,
+) -> list[list[list[float]]]:
+    """Deterministic per-subvector PQ codebooks (product quantization).
+
+    Same bounded-sample discipline as :func:`_kmeans_centroids`: the
+    ``n_codes * sample_factor`` hash-ordered sample is collected once
+    (a few MB — the corpus itself never is), split into ``m``
+    subvectors, and each subspace gets plain-L2 k-means with greedy
+    farthest-point seeding and ``lloyd_iters`` Lloyd refinements — all
+    numpy on the driver, no RNG anywhere.
+
+    Returns ``codebooks[s][c]`` = centroid c of subspace s.
+    """
+    import numpy as np
+
+    from .hashing import affine_hash
+
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(
+            affine_hash(F.col(id_col).cast("bigint"), 2654435761 % HASH_MOD, 97),
+            F.col(id_col),
+        )
+        .limit(n_codes * sample_factor)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in sample_rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        n = Xs.shape[0]
+        k = min(n_codes, n)
+        # greedy farthest-point seeding under L2
+        chosen = [0]
+        d2 = ((Xs - Xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((Xs - Xs[nxt]) ** 2).sum(axis=1))
+        C = Xs[chosen].copy()
+        for _ in range(lloyd_iters):
+            dists = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dists, axis=1)
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in C])
+    return books
+
+
+def _sub_l2(vec_slice: Column, cent: Column) -> Column:
+    """Sequential-fold squared L2 between two small arrays (portable
+    double order, same as _dot)."""
+    diffs = F.zip_with(
+        vec_slice, cent, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantize every vector to ``m`` small codes — 8 bytes of
+    code replaces 256 bytes of float32s at m=8, the compression that
+    lets an ANN scan read 30x less data per candidate.
+
+    Catalyst-only: per subspace, code = argmin over the codebook of the
+    fold-L2 distance (array_sort on (dist, code) structs — ties take
+    the lowest code, deterministic). No UDF, no shuffle.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def codes(vec: Column) -> Column:
+        per_sub = []
+        for s, book in enumerate(codebooks):
+            vslice = F.slice(vec, s * sub + 1, sub)
+            cands = F.array(*[
+                F.struct(
+                    _sub_l2(vslice, F.array(*[F.lit(v) for v in cent])).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, cent in enumerate(book)
+            ])
+            per_sub.append(F.array_sort(cands)[0]["c"])
+        return F.array(*per_sub)
+
+    return scale_out(corpus).select(
+        F.col(id_col), F.col(vec_col), codes(F.col(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via product quantization with asymmetric
+    distance (ADC) + exact re-rank — the third ANN scale path next to
+    LSH buckets and IVF cells (and the one that composes with them at
+    web scale: IVF shrinks the candidate set, PQ shrinks bytes-per-
+    candidate).
+
+    1. deterministic per-subspace codebooks from a bounded sample
+       (:func:`_pq_codebooks`);
+    2. the corpus is encoded once (``pq_encode``) — the ADC scan reads
+       m small ints per row, never the full vector;
+    3. ADC: approx squared-L2(query, x) = sum over subspaces of
+       ||q_s - codebook[s][code_s(x)]||^2 — codebook lookups are
+       Catalyst ``element_at`` into broadcast literals;
+    4. per query, the ``k * shortlist_factor`` best ADC rows (total
+       tie-break) fetch their exact vectors back by id and re-rank by
+       exact cosine.
+
+    Queries broadcast against the corpus stream (same bounded pattern
+    as cosine_topk — the corpus never shuffles for the scan; the only
+    shuffle is the shortlist's id join + final top-k window). Recall
+    < 1.0 by construction; brute force is the quality oracle.
+    """
+    books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    sub = len(books[0][0])
+    encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        id_col, "pq_codes"
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+
+    # ADC distance: codebook literal per subspace, indexed by the row's code
+    def adc(qvec: Column, codes: Column) -> Column:
+        total = F.lit(0.0)
+        for s, book in enumerate(books):
+            book_lit = F.array(*[F.array(*[F.lit(v) for v in cent]) for cent in book])
+            cent = F.element_at(book_lit, F.element_at(codes, s + 1) + 1)
+            total = total + _sub_l2(F.slice(qvec, s * sub + 1, sub), cent)
+        return total
+
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        F.col(id_col),
+        adc(F.col("_qvec"), F.col("pq_codes")).alias("_adc"),
+        "_qvec",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").asc(), F.col(id_col))
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k * shortlist_factor)
+        .drop("_rn", "_adc")
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    exact = short.join(vecs, id_col).filter(F.col(id_col) != F.col(query_id_col))
+    rescored = exact.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rn").alias("rank"),
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )

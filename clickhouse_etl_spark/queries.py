@@ -2747,6 +2747,23 @@ def emb_ivf_ann_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+@q("emb_pq_ann_topk", None, "bench")
+def emb_pq_ann_topk(spark, sf_dir):
+    """Approximate NN via product quantization: deterministic
+    per-subspace codebooks, Catalyst-only encoding (8 codes replace
+    the float vector in the scan), ADC shortlist + exact cosine
+    re-rank — the bytes-per-candidate scale path that composes with
+    IVF cells at web scale. Recall vs brute force measured in
+    test_dataops.py. Rows-only check."""
+    from .dataops.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=10)
+
+
 _FUNNEL_WINDOW_US = 7 * 86_400_000_000
 
 

@@ -138,9 +138,11 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
     - emb_balanced_sample: crossJoin of the SINGLE-ROW min-class-count
       aggregate — same bounded 1×n pattern as docs_bm25;
     - docs_quality_deciles: crossJoin of the SINGLE-ROW decile-
-      threshold aggregate — same bounded 1×n pattern.
+      threshold aggregate — same bounded 1×n pattern;
+    - emb_pq_ann_topk: bounded query set × encoded-corpus ADC scan —
+      same pattern as emb_cosine_topk (the corpus never shuffles).
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles"}
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
