@@ -696,3 +696,104 @@ def pq_topk(
             F.round(F.col("sim"), 6).alias("sim"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF+PQ — the canonical web-scale ANN composition: IVF cells
+    shrink the candidate SET (a query touches ~n_probe/n_centroids of
+    the corpus), PQ shrinks the BYTES per candidate (the cell scan
+    reads m small codes, not the float vector). Both index structures
+    are deterministic (bounded hash-ordered samples, no RNG), so the
+    whole index build is reproducible from the corpus alone.
+
+    Plan: cell assignment and PQ codes are computed in ONE corpus pass
+    (Catalyst-only expressions over broadcast literals); candidates
+    join on the cell id; ADC ranks a k*shortlist_factor shortlist per
+    query (total tie-break); only the shortlist fetches exact vectors
+    by id for the cosine re-rank. Recall < 1.0 (cell misses compound
+    with quantization error) — brute force is the quality oracle.
+    """
+    cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    cent_arrays = [F.array(*[F.lit(v) for v in c]) for c in cents]
+    books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    sub = len(books[0][0])
+
+    def cell_ranking(vec: Column) -> Column:
+        sims = F.array(*[
+            F.struct(cosine_sim(vec, ca).alias("s"), F.lit(i).alias("i"))
+            for i, ca in enumerate(cent_arrays)
+        ])
+        return F.reverse(F.array_sort(sims))
+
+    def codes(vec: Column) -> Column:
+        per_sub = []
+        for s, book in enumerate(books):
+            vslice = F.slice(vec, s * sub + 1, sub)
+            cands = F.array(*[
+                F.struct(
+                    _sub_l2(vslice, F.array(*[F.lit(v) for v in cent])).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, cent in enumerate(book)
+            ])
+            per_sub.append(F.array_sort(cands)[0]["c"])
+        return F.array(*per_sub)
+
+    c = scale_out(corpus).select(
+        F.col(id_col),
+        cell_ranking(F.col(vec_col))[0]["i"].alias("_cell"),
+        codes(F.col(vec_col)).alias("_codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col(vec_col)), 1, n_probe), lambda s: s["i"]
+            )
+        ).alias("_cell"),
+    )
+
+    def adc(qvec: Column, code_arr: Column) -> Column:
+        total = F.lit(0.0)
+        for s, book in enumerate(books):
+            book_lit = F.array(*[F.array(*[F.lit(v) for v in cent]) for cent in book])
+            cent = F.element_at(book_lit, F.element_at(code_arr, s + 1) + 1)
+            total = total + _sub_l2(F.slice(qvec, s * sub + 1, sub), cent)
+        return total
+
+    cand = c.join(F.broadcast(q), "_cell").filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.withColumn("_adc", adc(F.col("_qvec"), F.col("_codes")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").asc(), F.col(id_col))
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k * shortlist_factor)
+        .select(query_id_col, id_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    exact = short.join(vecs, id_col)
+    rescored = exact.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rn").alias("rank"),
+            F.round(F.col("sim"), 6).alias("sim"),
+        )
+    )

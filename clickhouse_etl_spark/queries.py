@@ -2764,6 +2764,22 @@ def emb_pq_ann_topk(spark, sf_dir):
     return pq_topk(emb, queries, k=10)
 
 
+@q("emb_ivf_pq_ann_topk", None)
+def emb_ivf_pq_ann_topk(spark, sf_dir):
+    """IVF+PQ composed ANN (dataops/similarity.ivf_pq_topk): cells
+    shrink the candidate set, PQ codes shrink bytes-per-candidate; one
+    corpus pass computes both, ADC shortlist + exact re-rank. The
+    canonical web-scale layout; recall vs brute force in
+    test_dataops.py. Rows-only check."""
+    from .dataops.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=8)
+
+
 _FUNNEL_WINDOW_US = 7 * 86_400_000_000
 
 

@@ -665,3 +665,19 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
     for r in out[:50]:
         assert len(r["pq_codes"]) == 8
         assert all(0 <= c < 16 for c in r["pq_codes"])
+
+
+def test_ivf_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(emb, queries, k=5)
+    approx = ivf_pq_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    # cell misses compound with quantization error: floor guards collapse
+    assert recall >= 0.5, f"IVF+PQ recall collapsed: {recall}"
