@@ -2747,7 +2747,7 @@ def emb_ivf_ann_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
-@q("emb_pq_ann_topk", None, "bench")
+@q("emb_pq_ann_topk", None)
 def emb_pq_ann_topk(spark, sf_dir):
     """Approximate NN via product quantization: deterministic
     per-subspace codebooks, Catalyst-only encoding (8 codes replace
