@@ -110,17 +110,21 @@ DATAOPS = frozenset({
     "exact_dedup", "simhash", "language_id", "quality_score", "token_stats",
     "fingerprint", "repetition_signals", "split_assign", "mixture_sample",
     "scrub_pii", "chunk_documents", "span_dedup", "rare_token_ratio",
-    "balanced_sample",
+    "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
 })
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
-# append mode.  exact_dedup (row_number window over the full corpus),
-# simhash (per-doc aggregation after an explode), span_dedup (window
-# over the global span digest), rare_token_ratio (corpus df top-k),
-# and balanced_sample (global min class count) are batch-only:
-# streaming dedup is the spec's dedup stage (dropDuplicatesWithinWatermark).
+# append mode (upsample_mixture is a row-local hash-gated explode, so
+# it qualifies).  exact_dedup (row_number window over the full
+# corpus), simhash (per-doc aggregation after an explode), span_dedup
+# (window over the global span digest), rare_token_ratio (corpus df
+# top-k), balanced_sample (global min class count), quality_deciles
+# (corpus percentile thresholds), and epoch_shuffle (per-shard window)
+# are batch-only: streaming dedup is the spec's dedup stage
+# (dropDuplicatesWithinWatermark).
 STREAM_SAFE_DATAOPS = DATAOPS - {
-    "exact_dedup", "simhash", "span_dedup", "rare_token_ratio", "balanced_sample"
+    "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
+    "balanced_sample", "quality_deciles", "epoch_shuffle",
 }
 
 
@@ -133,18 +137,20 @@ def resolve_dataop(op: str):
     time.  Corpus-global ops (near-dup pair mining, clustering,
     packing) stay library-level because they need a bounded batch to
     be well-defined."""
-    from ..dataops.chunking import chunk_documents, scrub_pii
+    from ..dataops.chunking import chunk_documents, epoch_shuffle, scrub_pii
     from ..dataops.dedup import exact_dedup_keep, simhash, span_dedup
     from ..dataops.similarity import balanced_sample
     from ..dataops.text import (
         doc_fingerprint,
         language_id,
         mixture_sample,
+        quality_deciles,
         quality_score,
         rare_token_ratio,
         repetition_signals,
         split_assign,
         token_stats,
+        upsample_mixture,
     )
 
     registry = {
@@ -153,6 +159,9 @@ def resolve_dataop(op: str):
         "span_dedup": span_dedup,
         "rare_token_ratio": rare_token_ratio,
         "balanced_sample": balanced_sample,
+        "quality_deciles": quality_deciles,
+        "epoch_shuffle": epoch_shuffle,
+        "upsample_mixture": upsample_mixture,
         "language_id": language_id,
         "quality_score": quality_score,
         "token_stats": token_stats,

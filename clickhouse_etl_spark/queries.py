@@ -3644,6 +3644,88 @@ def events_moving_sum_1h(spark, sf_dir):
     )
 
 
+@q(
+    "docs_curation_v2",
+    f"""
+    WITH seen AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) < 10
+    ), news AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) >= 10
+    ), surv0 AS (
+        SELECT n.* FROM news n
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(n.text))
+    ), ranked AS (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        FROM surv0
+    ), surv AS (
+        SELECT doc_id, text, source FROM ranked WHERE rk = 1
+    ), q AS (
+        SELECT doc_id, quality
+        FROM ({{_QSQL_SURV}})
+    ), qm AS (
+        SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q
+    ), th AS (
+        SELECT quantile_cont(qm, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS th
+        FROM qm
+    ), kept AS (
+        SELECT s.doc_id, s.source FROM surv s
+        JOIN (SELECT doc_id FROM qm, th
+              WHERE 1 + len(list_filter(th, t -> CAST(qm AS DOUBLE) > t)) >= 4) k
+          USING (doc_id)
+    ), r AS (
+        SELECT doc_id,
+               CAST(({char_fold_hash_sql('source')} % 5) * 6000 + 2500 AS BIGINT) AS bp
+        FROM kept
+    ), c AS (
+        SELECT doc_id,
+               CAST(bp // 10000
+                    + CASE WHEN ({affine_hash_sql('doc_id', SAMPLE_A, SAMPLE_B)}) % 10000
+                                < bp % 10000
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM r
+    ), u AS (
+        SELECT CAST(doc_id * 100 + i AS BIGINT) AS unit_id
+        FROM c, LATERAL unnest(generate_series(1, n_copies)) AS t(i)
+    ), k2 AS (
+        SELECT unit_id, {affine_hash_sql('unit_id', SHUF_A, SHUF_B)} AS key FROM u
+    )
+    SELECT unit_id, CAST(key % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 16
+                ORDER BY key, unit_id) AS INTEGER) AS pos
+    FROM k2
+    """.replace("{_QSQL_SURV}", _QUALITY_SQL.replace("FROM documents", "FROM surv")),
+    "bench",
+)
+def docs_curation_v2(spark, sf_dir):
+    """The composed r4 curation chain, fully oracle-backed end to end:
+    incremental ingest-wave dedup (dataops/dedup.dedup_against) ->
+    quality-decile gate keeping deciles >= 4 (text.quality_deciles,
+    thresholds computed over the SURVIVOR set) -> per-source
+    upsampling (text.upsample_mixture) -> deterministic epoch-0
+    training shuffle (chunking.epoch_shuffle) over the materialized
+    copies. Five stages of hash/integer arithmetic — both engines
+    agree bit-for-bit on the final (unit_id, shard, pos) layout."""
+    from .dataops.chunking import epoch_shuffle
+    from .dataops.dedup import dedup_against
+    from .dataops.text import quality_deciles, upsample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    wave = F.substring("source", 4, 10).cast("int")
+    surv = dedup_against(docs.filter(wave >= 10), docs.filter(wave < 10))
+    dec = quality_deciles(surv)
+    kept = surv.join(
+        dec.filter(F.col("decile") >= 4).select("doc_id"), "doc_id"
+    )
+    ups = upsample_mixture(kept)
+    units = ups.select(
+        (F.col("doc_id") * 100 + F.col("copy_idx")).cast("bigint").alias("unit_id")
+    )
+    return epoch_shuffle(units, epoch=0, n_shards=16, id_col="unit_id")
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →

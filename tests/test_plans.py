@@ -142,7 +142,7 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
     - emb_pq_ann_topk: bounded query set × encoded-corpus ADC scan —
       same pattern as emb_cosine_topk (the corpus never shuffles).
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk"}
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
