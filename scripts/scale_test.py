@@ -248,6 +248,23 @@ def section_r4(spark) -> None:
     )
     _timed("balanced_sample", balanced_sample(ids), N_ROWS,
            warm=balanced_sample(ids.limit(1000)))
+    # PQ encode at 1M synthetic 64-dim vectors (deterministic hash
+    # features — no RNG): the bytes-per-candidate compression pass
+    from clickhouse_etl_spark.dataops.similarity import _pq_codebooks, pq_encode
+
+    n_vec = 1_000_000
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.col("id") * 131 + i * 65537) % 1000).cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    books = _pq_codebooks(vecs, m=8, n_codes=16, vec_col="embedding", id_col="vec_id")
+    _timed(
+        "pq_encode", pq_encode(vecs, books), n_vec,
+        warm=pq_encode(vecs.limit(1000), books),
+    )
 
 
 def main() -> None:

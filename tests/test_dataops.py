@@ -665,6 +665,11 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
     for r in out[:50]:
         assert len(r["pq_codes"]) == 8
         assert all(0 <= c < 16 for c in r["pq_codes"])
+    # the Arrow-batched encoder and the pure-Catalyst reference form
+    # must emit bit-identical codes (same fold order, same tie rule)
+    cat = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(emb, books, engine="catalyst").collect()}
+    assert {r["vec_id"]: list(r["pq_codes"]) for r in out} == cat
 
 
 def test_ivf_pq_topk_recall_vs_brute_force(spark, sf_dir):
