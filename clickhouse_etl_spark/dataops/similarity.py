@@ -695,45 +695,78 @@ def pq_topk(
        (:func:`_pq_codebooks`);
     2. the corpus is encoded once (``pq_encode``) — the ADC scan reads
        m small ints per row, never the full vector;
-    3. ADC: approx squared-L2(query, x) = sum over subspaces of
-       ||q_s - codebook[s][code_s(x)]||^2 — codebook lookups are
-       Catalyst ``element_at`` into broadcast literals;
+    3. ADC the textbook way: the bounded query set is collected to the
+       driver (same size contract as cosine_topk's broadcast) and each
+       query precomputes an (m × n_codes) lookup table of
+       ``||q_s - codebook[s][c]||^2``; the encoded corpus streams
+       through one Arrow-batched gather — dist = sum over subspaces of
+       LUT[s][code_s(x)] — with NO per-row expression work (HOF
+       expressions are CodegenFallback; the LUT gather is the whole
+       point of PQ);
     4. per query, the ``k * shortlist_factor`` best ADC rows (total
        tie-break) fetch their exact vectors back by id and re-rank by
        exact cosine.
 
-    Queries broadcast against the corpus stream (same bounded pattern
-    as cosine_topk — the corpus never shuffles for the scan; the only
-    shuffle is the shortlist's id join + final top-k window). Recall
-    < 1.0 by construction; brute force is the quality oracle.
+    The corpus never shuffles for the scan; the only shuffles are the
+    shortlist's id join + final top-k window. LUT accumulation replays
+    the sequential fold order of the expression form (dimension-by-
+    dimension, then subspace-by-subspace), so shortlists are identical.
+    Recall < 1.0 by construction; brute force is the quality oracle.
     """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
     sub = len(books[0][0])
     encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
         id_col, "pq_codes"
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    qrows = q.collect()  # bounded query set — the LUT source
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.asarray([list(r["_qvec"]) for r in qrows], dtype="float64")
+    luts = []
+    for s in range(m):
+        C = np.asarray(books[s], dtype="float64")
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        lut = np.zeros((len(qids), C.shape[0]))
+        for j in range(sub):  # dimension-by-dimension: expression fold order
+            diff = Qs[:, j, None] - C[None, :, j]
+            lut += diff * diff
+        luts.append(lut)
 
-    # ADC distance: codebook literal per subspace, indexed by the row's code
-    def adc(qvec: Column, codes: Column) -> Column:
-        total = F.lit(0.0)
-        for s, book in enumerate(books):
-            book_lit = F.array(*[F.array(*[F.lit(v) for v in cent]) for cent in book])
-            cent = F.element_at(book_lit, F.element_at(codes, s + 1) + 1)
-            total = total + _sub_l2(F.slice(qvec, s * sub + 1, sub), cent)
-        return total
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(query_id_col, id_field.dataType, False),
+        id_field,
+        T.StructField("_adc", T.DoubleType(), False),
+    ])
+    qid_arr = np.asarray(qids)
 
-    scored = encoded.crossJoin(F.broadcast(q)).select(
-        query_id_col,
-        F.col(id_col),
-        adc(F.col("_qvec"), F.col("pq_codes")).alias("_adc"),
-        "_qvec",
-    )
+    def adc_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray([list(c) for c in pdf["pq_codes"]], dtype="int64")
+            d = np.zeros((len(qid_arr), len(pdf)))
+            for s in range(m):  # subspace-by-subspace: expression fold order
+                d = d + luts[s][:, codes[:, s]]
+            yield pd.DataFrame({
+                query_id_col: np.repeat(qid_arr, len(pdf)),
+                id_col: np.tile(pdf[id_col].to_numpy(), len(qid_arr)),
+                "_adc": d.reshape(-1),
+            })
+
+    scored = encoded.mapInPandas(adc_batches, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").asc(), F.col(id_col))
     short = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k * shortlist_factor)
-        .drop("_rn", "_adc")
+        .select(query_id_col, id_col)
+        .join(F.broadcast(q), query_id_col)
     )
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     exact = short.join(vecs, id_col).filter(F.col(id_col) != F.col(query_id_col))
