@@ -3726,6 +3726,70 @@ def docs_curation_v2(spark, sf_dir):
     return epoch_shuffle(units, epoch=0, n_shards=16, id_col="unit_id")
 
 
+def _agreement_sql() -> str:
+    ng = QUERIES["docs_ngram_jaccard_pairs"].sql
+    mh = QUERIES["docs_minhash_lsh_pairs"].sql
+    sh = QUERIES["docs_simhash_pairs"].sql
+    return f"""
+    WITH ng AS (SELECT id_a, id_b FROM ({ng})),
+         mh AS (SELECT id_a, id_b FROM ({mh})),
+         sh AS (SELECT id_a, id_b FROM ({sh})),
+         allp AS (
+            SELECT id_a, id_b FROM ng
+            UNION SELECT id_a, id_b FROM mh
+            UNION SELECT id_a, id_b FROM sh
+         )
+    SELECT p.id_a, p.id_b,
+           CAST(CASE WHEN ng.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_ngram,
+           CAST(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_minhash,
+           CAST(CASE WHEN sh.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_simhash,
+           CAST((CASE WHEN ng.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN sh.id_a IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_methods
+    FROM allp p
+    LEFT JOIN ng ON p.id_a = ng.id_a AND p.id_b = ng.id_b
+    LEFT JOIN mh ON p.id_a = mh.id_a AND p.id_b = mh.id_b
+    LEFT JOIN sh ON p.id_a = sh.id_a AND p.id_b = sh.id_b
+    """
+
+
+@q("docs_dedup_agreement", _agreement_sql())
+def docs_dedup_agreement(spark, sf_dir):
+    """Cross-validation matrix of the three near-dup pair generators
+    (df-capped n-gram Jaccard, MinHash-LSH, banded SimHash) over the
+    same corpus with the registry entries' exact parameters: which
+    pairs each method finds and how many methods agree — the
+    evaluation harness a curation team uses to pick a method and
+    threshold. Every constituent is itself oracle-verified; the
+    agreement joins are plain set algebra on (id_a, id_b)."""
+    from .dataops.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ng = ngram_jaccard_pairs(docs, n=5, threshold=0.5).select("id_a", "id_b")
+    mh = minhash_lsh_pairs(
+        docs, n=3, k=8, rows_per_band=2, threshold=0.5
+    ).select("id_a", "id_b")
+    sh = simhash_near_dup_pairs(docs).select("id_a", "id_b")
+    allp = ng.unionByName(mh).unionByName(sh).distinct()
+    flagged = (
+        allp.join(ng.withColumn("_ng", F.lit(1)), ["id_a", "id_b"], "left")
+        .join(mh.withColumn("_mh", F.lit(1)), ["id_a", "id_b"], "left")
+        .join(sh.withColumn("_sh", F.lit(1)), ["id_a", "id_b"], "left")
+    )
+    n_methods = (
+        F.coalesce(F.col("_ng"), F.lit(0))
+        + F.coalesce(F.col("_mh"), F.lit(0))
+        + F.coalesce(F.col("_sh"), F.lit(0))
+    )
+    return flagged.select(
+        "id_a", "id_b",
+        F.coalesce(F.col("_ng"), F.lit(0)).cast("int").alias("in_ngram"),
+        F.coalesce(F.col("_mh"), F.lit(0)).cast("int").alias("in_minhash"),
+        F.coalesce(F.col("_sh"), F.lit(0)).cast("int").alias("in_simhash"),
+        n_methods.cast("int").alias("n_methods"),
+    )
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →
