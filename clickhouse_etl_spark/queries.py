@@ -3862,10 +3862,18 @@ def _priority(name: str) -> int:
         "otlp_flatten_metrics",
     }
     if name not in _R03_CHECKED:
-        return 0  # never driver-checked — rotate into this round's budget
+        # never driver-checked — rotate into this round's budget; but
+        # among those, rows-only entries gain the LEAST from a driver
+        # check (it is just a row count for them — the real gate is
+        # the local recall/contract test), so when the never-checked
+        # set slightly overflows the ~50-entry budget they absorb the
+        # truncation instead of a fully-oracle-backed entry
+        if QUERIES[name].sql is None:
+            return 1
+        return 0
     if name in core:
-        return 1  # keep the most-graded §2 rows driver-verified every round
-    return 2
+        return 2  # keep the most-graded §2 rows driver-verified every round
+    return 3
 
 
 QUERIES = {
