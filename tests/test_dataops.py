@@ -686,3 +686,39 @@ def test_ivf_pq_topk_recall_vs_brute_force(spark, sf_dir):
     recall = len(a & b) / len(b)
     # cell misses compound with quantization error: floor guards collapse
     assert recall >= 0.5, f"IVF+PQ recall collapsed: {recall}"
+
+
+def test_r4_ops_edge_cases(spark):
+    """Degenerate inputs: empty seen corpus, single label, one shard,
+    empty documents — the shapes that break naive window/agg code."""
+    from clickhouse_etl_spark.dataops.chunking import epoch_shuffle
+    from clickhouse_etl_spark.dataops.dedup import dedup_against, span_dedup
+    from clickhouse_etl_spark.dataops.similarity import balanced_sample
+    from clickhouse_etl_spark.dataops.text import quality_deciles, rare_token_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "")], ["doc_id", "text"]
+    )
+    empty_seen = spark.createDataFrame([], "doc_id long, text string")
+    # empty seen corpus -> pure within-batch first-wins
+    kept = sorted(r["doc_id"] for r in dedup_against(docs, empty_seen).collect())
+    assert kept == [1, 3]
+    # empty text contributes no spans; the other docs dedupe against each other
+    spans = {r["doc_id"]: r["dup_spans"] for r in span_dedup(docs).collect()}
+    assert spans == {1: 0, 2: 1}
+    # single label -> everything kept, ranks are a permutation
+    one_label = spark.createDataFrame(
+        [(i, [0.0], 7) for i in range(5)], ["vec_id", "embedding", "label"]
+    )
+    out = balanced_sample(one_label).collect()
+    assert sorted(r["sample_rank"] for r in out) == [1, 2, 3, 4, 5]
+    # one shard -> positions are 1..n
+    sh = epoch_shuffle(docs, n_shards=1).collect()
+    assert sorted(r["pos"] for r in sh) == [1, 2, 3]
+    assert {r["shard"] for r in sh} == {0}
+    # deciles on a tiny corpus stay within [1, 10]
+    dec = quality_deciles(docs).collect()
+    assert len(dec) == 3 and all(1 <= r["decile"] <= 10 for r in dec)
+    # rare-token ratio: empty doc has no tokens -> omitted from output
+    rt = {r["doc_id"] for r in rare_token_ratio(docs, k_rare=1).collect()}
+    assert rt == {1, 2}
