@@ -283,39 +283,96 @@ def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _rate_bp_col(source_col: str, rates_bp: "dict[str, int] | None") -> Column:
+    """Per-source rate in basis points: an explicit weight map compiles
+    to a broadcast map literal lookup (missing sources -> 0 bp =
+    dropped); without one, a hash of the source name keeps the demo
+    self-contained and oracle-expressible."""
+    if rates_bp is not None:
+        pairs = []
+        for src, bp in sorted(rates_bp.items()):
+            pairs.extend([F.lit(src), F.lit(int(bp))])
+        return F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)),
+            F.lit(0),
+        ).cast("bigint")
+    return ((char_fold_hash(F.col(source_col)) % 4 + 1) * F.lit(2500)).cast("bigint")
+
+
 def mixture_sample(
-    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    rates_bp: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Deterministic per-source corpus mixing: each source gets a
-    sampling rate (basis points, derived here from a hash of the source
-    name so the demo is self-contained — production passes a real
-    weight map), and a document is kept iff an id-hash falls under the
+    sampling rate in basis points (pass ``rates_bp`` — e.g. from
+    :func:`plan_mixture_rates` — or let the self-contained hash demo
+    derive one), and a document is kept iff an id-hash falls under the
     rate. Hash-gated Bernoulli sampling is exactly how pretraining
     mixtures stay reproducible across pipeline re-runs.
 
     Adds ``rate_bp`` and ``keep`` columns; filter on ``keep`` to
     materialize the mixture.
     """
-    rate_bp = (
-        (char_fold_hash(F.col(source_col)) % 4 + 1) * F.lit(2500)
-    ).cast("bigint")
+    rate_bp = _rate_bp_col(source_col, rates_bp)
     keep = (
         affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B) % 10000
     ) < rate_bp
     return df.withColumn("rate_bp", rate_bp).withColumn("keep", keep)
 
 
+def plan_mixture_rates(
+    source_tokens: "dict[str, int]",
+    target_shares: "dict[str, float]",
+    max_epochs: float = 3.0,
+) -> "dict[str, int]":
+    """Turn a data recipe ("30% web, 20% code, ...") into concrete
+    per-source sampling rates against the MEASURED corpus.
+
+    Given per-source token counts (from :func:`corpus_report` /
+    token_stats aggregation) and target shares summing to ~1, find the
+    largest total token budget T such that no source must be repeated
+    more than ``max_epochs`` times (rate = T*share/tokens <= max_epochs
+    — the standard upsampling cap before repetition hurts), then return
+    rate basis points per source. Feed the result to
+    :func:`mixture_sample` (rates <= 10000) or
+    :func:`upsample_mixture` (rates may exceed 10000).
+
+    Driver-side integer/float arithmetic on a per-source summary —
+    nothing distributed, deterministic.
+    """
+    shares = {s: w for s, w in target_shares.items() if w > 0}
+    total_w = sum(shares.values())
+    if not shares or total_w <= 0:
+        raise ValueError("target_shares must contain positive weights")
+    missing = [s for s in shares if s not in source_tokens]
+    if missing:
+        raise ValueError(f"no measured tokens for sources: {missing}")
+    # normalize shares, then T = min over s of max_epochs * n_s / w_s
+    t_budget = min(
+        max_epochs * source_tokens[s] / (w / total_w) for s, w in shares.items()
+    )
+    return {
+        s: int(round(t_budget * (w / total_w) / source_tokens[s] * 10000))
+        for s, w in shares.items()
+    }
+
+
 def upsample_mixture(
-    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    rates_bp: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Deterministic per-source UPsampling — the epochs-per-subset
     knob of a pretraining data recipe (high-quality subsets repeated
     >1x, others fractionally sampled), complementing
     :func:`mixture_sample`'s pure downsampling.
 
-    Each source gets a rate in basis points (derived from a hash of
-    the source name so the demo is self-contained; production passes a
-    real weight map — can exceed 10000 = more than one epoch). A
+    Each source gets a rate in basis points (pass ``rates_bp`` from
+    :func:`plan_mixture_rates`, or let the self-contained hash demo
+    derive one — rates may exceed 10000 = more than one epoch). A
     document yields ``rate // 10000`` guaranteed copies plus one more
     iff the id-hash gate falls under the fractional remainder — the
     same hash-gate convention as mixture_sample, so re-runs are
@@ -325,9 +382,12 @@ def upsample_mixture(
     Scale shape: pure Catalyst (hash + sequence + explode), row-local,
     no shuffle at all; output size = sum of rates.
     """
-    rate_bp = (
-        (char_fold_hash(F.col(source_col)) % 5) * F.lit(6000) + F.lit(2500)
-    ).cast("bigint")
+    if rates_bp is not None:
+        rate_bp = _rate_bp_col(source_col, rates_bp)
+    else:
+        rate_bp = (
+            (char_fold_hash(F.col(source_col)) % 5) * F.lit(6000) + F.lit(2500)
+        ).cast("bigint")
     gate = (
         affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B) % 10000
     ) < (rate_bp % 10000)

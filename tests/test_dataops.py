@@ -722,3 +722,53 @@ def test_r4_ops_edge_cases(spark):
     # rare-token ratio: empty doc has no tokens -> omitted from output
     rt = {r["doc_id"] for r in rare_token_ratio(docs, k_rare=1).collect()}
     assert rt == {1, 2}
+
+
+def test_plan_mixture_rates_hits_target_shares(spark):
+    from clickhouse_etl_spark.dataops.text import (
+        plan_mixture_rates,
+        upsample_mixture,
+    )
+
+    # measured corpus: web-heavy, code-light; recipe wants the reverse tilt
+    source_tokens = {"web": 1_000_000, "code": 100_000, "books": 300_000}
+    targets = {"web": 0.5, "code": 0.3, "books": 0.2}
+    rates = plan_mixture_rates(source_tokens, targets, max_epochs=3.0)
+    # the scarce source (code) binds at the epoch cap
+    assert rates["code"] == 30000
+    # achieved token shares match the recipe
+    achieved = {s: source_tokens[s] * bp / 10000 for s, bp in rates.items()}
+    total = sum(achieved.values())
+    for s, w in targets.items():
+        assert abs(achieved[s] / total - w) < 0.01, (s, achieved)
+    # no rate exceeds the epoch cap
+    assert all(bp <= 30000 for bp in rates.values())
+
+    # the rates drive the distributed op: expected copies per doc
+    df = spark.createDataFrame(
+        [(i, "code", "x") for i in range(100)]
+        + [(1000 + i, "web", "x") for i in range(100)]
+        + [(2000 + i, "unknown", "x") for i in range(10)],
+        ["doc_id", "source", "text"],
+    )
+    out = upsample_mixture(df, rates_bp=rates).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # code at exactly 3.0 epochs -> every doc exactly 3 copies
+    assert by_src["code"] == 300
+    # unmapped sources get rate 0 -> dropped entirely
+    assert "unknown" not in by_src
+    # web rate is fractional (< 1 epoch): copies strictly between 0 and 100
+    assert 0 < by_src["web"] < 100
+
+
+def test_plan_mixture_rates_validation():
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.text import plan_mixture_rates
+
+    with _pytest.raises(ValueError, match="positive weights"):
+        plan_mixture_rates({"a": 10}, {})
+    with _pytest.raises(ValueError, match="no measured tokens"):
+        plan_mixture_rates({"a": 10}, {"a": 0.5, "b": 0.5})
