@@ -205,6 +205,14 @@ def test_streaming_chain_applies_stream_safe_dataops(spark, tmp_path):
     assert out.isStreaming
     assert "n_tokens" in out.columns and "quality" in out.columns
 
+    # upsample_mixture is a row-local hash-gated explode — stream-safe
+    ups = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="upsample_mixture",
+                                                     params={"source_col": "text"}),)
+    )
+    out2 = streaming_source_chain(ups, "ts", value_is_json=False)(stream)
+    assert out2.isStreaming and "copy_idx" in out2.columns
+
     unsafe = SourceConfig(
         source_id="documents", dataops=(DataopConfig(op="exact_dedup"),)
     )
