@@ -320,3 +320,59 @@ def extract_features(
             )
 
     return df.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+
+
+def pool_frame_features(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    dim: int = 64,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video asset → ONE embedding: frame-sample → per-frame features →
+    order-fixed mean pool — the temporal-pooling stage that turns the
+    sparse frame table back into one row per asset, shaped like the
+    embeddings table so the similarity/dedup ops compose downstream.
+
+    Determinism: frames pack into a composite id (asset*1000 + index),
+    per-asset frame features are sorted by frame index and mean-pooled
+    with a sequential element-wise fold — no shuffle-order-dependent
+    double sums. One frame explode + one hash-shuffle on the asset id.
+
+    Output: (asset_id, n_frames, embedding array<double>); assets with
+    zero decodable frames are omitted (sparse, like sample_frames).
+    """
+    from pyspark.sql import functions as F
+
+    frames = sample_frames(
+        df, every_ms=every_ms, max_frames=max_frames,
+        id_col=id_col, payload_col=payload_col,
+    )
+    assert max_frames < 1000, "composite frame id packs index into 3 digits"
+    packed = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_index")).alias("fid"),
+        F.col("frame_payload").alias("payload"),
+    )
+    ff = extract_features(packed, dim=dim, id_col="fid").filter(F.col("feature_ok"))
+    unpacked = ff.select(
+        F.floor(F.col("asset_id") / 1000).cast("long").alias("aid"),
+        (F.col("asset_id") % 1000).cast("int").alias("fidx"),
+        "feature",
+    )
+    grouped = unpacked.groupBy("aid").agg(
+        F.sort_array(F.collect_list(F.struct("fidx", "feature"))).alias("_fs")
+    )
+    summed = F.aggregate(
+        F.col("_fs"),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, fr: F.zip_with(
+            acc, fr["feature"], lambda a, x: a + x.cast("double")
+        ),
+    )
+    n = F.size("_fs")
+    return grouped.select(
+        F.col("aid").alias("asset_id"),
+        n.cast("int").alias("n_frames"),
+        F.transform(summed, lambda v: v / n.cast("double")).alias("embedding"),
+    )

@@ -3790,6 +3790,33 @@ def docs_dedup_agreement(spark, sf_dir):
     )
 
 
+@q("multimodal_video_embedding", None)
+def multimodal_video_embedding(spark, sf_dir):
+    """Video path of the multimodal chain: frame-sample (1→N, sparse)
+    → per-frame features → order-fixed mean pool back to ONE embedding
+    per asset (dataops/multimodal.pool_frame_features), then semantic
+    near-dup clustering on the pooled embeddings — the video-dedup
+    pipeline. Rows-only (stub codecs; per-stage contracts unit-tested)."""
+    from .dataops.multimodal import attach_asset_meta, pool_frame_features
+    from .dataops.similarity import semantic_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_asset_meta(
+        docs.select(F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")),
+        media_type="video",
+        fmt="mp4",
+    )
+    pooled = pool_frame_features(assets, every_ms=50, max_frames=8, dim=32)
+    emb = pooled.select(
+        F.col("asset_id").alias("vec_id"), F.col("embedding")
+    )
+    clusters = semantic_dedup(emb, threshold=0.995)
+    return (
+        pooled.join(clusters, pooled.asset_id == clusters.vec_id)
+        .select("asset_id", "n_frames", "cluster_id", "cluster_size", "is_kept")
+    )
+
+
 @q("multimodal_pipeline", None)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →

@@ -772,3 +772,34 @@ def test_plan_mixture_rates_validation():
         plan_mixture_rates({"a": 10}, {})
     with _pytest.raises(ValueError, match="no measured tokens"):
         plan_mixture_rates({"a": 10}, {"a": 0.5, "b": 0.5})
+
+
+def test_pool_frame_features_contract(spark):
+    from clickhouse_etl_spark.dataops.multimodal import (
+        attach_asset_meta,
+        pool_frame_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, b"0123456789" * 400),   # "video" of 4000ms -> 4 frames at 1s
+            (2, b"ab"),                 # too short for any frame
+        ],
+        ["asset_id", "payload"],
+    )
+    assets = attach_asset_meta(df, media_type="video", fmt="mp4")
+    out = {r["asset_id"]: r for r in pool_frame_features(assets, dim=16).collect()}
+    assert 1 in out and 2 not in out
+    r = out[1]
+    assert r["n_frames"] == 4
+    assert len(r["embedding"]) == 16
+    # mean of L2-normalized frame features: norm in (0, 1]
+    nrm = sum(v * v for v in r["embedding"]) ** 0.5
+    assert 0 < nrm <= 1.0 + 1e-9
+    # deterministic across runs
+    again = {r["asset_id"]: list(r["embedding"])
+             for r in pool_frame_features(assets, dim=16).collect()}
+    assert again[1] == list(r["embedding"])
+    # non-video assets yield nothing
+    images = attach_asset_meta(df, media_type="image", fmt="png")
+    assert pool_frame_features(images, dim=16).count() == 0
