@@ -301,6 +301,77 @@ def _pseudo_hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
+def _lsh_buckets_batched(
+    df: DataFrame,
+    n_tables: int,
+    bits_per_table: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    with_norm: bool = False,
+):
+    """(id, vec[, norm], bucket) with one bucket row per table — the
+    Arrow-batched form of the hyperplane bucket computation.
+
+    The 32 hyperplane dot products per vector are HOF folds in the
+    expression form — CodegenFallback, interpreted per element (the
+    same lesson as pq_encode). Here the dots accumulate
+    dimension-by-dimension across the batch (``acc += X[:, j] *
+    P[j]``) — the exact sequential fold order of :func:`_dot`, so sign
+    bits and therefore buckets are bit-identical to the expression
+    form on any BLAS (no matmul reduction-order dependence).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n_planes = n_tables * bits_per_table
+    P = np.asarray(
+        [_pseudo_hyperplane(dim, j) for j in range(n_planes)], dtype="float64"
+    )
+    fields = [df.schema[id_col], df.schema[vec_col]]
+    if with_norm:
+        fields.append(T.StructField("_n", T.DoubleType(), False))
+    fields.append(T.StructField("_bkt", T.StringType(), False))
+    schema = T.StructType(fields)
+
+    def bucket_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            d = np.zeros((X.shape[0], n_planes))
+            for j in range(dim):  # dimension-by-dimension: _dot's fold order
+                d += X[:, j, None] * P[None, :, j]
+            bits = (d > 0).astype("int64")
+            out_id, out_vec, out_n, out_b = [], [], [], []
+            if with_norm:
+                nrm = np.zeros(X.shape[0])
+                for j in range(dim):  # same fold order as _norm2
+                    nrm += X[:, j] * X[:, j]
+                nrm = np.sqrt(nrm)
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            for t in range(n_tables):
+                code = np.zeros(X.shape[0], dtype="int64")
+                for p in range(bits_per_table):
+                    code += bits[:, t * bits_per_table + p] << p
+                for r in range(X.shape[0]):
+                    out_id.append(ids[r])
+                    out_vec.append(vecs[r])
+                    if with_norm:
+                        out_n.append(float(nrm[r]))
+                    out_b.append(f"{t}:{code[r]}")
+            data = {id_col: out_id, vec_col: out_vec}
+            if with_norm:
+                data["_n"] = out_n
+            data["_bkt"] = out_b
+            yield pd.DataFrame(data)
+
+    return scale_out(df).select(id_col, vec_col).mapInPandas(bucket_batches, schema)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -323,29 +394,12 @@ def lsh_bucket_topk(
     (query, candidate). Recall < 1.0 by construction — the brute-force
     operator is the quality oracle (tests/test_dataops.py measures it).
     """
-    def buckets(vec: Column) -> Column:
-        per_table = []
-        for t in range(n_tables):
-            bits = F.lit(0).cast("bigint")
-            for p in range(bits_per_table):
-                plane = F.array(
-                    *[F.lit(v) for v in _pseudo_hyperplane(dim, t * bits_per_table + p)]
-                )
-                d = _dot(vec, plane)
-                bits = bits + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            per_table.append(F.concat_ws(":", F.lit(str(t)), bits.cast("string")))
-        return F.array(*per_table)
-
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"),
-        F.explode(buckets(F.col(vec_col))).alias("_bkt"),
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        F.explode(buckets(F.col(vec_col))).alias("_bkt"),
-    )
+    c = _lsh_buckets_batched(
+        corpus, n_tables, bits_per_table, dim, id_col, vec_col
+    ).withColumnRenamed(vec_col, "_cvec")
+    q = _lsh_buckets_batched(
+        queries, n_tables, bits_per_table, dim, query_id_col, vec_col
+    ).withColumnRenamed(vec_col, "_qvec")
     cand = (
         c.join(q, "_bkt")
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -389,32 +443,15 @@ def lsh_near_dup_pairs(
     by construction (measured against the exact form in
     tests/test_dataops.py).
     """
-    def buckets(vec: Column) -> Column:
-        per_table = []
-        for t in range(n_tables):
-            bits = F.lit(0).cast("bigint")
-            for p in range(bits_per_table):
-                plane = F.array(
-                    *[F.lit(v) for v in _pseudo_hyperplane(dim, t * bits_per_table + p)]
-                )
-                d = _dot(vec, plane)
-                bits = bits + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            per_table.append(F.concat_ws(":", F.lit(str(t)), bits.cast("string")))
-        return F.array(*per_table)
-
-    base = scale_out(df).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_n"),
-        F.explode(buckets(F.col(vec_col))).alias("_bkt"),
+    base = _lsh_buckets_batched(
+        df, n_tables, bits_per_table, dim, id_col, vec_col, with_norm=True
     )
     a = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"), "_bkt",
     )
     b = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"), "_bkt",
     )
     cand = (
