@@ -185,6 +185,64 @@ def _kmeans_centroids(
     return [list(map(float, c)) for c in C]
 
 
+def _cells_batched(
+    df: DataFrame,
+    cents: list[list[float]],
+    n_top: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, cells array<int>) — the ``n_top`` nearest centroid
+    cells per vector, Arrow-batched.
+
+    The expression form ranks an array of (cosine, index) structs —
+    per-row HOF folds, CodegenFallback. This replays it vectorized
+    with the exact arithmetic order (dimension-by-dimension dot/norm
+    accumulation = the sequential folds of ``_dot``/``_norm2``) and
+    the exact tie rule (descending (sim, index) — the
+    reverse-of-ascending-array_sort order), so cell assignments are
+    bit-identical to the expression form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(cents, dtype="float64")
+    k_cells = C.shape[0]
+    dim = C.shape[1]
+    cnorm = np.zeros(k_cells)
+    for j in range(dim):
+        cnorm += C[:, j] * C[:, j]
+    cnorm = np.sqrt(cnorm)
+    # passthrough: every input column survives, _cells appends — lets
+    # callers chain this after pq_encode (codes ride along)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("_cells", T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def cell_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            d = np.zeros((X.shape[0], k_cells))
+            vnorm = np.zeros(X.shape[0])
+            for j in range(dim):  # sequential fold order of _dot/_norm2
+                d += X[:, j, None] * C[None, :, j]
+                vnorm += X[:, j] * X[:, j]
+            sims = d / (np.sqrt(vnorm)[:, None] * cnorm[None, :])
+            cells = []
+            idx = np.arange(k_cells)
+            for r in range(X.shape[0]):
+                order = np.lexsort((-idx, -sims[r]))  # desc (sim, index)
+                cells.append([int(i) for i in order[:n_top]])
+            yield pdf.assign(_cells=cells)
+
+    return scale_out(df).mapInPandas(cell_batches, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,8 +261,8 @@ def ivf_topk(
        farthest-point seeding + Lloyd refinement, no RNG, corpus never
        collected);
     2. every corpus vector is assigned to its nearest centroid's cell
-       (argmax cosine, Catalyst-only expressions over broadcast
-       centroid literals — no UDF, no shuffle);
+       (:func:`_cells_batched` — Arrow-batched argmax replaying the
+       expression form's exact fold order and tie rule; no shuffle);
     3. a query probes its ``n_probe`` nearest cells; candidates are the
        cell members — the join key is the cell id, so the exact cosine
        runs on ~n_probe/n_centroids of the corpus instead of all of it.
@@ -214,33 +272,19 @@ def ivf_topk(
     (tests/test_dataops.py measures recall like the LSH path).
     """
     cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
-    cent_arrays = [F.array(*[F.lit(v) for v in c]) for c in cents]
-
-    def cell_ranking(vec: Column) -> Column:
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine_sim(vec, ca).alias("s"), F.lit(i).alias("i")
-                )
-                for i, ca in enumerate(cent_arrays)
-            ]
-        )
-        return F.reverse(F.array_sort(sims))  # best cell first
-
-    c = scale_out(corpus).select(
+    c = _cells_batched(
+        corpus.select(id_col, vec_col), cents, 1, id_col, vec_col
+    ).select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
-        cell_ranking(F.col(vec_col))[0]["i"].alias("_cell"),
+        F.col("_cells")[0].alias("_cell"),
     )
-    q = queries.select(
+    q = _cells_batched(
+        queries.select(query_id_col, vec_col), cents, n_probe, query_id_col, vec_col
+    ).select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(
-            F.transform(
-                F.slice(cell_ranking(F.col(vec_col)), 1, n_probe),
-                lambda s: s["i"],
-            )
-        ).alias("_cell"),
+        F.explode("_cells").alias("_cell"),
     )
     cand = c.join(F.broadcast(q), "_cell").filter(F.col(id_col) != F.col(query_id_col))
     scored = cand.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
@@ -841,41 +885,33 @@ def ivf_pq_topk(
     are deterministic (bounded hash-ordered samples, no RNG), so the
     whole index build is reproducible from the corpus alone.
 
-    Plan: cell assignment and PQ codes are computed in ONE corpus pass
-    (Catalyst-only expressions over broadcast literals); candidates
-    join on the cell id; ADC ranks a k*shortlist_factor shortlist per
-    query (total tie-break); only the shortlist fetches exact vectors
-    by id for the cosine re-rank. Recall < 1.0 (cell misses compound
-    with quantization error) — brute force is the quality oracle.
+    Plan: the corpus streams through the Arrow-batched PQ encoder and
+    the batched cell assigner back-to-back (pipelined, one scan, no
+    shuffle — both replay the expression forms' exact arithmetic
+    order); candidates join on the cell id; ADC ranks a
+    k*shortlist_factor shortlist per query (total tie-break); only the
+    shortlist fetches exact vectors by id for the cosine re-rank.
+    Recall < 1.0 (cell misses compound with quantization error) —
+    brute force is the quality oracle.
     """
     cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
-    cent_arrays = [F.array(*[F.lit(v) for v in c]) for c in cents]
     books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
     sub = len(books[0][0])
 
-    def cell_ranking(vec: Column) -> Column:
-        sims = F.array(*[
-            F.struct(cosine_sim(vec, ca).alias("s"), F.lit(i).alias("i"))
-            for i, ca in enumerate(cent_arrays)
-        ])
-        return F.reverse(F.array_sort(sims))
-
-    # codes via the Arrow-batched encoder (HOF expressions are
-    # CodegenFallback — 11x slower); the cell projection chains onto
-    # the encoder's output, so the corpus still streams through once
-    c = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+    c = _cells_batched(
+        pq_encode(corpus, books, id_col=id_col, vec_col=vec_col),
+        cents, 1, id_col, vec_col,
+    ).select(
         F.col(id_col),
-        cell_ranking(F.col(vec_col))[0]["i"].alias("_cell"),
+        F.col("_cells")[0].alias("_cell"),
         F.col("pq_codes").alias("_codes"),
     )
-    q = queries.select(
+    q = _cells_batched(
+        queries.select(query_id_col, vec_col), cents, n_probe, query_id_col, vec_col
+    ).select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(
-            F.transform(
-                F.slice(cell_ranking(F.col(vec_col)), 1, n_probe), lambda s: s["i"]
-            )
-        ).alias("_cell"),
+        F.explode("_cells").alias("_cell"),
     )
 
     def adc(qvec: Column, code_arr: Column) -> Column:
