@@ -898,6 +898,10 @@ def ivf_pq_topk(
     books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
     sub = len(books[0][0])
 
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     c = _cells_batched(
         pq_encode(corpus, books, id_col=id_col, vec_col=vec_col),
         cents, 1, id_col, vec_col,
@@ -908,28 +912,64 @@ def ivf_pq_topk(
     )
     q = _cells_batched(
         queries.select(query_id_col, vec_col), cents, n_probe, query_id_col, vec_col
-    ).select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.explode("_cells").alias("_cell"),
-    )
+    ).select(F.col(query_id_col), F.explode("_cells").alias("_cell"))
 
-    def adc(qvec: Column, code_arr: Column) -> Column:
-        total = F.lit(0.0)
-        for s, book in enumerate(books):
-            book_lit = F.array(*[F.array(*[F.lit(v) for v in cent]) for cent in book])
-            cent = F.element_at(book_lit, F.element_at(code_arr, s + 1) + 1)
-            total = total + _sub_l2(F.slice(qvec, s * sub + 1, sub), cent)
-        return total
+    # ADC via per-query LUTs over the cell-bounded candidates — same
+    # gather as pq_topk (the per-pair expression form is interpreted);
+    # LUT accumulation replays the fold order so shortlists match
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qpos = {r[query_id_col]: i for i, r in enumerate(qrows)}
+    Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
+    luts = []
+    for s in range(m):
+        C = np.asarray(books[s], dtype="float64")
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        lut = np.zeros((len(qrows), C.shape[0]))
+        for j in range(sub):
+            diff = Qs[:, j, None] - C[None, :, j]
+            lut += diff * diff
+        luts.append(lut)
 
     cand = c.join(F.broadcast(q), "_cell").filter(F.col(id_col) != F.col(query_id_col))
-    scored = cand.withColumn("_adc", adc(F.col("_qvec"), F.col("_codes")))
+    id_field = corpus.schema[id_col]
+    adc_schema = T.StructType([
+        T.StructField(query_id_col, id_field.dataType, False),
+        id_field,
+        T.StructField("_adc", T.DoubleType(), False),
+    ])
+
+    def adc_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray([list(cd) for cd in pdf["_codes"]], dtype="int64")
+            qidx = np.asarray([qpos[v] for v in pdf[query_id_col]])
+            d = np.zeros(len(pdf))
+            for s in range(m):  # subspace order == the expression fold
+                d = d + luts[s][qidx, codes[:, s]]
+            yield pd.DataFrame({
+                query_id_col: pdf[query_id_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "_adc": d,
+            })
+
+    scored = cand.select(query_id_col, id_col, "_codes").mapInPandas(
+        adc_batches, adc_schema
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").asc(), F.col(id_col))
     short = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k * shortlist_factor)
-        .select(query_id_col, id_col, "_qvec")
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+            ),
+            query_id_col,
+        )
     )
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     exact = short.join(vecs, id_col)
