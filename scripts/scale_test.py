@@ -188,6 +188,26 @@ def section_multimodal(spark) -> None:
     _timed("multimodal_decode", decode_assets(assets), nd, "docs", warm=decode_assets(warm))
     _timed("multimodal_resize", resize_assets(assets, 224, 224), nd, "docs", warm=resize_assets(warm, 224, 224))
     _timed("multimodal_features", extract_features(assets, dim=64), nd, "docs", warm=extract_features(warm, dim=64))
+    from clickhouse_etl_spark.dataops.multimodal import pool_frame_features
+
+    videos = assets.withColumn(
+        "asset_meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("format"),
+            F.col("asset_meta.n_bytes").alias("n_bytes"),
+        ),
+    )
+    _timed(
+        "multimodal_frame_pool",
+        pool_frame_features(videos, every_ms=50, max_frames=8, dim=32),
+        nd, "docs",
+        warm=pool_frame_features(_assets(bd.limit(200)).withColumn(
+            "asset_meta",
+            F.struct(F.lit("video").alias("media_type"), F.lit("mp4").alias("format"),
+                     F.col("asset_meta.n_bytes").alias("n_bytes"))),
+            every_ms=50, max_frames=8, dim=32),
+    )
 
 
 def section_new(spark) -> None:
@@ -264,6 +284,15 @@ def section_r4(spark) -> None:
     _timed(
         "pq_encode", pq_encode(vecs, books), n_vec,
         warm=pq_encode(vecs.limit(1000), books),
+    )
+    # the composed web-scale ANN at 1M vectors: cells + codes + LUT ADC
+    from clickhouse_etl_spark.dataops.similarity import ivf_pq_topk
+
+    queries = vecs.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    _timed(
+        "ivf_pq_topk_1M", ivf_pq_topk(vecs, queries, k=10, n_centroids=16, n_probe=4),
+        n_vec,
+        warm=ivf_pq_topk(vecs.limit(2000), queries, k=10, n_centroids=16, n_probe=4),
     )
 
 
