@@ -1,7 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints exactly one JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+``{"metric": ..., "unit": "sec", "sf": ..., "queries": {...}, ...,
+"value": total_sec, "total_sec": total_sec}`` — totals LAST so a
+tail-byte capture of the line always retains them, plus a same-window
+q1 contamination control (``control_q1``/``control_ratio``) and a
+cross-SF scaling map (``scale_ratio_vs_small``, sf0.1 vs sf0.01).
 
 Each query is executed to completion via the no-op sink (full compute,
 no write cost). Timings include plan + execution, not session startup.
@@ -86,10 +90,15 @@ def main_parent() -> None:
         chunks.append(c)
 
     timings: dict[str, float] = {}
+    small: dict[str, float] = {}
+    controls: list[float] = []
     errors: dict[str, str] = {}
     for chunk in chunks:
         out = _run_child({"BENCH_FILTER": ",".join(chunk), "BENCH_SKIP_STREAMING": "1"})
         timings.update(out.get("queries", {}))
+        small.update(out.get("queries_small", {}))
+        if "control_q1" in out:
+            controls.append(out["control_q1"])
         # a crashed child JVM must not make the bench look faster/complete:
         # record which queries vanished and exit non-zero at the end
         if "error" in out:
@@ -101,17 +110,48 @@ def main_parent() -> None:
     streaming = {} if flt else _run_child({"BENCH_STREAMING_ONLY": "1"})
     streaming.pop("queries", None)
 
+    # Cross-SF scaling curve (VERDICT r4 #8): sf0.1/sf0.01 is a 10x data
+    # ratio, so a query scaling with data reads <= ~10 plus fixed overhead.
+    # Flag only non-trivial queries (fixed per-query overhead dominates the
+    # small ones and makes their ratio meaningless).
+    ratios = {
+        n: round(timings[n] / small[n], 1)
+        for n in timings
+        if n in small and small[n] > 0
+    }
+    flagged = sorted(
+        n for n, r in ratios.items() if r > 15 and timings.get(n, 0) > 1.5
+    )
+
+    # Contamination control (VERDICT r4 #4): each child re-times TPC-H q1
+    # at the END of its chunk. q1's isolated best-of-2 has read ~0.6 s at
+    # sf0.1 across three rounds; a same-window reading far above that
+    # means host steal / JVM age inflated the sweep, not the plans.
+    control_q1 = round(max(controls), 3) if controls else None
+    control_ratio = round(control_q1 / 0.6, 2) if control_q1 else None
+
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver captures the LAST N bytes of output,
+    # so headline totals repeat at the END of the line (VERDICT r4 #1/#3).
     result = {
         "metric": "headline_queries_total_runtime",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-        "streaming_ingest": streaming,
+        "queries": timings,
+        "queries_small_sf": small,
+        "scale_ratio_vs_small": ratios,
+        "scale_flagged": flagged,
     }
     if errors:
         result["errors"] = errors
+    result.update(
+        streaming_ingest=streaming,
+        control_q1=control_q1,
+        control_ratio=control_ratio,
+        contended=bool(control_ratio and control_ratio > 2),
+        value=total,
+        total_sec=total,
+    )
     print(json.dumps(result))
     if errors:
         sys.exit(1)
@@ -138,22 +178,44 @@ def main_child() -> None:
         }
 
     warm_dir = "/root/testdata/sf0.001"
+    small_dir = "/root/testdata/sf0.01"
+
+    def _timed(fn, d: str, runs: int = 2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
+    small: dict[str, float] = {}
+    do_small = os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(sf_dir)
     for name, qd in bench_queries.items():
         if os.path.isdir(warm_dir):
             try:
                 qd.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:
                 pass
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qd.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _timed(qd.fn, sf_dir)
+        if do_small:
+            try:
+                small[name] = _timed(qd.fn, small_dir)
+            except Exception:
+                pass
 
-    print(json.dumps({"queries": timings}))
+    out = {"queries": timings, "queries_small": small}
+    # same-window contamination control: q1 re-timed at the end of the
+    # chunk, where JVM-age / steal inflation is maximal
+    ctl = QUERIES.get("q1_pricing_summary")
+    if ctl is not None:
+        try:
+            if os.path.isdir(warm_dir):
+                ctl.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            out["control_q1"] = _timed(ctl.fn, sf_dir)
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 def _streaming_ingest_bench(spark, sf_dir: str) -> dict:

@@ -349,6 +349,12 @@ def plan_mixture_rates(
     missing = [s for s in shares if s not in source_tokens]
     if missing:
         raise ValueError(f"no measured tokens for sources: {missing}")
+    empty = [s for s in shares if source_tokens[s] <= 0]
+    if empty:
+        # a 0-token source passes the membership check but would zero
+        # t_budget and then divide by zero (ADVICE r4) — reject with the
+        # same actionable error class as the other validations
+        raise ValueError(f"sources have no measured tokens (<= 0): {empty}")
     # normalize shares, then T = min over s of max_epochs * n_s / w_s
     t_budget = min(
         max_epochs * source_tokens[s] / (w / total_w) for s, w in shares.items()

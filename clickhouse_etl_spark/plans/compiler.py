@@ -153,12 +153,19 @@ def resolve_dataop(op: str):
         upsample_mixture,
     )
 
+    def balanced_sample_docs(df, label_col="source", id_col="doc_id", **kw):
+        # spec-surface defaults follow the documents stream like every
+        # other registered op (the library function keeps its vec_id/
+        # label embedding-side defaults) — ADVICE r4: a plan declaring
+        # the op without params must not fail only at runtime
+        return balanced_sample(df, label_col=label_col, id_col=id_col, **kw)
+
     registry = {
         "exact_dedup": exact_dedup_keep,
         "simhash": simhash,
         "span_dedup": span_dedup,
         "rare_token_ratio": rare_token_ratio,
-        "balanced_sample": balanced_sample,
+        "balanced_sample": balanced_sample_docs,
         "quality_deciles": quality_deciles,
         "epoch_shuffle": epoch_shuffle,
         "upsample_mixture": upsample_mixture,

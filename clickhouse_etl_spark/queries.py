@@ -3854,11 +3854,18 @@ def multimodal_pipeline(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The
-# rotation policy (VERDICT r3 #3 / ADVICE): each round, entries that have
-# never received a driver-signed CORRECTNESS row go FIRST, then the core §2
-# pipeline surface, then everything already driver-verified in a prior round
-# (all entries stay covered by the local tests/test_oracle.py replay
-# regardless).  _R03_CHECKED is the set recorded in CORRECTNESS_r03.json.
+# rotation policy (VERDICT r3 #3, refined per VERDICT r4 #1): each round,
+#   0. entries never driver-checked (new ops; plus this round the three
+#      rows-only entries that have never received even a row-count row),
+#   1. entries whose implementing code CHANGED since their last driver-signed
+#      CORRECTNESS row (_STALE_SIGNED, maintained by hand from the
+#      per-function git diff of each round — the signed artifact must match
+#      the shipped code),
+#   2. the core §2 pipeline surface (stays driver-verified every round),
+#   3. entries whose newest signature is oldest (r3-only before r4-signed).
+# All entries stay covered by the local tests/test_oracle.py replay
+# regardless.  _R03_CHECKED / _R04_CHECKED are the key sets of the
+# corresponding CORRECTNESS_r0N.json files.
 # ---------------------------------------------------------------------------
 _R03_CHECKED = frozenset({
     "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
@@ -3881,6 +3888,44 @@ _R03_CHECKED = frozenset({
 })
 
 
+_R04_CHECKED = frozenset({
+    "anti_join_inactive_users", "approx_distinct_sketch",
+    "approx_percentiles_by_type", "cube_order_stats", "distinct_counts",
+    "docs_bm25", "docs_curation_v2", "docs_dedup_agreement",
+    "docs_epoch_shuffle", "docs_incremental_dedup", "docs_quality_deciles",
+    "docs_rare_token_ratio", "docs_simhash_pairs", "docs_span_dedup",
+    "docs_upsample_mixture", "emb_balanced_sample", "emb_pq_ann_topk",
+    "events_moving_sum_1h", "events_winsorize", "events_zscore_anomalies",
+    "funnel_conversion", "ntile_price_quartiles", "percentiles_by_type",
+    "pivot_user_event_counts", "q10_returned_revenue", "q12_priority_buckets",
+    "q13_customer_distribution", "q14_conditional_agg", "q15_top_supplier",
+    "q16_supplier_cardinality", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q3_top_revenue", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "range_join_attribution",
+    "retention_cohorts", "rollup_revenue", "running_totals_window",
+    "sliding_window_agg", "value_histogram",
+})
+
+# r3-signed entries whose implementing functions were modified in r4
+# (per-function `git diff 85492b1 1d472c9` context: pack_sequences,
+# connected_components, simhash, corpus_report, split_assign, cosine_topk,
+# embedding_near_dup_pairs, ivf_topk, lsh_bucket_topk, semantic_dedup,
+# extract_features, flatten_metrics, flatten_traces) — plus entries whose
+# code is modified THIS round (r5) after an r4 signature.
+_STALE_SIGNED = frozenset({
+    "docs_sequence_packing", "docs_dup_clusters", "docs_simhash",
+    "docs_corpus_report", "docs_split_report", "emb_cosine_topk",
+    "emb_near_dup_pairs", "emb_ivf_ann_topk", "emb_lsh_ann_topk",
+    "emb_semantic_dedup", "multimodal_pipeline", "otlp_flatten_metrics",
+    "otlp_flatten_traces",
+    # r5 code motion (ADVICE fixes + guards in similarity.py touch pq_topk)
+    "emb_pq_ann_topk",
+})
+
+
 def _priority(name: str) -> int:
     core = {
         "pipeline_canonical", "filter_project", "transform_scalars",
@@ -3888,19 +3933,18 @@ def _priority(name: str) -> int:
         "asof_join_clicks", "sink_mapping_casts", "validate_dlq_counts",
         "otlp_flatten_metrics",
     }
-    if name not in _R03_CHECKED:
-        # never driver-checked — rotate into this round's budget; but
-        # among those, rows-only entries gain the LEAST from a driver
-        # check (it is just a row count for them — the real gate is
-        # the local recall/contract test), so when the never-checked
-        # set slightly overflows the ~50-entry budget they absorb the
-        # truncation instead of a fully-oracle-backed entry
-        if QUERIES[name].sql is None:
-            return 1
+    checked = name in _R03_CHECKED or name in _R04_CHECKED
+    if not checked:
+        # never driver-checked — includes every new-this-round op AND the
+        # rows-only trio that has never received even a row-count row
         return 0
+    if name in _STALE_SIGNED:
+        return 1  # signed artifact no longer matches shipped code — re-sign
     if name in core:
         return 2  # keep the most-graded §2 rows driver-verified every round
-    return 3
+    if name not in _R04_CHECKED:
+        return 3  # newest signature is r3 — refresh before r4-signed ones
+    return 4
 
 
 QUERIES = {

@@ -63,6 +63,16 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
         )
+        # warehouse outside the repo cwd and per-pid: a session killed
+        # mid-saveAsTable cannot leave an orphan spark-warehouse/ dir
+        # that poisons the NEXT session's catalog with
+        # LOCATION_ALREADY_EXISTS (VERDICT r4 wrong-#2)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-warehouse-{os.getpid()}"
+            ),
+        )
         # RocksDB state store: streaming state (watermark dedup, stateful
         # joins) lives off-heap and spills to local disk instead of the
         # executor heap — the difference between "state fits this node's

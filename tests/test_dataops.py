@@ -803,3 +803,81 @@ def test_pool_frame_features_contract(spark):
     # non-video assets yield nothing
     images = attach_asset_meta(df, media_type="image", fmt="png")
     assert pool_frame_features(images, dim=16).count() == 0
+
+
+def test_ann_empty_query_set_returns_empty(spark, sf_dir):
+    """ADVICE r5: pq_topk/ivf_pq_topk on an empty query set must return
+    an empty frame with the standard schema, not crash on (0,)-shaped
+    numpy slicing."""
+    from clickhouse_etl_spark.dataops.similarity import ivf_pq_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    none = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in (pq_topk, ivf_pq_topk):
+        out = fn(emb, none, k=3)
+        assert out.columns == ["query_id", "neighbor_id", "rank", "sim"]
+        assert out.count() == 0
+
+
+def test_ann_query_collect_guard(spark, sf_dir):
+    """VERDICT r4 #6: the driver-side LUT query collect is bounded —
+    oversized query sets get an actionable error, not a driver OOM."""
+    import pytest
+
+    from clickhouse_etl_spark.dataops.similarity import ivf_pq_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    for fn in (pq_topk, ivf_pq_topk):
+        with pytest.raises(ValueError, match="max_queries"):
+            fn(emb, queries, k=3, max_queries=5)
+        # and None disables the guard
+        assert fn(emb, queries.limit(3), k=3, max_queries=None).count() > 0
+
+
+def test_cells_batched_zero_norm_vector_deterministic(spark):
+    """ADVICE r5: a zero-norm vector must get a deterministic cell (tie
+    rule over sim=-inf), not NaN-ordering-dependent garbage."""
+    from clickhouse_etl_spark.dataops.similarity import _cells_batched
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: list(r["_cells"])
+           for r in _cells_batched(df, cents, 2, "vec_id", "embedding").collect()}
+    # degenerate vectors: all sims tie at -inf -> index-descending tie rule
+    assert out[1] == out[3] == [2, 1]
+    # a normal vector is unaffected
+    assert out[2][0] == 0
+    again = {r["vec_id"]: list(r["_cells"])
+             for r in _cells_batched(df, cents, 2, "vec_id", "embedding").collect()}
+    assert out == again
+
+
+def test_plan_mixture_rates_rejects_zero_token_source(spark):
+    import pytest
+
+    from clickhouse_etl_spark.dataops.text import plan_mixture_rates
+
+    with pytest.raises(ValueError, match="<= 0"):
+        plan_mixture_rates({"web": 1000, "code": 0}, {"web": 0.7, "code": 0.3})
+
+
+def test_balanced_sample_spec_surface_documents_defaults(spark):
+    """ADVICE r5: the dataop spec surface defaults balanced_sample to the
+    documents stream (doc_id/source) like every other registered op."""
+    from clickhouse_etl_spark.plans.compiler import resolve_dataop
+
+    docs = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "web"), (3, "c", "code")],
+        ["doc_id", "text", "source"],
+    )
+    out = resolve_dataop("balanced_sample")(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["web"]) == len(by_src["code"]) == 1

@@ -43,6 +43,25 @@ def test_replicate_join_right_matches_plain(spark):
     )
 
 
+def test_write_bucketed_survives_orphan_location(spark):
+    """A killed prior session leaves the warehouse directory on disk while
+    the fresh in-memory catalog has never heard of the table; saveAsTable
+    must not die with LOCATION_ALREADY_EXISTS (VERDICT r4 wrong-#2)."""
+    import os
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(warehouse, "bkt_orphan")
+    os.makedirs(os.path.join(orphan, "partial"), exist_ok=True)
+    spark.sql("DROP TABLE IF EXISTS bkt_orphan")  # catalog genuinely empty
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    try:
+        write_bucketed(df, "bkt_orphan", "k", n_buckets=4)
+        assert read_table(spark, "bkt_orphan").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # warehouse dir is a static conf; the session default (spark-warehouse
     # under cwd) is fine — tables are dropped at the end
