@@ -111,16 +111,24 @@ DATAOPS = frozenset({
     "fingerprint", "repetition_signals", "split_assign", "mixture_sample",
     "scrub_pii", "chunk_documents", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
+    "dedup_against",
 })
+# params with no usable default — their absence fails at PARSE time
+# (spec/model.py), not on the first chain run (ADVICE r4 principle)
+REQUIRED_DATAOP_PARAMS = {"dedup_against": ("seen_path",)}
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
 # append mode (upsample_mixture is a row-local hash-gated explode, so
-# it qualifies).  exact_dedup (row_number window over the full
-# corpus), simhash (per-doc aggregation after an explode), span_dedup
-# (window over the global span digest), rare_token_ratio (corpus df
-# top-k), balanced_sample (global min class count), quality_deciles
-# (corpus percentile thresholds), and epoch_shuffle (per-shard window)
-# are batch-only: streaming dedup is the spec's dedup stage
+# it qualifies; dedup_against is a stream-static LEFT ANTI join
+# against a static digest set, executed per micro-batch — its
+# within-batch window half is batch-only and the streaming form
+# documents that the dedup STAGE owns within-stream dups).
+# exact_dedup (row_number window over the full corpus), simhash
+# (per-doc aggregation after an explode), span_dedup (window over the
+# global span digest), rare_token_ratio (corpus df top-k),
+# balanced_sample (global min class count), quality_deciles (corpus
+# percentile thresholds), and epoch_shuffle (per-shard window) are
+# batch-only: streaming dedup is the spec's dedup stage
 # (dropDuplicatesWithinWatermark).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
@@ -138,7 +146,12 @@ def resolve_dataop(op: str):
     packing) stay library-level because they need a bounded batch to
     be well-defined."""
     from ..dataops.chunking import chunk_documents, epoch_shuffle, scrub_pii
-    from ..dataops.dedup import exact_dedup_keep, simhash, span_dedup
+    from ..dataops.dedup import (
+        dedup_against_path,
+        exact_dedup_keep,
+        simhash,
+        span_dedup,
+    )
     from ..dataops.similarity import balanced_sample
     from ..dataops.text import (
         doc_fingerprint,
@@ -164,6 +177,7 @@ def resolve_dataop(op: str):
         "exact_dedup": exact_dedup_keep,
         "simhash": simhash,
         "span_dedup": span_dedup,
+        "dedup_against": dedup_against_path,
         "rare_token_ratio": rare_token_ratio,
         "balanced_sample": balanced_sample_docs,
         "quality_deciles": quality_deciles,

@@ -2780,6 +2780,28 @@ def emb_ivf_pq_ann_topk(spark, sf_dir):
     return ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=8)
 
 
+@q("emb_pq_index_ann_topk", None)
+def emb_pq_index_ann_topk(spark, sf_dir):
+    """ANN against a PERSISTED IVF+PQ index (dataops/similarity.
+    pq_index_build / pq_index_query — VERDICT r4 #2): the index (cell-
+    partitioned codes + centroids + codebooks parquet) is built once
+    and served; query time pays only probe → pruned partition scan →
+    ADC → re-rank. Output equality with the fresh-build ivf_pq_topk is
+    pinned in test_dataops.py. Rows-only check (index build is
+    deterministic, but PQ is not SQL-expressible)."""
+    import os
+
+    from .dataops.similarity import pq_index_build, pq_index_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = f"/tmp/pq_index_reg_{os.path.basename(os.path.normpath(sf_dir))}"
+    pq_index_build(emb, path, n_centroids=16, m=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_index_query(spark, path, queries, k=10, n_probe=8)
+
+
 _FUNNEL_WINDOW_US = 7 * 86_400_000_000
 
 

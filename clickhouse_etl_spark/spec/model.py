@@ -162,11 +162,17 @@ def _parse_transforms(transforms: list[dict], sources: dict[str, dict]) -> None:
                 raise SpecError("dataop transform requires config.op")
             # fail at parse time, not first chain run (lazy import — the
             # compiler imports this module at load)
-            from ..plans.compiler import DATAOPS
+            from ..plans.compiler import DATAOPS, REQUIRED_DATAOP_PARAMS
 
             if op not in DATAOPS:
                 raise SpecError(f"unknown dataop {op!r}; available: {sorted(DATAOPS)}")
             params = {k: v for k, v in cfg.items() if k != "op"}
+            missing = [p for p in REQUIRED_DATAOP_PARAMS.get(op, ()) if p not in params]
+            if missing:
+                raise SpecError(
+                    f"dataop {op!r} requires config params {missing} "
+                    "(no usable default)"
+                )
             slot["dataops"].append(DataopConfig(op=op, params=params))
         elif ttype in ("stateless", "transform"):
             outs = tuple(

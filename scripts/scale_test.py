@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5"]
 
 
 def materialize(spark) -> None:
@@ -296,6 +296,46 @@ def section_r4(spark) -> None:
     )
 
 
+def section_r5(spark) -> None:
+    """Persisted IVF+PQ index: build ONCE, then query-only latency —
+    the serving shape VERDICT r4 #2 asked for (vs ivf_pq_topk's
+    rebuild-per-call)."""
+    import shutil
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        ivf_pq_topk,
+        pq_index_build,
+        pq_index_query,
+    )
+
+    n_vec = 1_000_000
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.col("id") * 131 + i * 65537) % 1000).cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    queries = vecs.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    path = "/tmp/scale_pq_index"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    pq_index_build(vecs, path, n_centroids=16, m=8, n_codes=16)
+    print(f"pq_index_build_1M: {time.perf_counter() - t0:.1f}s (one-time)")
+    _timed(
+        "pq_index_query_1M", pq_index_query(spark, path, queries, k=10, n_probe=4),
+        n_vec,
+        warm=pq_index_query(spark, path, queries.limit(1), k=10, n_probe=4),
+    )
+    _timed(
+        "ivf_pq_rebuild_per_call_1M",
+        ivf_pq_topk(vecs, queries, k=10, n_centroids=16, n_probe=4),
+        n_vec,
+        warm=ivf_pq_topk(vecs.limit(2000), queries, k=10, n_centroids=16, n_probe=4),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -306,7 +346,7 @@ def main() -> None:
         _ensure_data(spark)
         {"ops": section_ops, "text": section_text,
          "multimodal": section_multimodal, "new": section_new,
-         "r4": section_r4}[section](spark)
+         "r4": section_r4, "r5": section_r5}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

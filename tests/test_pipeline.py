@@ -254,3 +254,87 @@ def test_r4_dataops_on_spec_surface(spark, tmp_path):
         cfg = SourceConfig(source_id="documents", dataops=(DataopConfig(op=op),))
         with pytest.raises(SpecError, match="batch-only"):
             streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+
+
+def test_dedup_against_streaming_parity_with_batch(spark, tmp_path):
+    """VERDICT r4 #7: dedup_against on the streaming chain — a stream-
+    static LEFT ANTI join against the persisted digest set — keeps
+    exactly the rows the batch op keeps (wave has no within-wave dups,
+    so the batch op's within-batch half is a no-op and the comparison
+    is exact)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.dedup import dedup_against_path
+    from clickhouse_etl_spark.plans.compiler import STREAM_SAFE_DATAOPS
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "dedup_against" in STREAM_SAFE_DATAOPS
+
+    seen_dir = str(tmp_path / "seen")
+    wave_dir = str(tmp_path / "wave")
+    spark.createDataFrame(
+        [(100, "already ingested one"), (101, "already ingested two")],
+        ["doc_id", "text"],
+    ).write.parquet(seen_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    wave_rows = [
+        (1, "already ingested one", dt.datetime(2024, 1, 1, 10)),   # cross-wave dup
+        (2, "fresh document alpha", dt.datetime(2024, 1, 1, 10, 1)),
+        (3, "already ingested two", dt.datetime(2024, 1, 1, 10, 2)),  # cross-wave dup
+        (4, "fresh document beta", dt.datetime(2024, 1, 1, 10, 3)),
+    ]
+    spark.createDataFrame(wave_rows, schema).write.parquet(wave_dir)
+
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in dedup_against_path(spark.read.parquet(wave_dir), seen_dir).collect()
+    )
+    assert batch_ids == [2, 4]
+
+    stream = spark.readStream.schema(schema).parquet(wave_dir)
+    src = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(op="dedup_against", params={"seen_path": seen_dir}),),
+    )
+    out = streaming_source_chain(src, "ts", value_is_json=False)(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_against_parity")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_ids = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM dedup_against_parity").collect()
+    )
+    assert stream_ids == batch_ids
+
+
+def test_dedup_against_requires_seen_path_at_parse_time(spark):
+    """A spec declaring dedup_against without seen_path fails at PARSE
+    time with a named SpecError, not on the first chain run."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+    from clickhouse_etl_spark.spec.model import SpecError
+
+    doc = {
+        "version": "v3", "pipeline_id": "p", "name": "p",
+        "sources": [{
+            "type": "kafka", "source_id": "documents", "topic": "documents",
+            "schema_fields": [{"name": "doc_id", "type": "int64"},
+                               {"name": "text", "type": "string"}],
+        }],
+        "transforms": [{"type": "dataop", "source_id": "documents",
+                        "config": {"op": "dedup_against"}}],
+    }
+    with _pytest.raises(SpecError, match="seen_path"):
+        parse_pipeline_json(doc)
