@@ -1248,3 +1248,80 @@ def pq_index_query(
         cells_codes, q, vecs, queries, qrows, books, k, shortlist_factor,
         id_col, vec_col, query_id_col,
     )
+
+
+def mean_center(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Mean-center the embedding column (the standard preprocessing
+    before PCA/whitening or anisotropy correction of an embedding
+    corpus), with an ENGINE-EXACT corpus mean:
+
+    floating-point sums are order-dependent, so the per-dimension mean
+    is computed from ``floor(v * 2^20)`` fixed-point BIGINTs — the
+    power-of-two scaling is exact in IEEE-754, floor is exact, and
+    integer sums are associative, so any engine (and the DuckDB
+    oracle) derives the IDENTICAL mean regardless of row order. The
+    centered value ``v - s/(c * 2^20)`` then uses one division and one
+    subtraction in fixed order.
+
+    Shape: one posexplode + hash agg for the 1-row-per-dimension sums
+    (dim-bounded), collected into a single broadcast array row; the
+    corpus itself never shuffles. Adds ``centered`` (array<double>).
+    """
+    fscale = float(scale)
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    sums = ex.groupBy("pos").agg(
+        F.sum(F.floor(F.col("v").cast("double") * fscale).cast("bigint")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    means = sums.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "c"))),
+            lambda st: st["s"] / (st["c"] * F.lit(fscale)),
+        ).alias("_mu")
+    )
+    return (
+        df.crossJoin(F.broadcast(means))
+        .withColumn(
+            "centered",
+            F.zip_with(
+                F.col(vec_col), F.col("_mu"), lambda v, m: v.cast("double") - m
+            ),
+        )
+        .drop("_mu")
+    )
+
+
+def truncate_renorm(
+    df: DataFrame,
+    d: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``d`` dimensions and
+    L2-renormalize — the standard cheap-retrieval trick for MRL-trained
+    embeddings (coarse search on the prefix, full-dim re-rank).
+
+    Adds ``trunc_norm`` (the prefix norm before renorm — 0-norm
+    prefixes yield a null unit vector rather than NaNs) and
+    ``truncated`` (the renormalized prefix). Folds are sequential left
+    folds in double, matching the oracle's list_reduce order.
+    """
+    sl = F.transform(
+        F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double")
+    )
+    norm = F.sqrt(F.aggregate(sl, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        df.withColumn("trunc_norm", norm)
+        .withColumn(
+            "truncated",
+            F.when(
+                F.col("trunc_norm") > 0,
+                F.transform(sl, lambda x: x / F.col("trunc_norm")),
+            ),
+        )
+    )

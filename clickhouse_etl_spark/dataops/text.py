@@ -638,3 +638,188 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum("_micros").cast("bigint").alias("score_micros"))
     )
+
+
+def _bigrams(toks: Column) -> Column:
+    """Consecutive-token bigrams as 'a b' strings (empties filtered
+    first so both engines pair the same stream). Guarded: Spark's
+    ``sequence(1, 0)`` would DESCEND, so short docs get an empty array
+    explicitly (DuckDB's ``range`` is empty for stop <= start)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the standard corpus-analysis signal for tokenizer /
+    phrase-vocabulary decisions on a training corpus.
+
+    Determinism: PMI is kept as a RATIO, never a log (libm-free — the
+    BM25 lesson): ratio = p(a,b) / (p(a)p(b)) computed in a FIXED
+    double operation order ``((c_ab/N_b) * (N_u/c_a)) * (N_u/c_b)``
+    from exact integer counts, so the oracle reproduces it bit-for-bit.
+    Total tie-break (ratio desc, bigram asc).
+
+    Scale shape: one explode for bigram counts, one for unigram counts,
+    both hash-aggregated map-side first; the final top-k sorts only the
+    ``min_count``-filtered collocation table (vocab-bounded, tiny next
+    to the corpus), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    n_u = uni.agg(F.sum("c_w").alias("n_u"))
+    big = (
+        df.select(F.explode(_bigrams(toks)).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_b = (
+        df.select(F.explode(_bigrams(toks)).alias("b"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    wa = F.split(F.col("bigram"), " ").getItem(0)
+    wb = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        big.withColumn("_wa", wa).withColumn("_wb", wb)
+        .join(F.broadcast(n_b))
+        .join(F.broadcast(n_u))
+        .join(uni.select(F.col("w").alias("_wa"), F.col("c_w").alias("c_a")), "_wa")
+        .join(uni.select(F.col("w").alias("_wb"), F.col("c_w").alias("c_b")), "_wb")
+        .withColumn(
+            "pmi_ratio",
+            (
+                (F.col("c_ab").cast("double") / F.col("n_b"))
+                * (F.col("n_u").cast("double") / F.col("c_a"))
+            )
+            * (F.col("n_u").cast("double") / F.col("c_b")),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_ratio").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "rank", "bigram", "c_ab",
+            F.col("c_a").alias("count_w1"), F.col("c_b").alias("count_w2"),
+            F.round("pmi_ratio", 6).alias("pmi_ratio"),
+        )
+    )
+
+
+def lm_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram familiarity score per document — the
+    libm-free stand-in for n-gram-LM perplexity filtering (CCNet-style
+    quality gating): familiarity = mean corpus frequency of the
+    document's bigrams. Low scores mark documents whose word
+    transitions are rare in the corpus (noise, boilerplate soup,
+    wrong-language fragments).
+
+    Exact integer sums + ONE final division, so the oracle matches
+    bit-for-bit. Shape: bigram counts table (hash agg), joined back to
+    the per-doc bigram stream (shuffle on the bigram key), per-doc sum.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    per_doc = df.select(F.col(id_col), F.explode(_bigrams(toks)).alias("bigram"))
+    counts = per_doc.groupBy("bigram").agg(F.count("*").alias("c"))
+    fam = (
+        per_doc.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c").alias("_s"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(fam, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams").isNotNull(),
+                    F.col("_s").cast("double") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("familiarity"),
+        )
+    )
+
+
+def kgram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty curve: the fraction of the document's
+    distinct k-grams whose FIRST corpus occurrence (min doc id) is this
+    document — the curation signal for incremental corpus growth (a
+    wave of low-novelty documents adds little new content even when no
+    single document is a near-duplicate).
+
+    Integer counts and one division; first-occurrence is min(doc_id)
+    per gram — a total order, engine-identical.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + off) for off in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    first = per_doc.groupBy("g").agg(F.min(id_col).alias("_first"))
+    nov = (
+        per_doc.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(nov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_grams").isNotNull(),
+                    F.col("n_novel").cast("double") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -3873,6 +3873,231 @@ def multimodal_pipeline(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ #
+# r5 dataops: corpus statistics + embedding preprocessing             #
+# ------------------------------------------------------------------ #
+
+_BIGRAM_W = """
+    w AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   t -> len(t) > 0) AS w
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM w
+    )
+"""
+
+
+@q(
+    "docs_bigram_pmi",
+    f"""
+    WITH {_BIGRAM_W},
+    uni AS (
+        SELECT u AS wd, CAST(count(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest(w) AS u FROM w) GROUP BY u
+    ), nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_u FROM uni),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM bg),
+    big AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY bigram HAVING count(*) >= 5
+    ), j AS (
+        SELECT s.bigram, s.c_ab, a.c_w AS c_a, b.c_w AS c_b, n_u, n_b
+        FROM (SELECT bigram, c_ab,
+                     string_split(bigram, ' ')[1] AS wa,
+                     string_split(bigram, ' ')[2] AS wb FROM big) s
+        JOIN uni a ON s.wa = a.wd JOIN uni b ON s.wb = b.wd, nu, nb
+    ), sc AS (
+        SELECT bigram, c_ab, c_a, c_b,
+               ((CAST(c_ab AS DOUBLE) / n_b) * (CAST(n_u AS DOUBLE) / c_a))
+                 * (CAST(n_u AS DOUBLE) / c_b) AS pmi_ratio
+        FROM j
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi_ratio DESC, bigram)
+                AS INTEGER) AS rank,
+           bigram, c_ab, c_a AS count_w1, c_b AS count_w2,
+           round(pmi_ratio, 6) AS pmi_ratio
+    FROM sc
+    QUALIFY rank <= 50
+    """,
+    "bench",
+)
+def docs_bigram_pmi(spark, sf_dir):
+    """Top-k collocations by PMI kept as an exact RATIO in fixed double
+    operation order (libm-free — no log; dataops/text.bigram_pmi).
+    Beyond-reference corpus analysis for tokenizer/phrase decisions."""
+    from .dataops.text import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), top_k=50, min_count=5)
+
+
+@q(
+    "docs_lm_familiarity",
+    f"""
+    WITH {_BIGRAM_W},
+    counts AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+    ), fam AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM bg JOIN counts USING (bigram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN f.n_bigrams IS NOT NULL
+                      THEN CAST(f.s AS DOUBLE) / f.n_bigrams
+                      ELSE 0.0 END, 6) AS familiarity
+    FROM documents d LEFT JOIN fam f ON d.doc_id = f.doc_id
+    """,
+    "bench",
+)
+def docs_lm_familiarity(spark, sf_dir):
+    """Corpus-trained bigram familiarity per document — the libm-free
+    stand-in for n-gram-LM perplexity quality gating (dataops/text.
+    lm_familiarity): exact integer sums, one final division."""
+    from .dataops.text import lm_familiarity
+
+    return lm_familiarity(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "docs_kgram_novelty",
+    """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   t -> len(t) > 0) AS w
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM w
+    ), fo AS (
+        SELECT g, min(doc_id) AS f FROM g GROUP BY g
+    ), nov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM g JOIN fo USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CASE WHEN n.n_grams IS NOT NULL
+                      THEN CAST(n.n_novel AS DOUBLE) / n.n_grams
+                      ELSE 0.0 END, 6) AS novelty_ratio
+    FROM documents d LEFT JOIN nov n USING (doc_id)
+    """,
+    "bench",
+)
+def docs_kgram_novelty(spark, sf_dir):
+    """Per-document novelty: fraction of distinct 3-grams whose first
+    corpus occurrence (min doc_id — a total order) is this document
+    (dataops/text.kgram_novelty). The incremental-curation signal for
+    wave-over-wave corpus growth."""
+    from .dataops.text import kgram_novelty
+
+    return kgram_novelty(_t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
+    "emb_mean_center",
+    """
+    WITH u AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), m AS (
+        SELECT pos,
+               CAST(sum(CAST(floor(v * 1048576.0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c
+        FROM u GROUP BY pos
+    ), c AS (
+        SELECT u.vec_id, u.pos, u.v - m.s / (m.c * 1048576.0) AS cv
+        FROM u JOIN m USING (pos)
+    ), l AS (
+        SELECT vec_id, list(cv ORDER BY pos) AS cl FROM c GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(list_reduce([0.0] || cl, (a, b) -> a + b), 6)
+               AS centered_checksum,
+           round(sqrt(list_reduce([0.0] || list_transform(cl, x -> x * x),
+                                  (a, b) -> a + b)), 6) AS l2_centered
+    FROM l
+    """,
+    "bench",
+)
+def emb_mean_center(spark, sf_dir):
+    """Mean-centered embeddings with an ENGINE-EXACT corpus mean: the
+    per-dimension mean comes from floor(v*2^20) fixed-point BIGINT sums
+    (associative — row order cannot perturb it), so the oracle derives
+    the identical mean (dataops/similarity.mean_center). Output:
+    sequential-fold checksum + L2 of each centered vector."""
+    from .dataops.similarity import mean_center
+
+    out = mean_center(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.col("centered"), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("centered_checksum"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("centered"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("l2_centered"),
+    )
+
+
+@q(
+    "emb_truncate_renorm",
+    """
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS sl
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, sl,
+               sqrt(list_reduce([0.0] || list_transform(sl, x -> x * x),
+                                (a, b) -> a + b)) AS trunc_norm
+        FROM s
+    )
+    SELECT vec_id, round(trunc_norm, 6) AS trunc_norm,
+           round(CASE WHEN trunc_norm > 0
+                      THEN list_reduce([0.0] ||
+                               list_transform(sl, x -> x / trunc_norm),
+                           (a, b) -> a + b)
+                      ELSE 0.0 END, 6) AS unit_checksum
+    FROM n
+    """,
+)
+def emb_truncate_renorm(spark, sf_dir):
+    """Matryoshka truncation (first 16 dims) + L2 renorm (dataops/
+    similarity.truncate_renorm) — coarse-search prefix embeddings.
+    Checked via the prefix norm and the sequential checksum fold of the
+    renormalized prefix (the emb_normalize oracle discipline)."""
+    from .dataops.similarity import truncate_renorm
+
+    out = truncate_renorm(_t(spark, sf_dir, "embeddings"), d=16)
+    return out.select(
+        "vec_id",
+        F.round("trunc_norm", 6).alias("trunc_norm"),
+        F.round(
+            F.when(
+                F.col("trunc_norm") > 0,
+                F.aggregate(F.col("truncated"), F.lit(0.0), lambda a, x: a + x),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("unit_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The

@@ -931,3 +931,63 @@ def test_pq_index_persisted_equals_fresh_build(spark, sf_dir, tmp_path):
     import os
     parts = [d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")]
     assert len(parts) > 1
+
+
+def test_r5_text_ops_edge_cases(spark):
+    """Short documents (0/1/2 tokens) through the bigram/k-gram ops:
+    empty-array guards must hold (Spark's sequence() would DESCEND on
+    stop < start) and ratios must stay defined."""
+    from clickhouse_etl_spark.dataops.text import (
+        bigram_pmi,
+        kgram_novelty,
+        lm_familiarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "one two three")],
+        ["doc_id", "text"],
+    )
+    fam = {r["doc_id"]: r for r in lm_familiarity(docs).collect()}
+    assert len(fam) == 5
+    assert fam[1]["n_bigrams"] == 0 and fam[1]["familiarity"] == 0.0
+    assert fam[2]["n_bigrams"] == 0
+    # 'one two' occurs in docs 3,4,5 -> count 3; 'two three' in 4,5 -> 2
+    assert fam[3]["familiarity"] == 3.0
+    assert fam[4]["familiarity"] == (3 + 2) / 2
+
+    nov = {r["doc_id"]: r for r in kgram_novelty(docs, k=3).collect()}
+    assert nov[1]["n_grams"] == 0 and nov[1]["novelty_ratio"] == 0.0
+    assert nov[4]["n_grams"] == 1 and nov[4]["n_novel"] == 1
+    assert nov[5]["n_grams"] == 1 and nov[5]["n_novel"] == 0
+
+    pmi = bigram_pmi(docs, top_k=10, min_count=2).collect()
+    assert [r["rank"] for r in pmi] == list(range(1, len(pmi) + 1))
+    assert all(r["c_ab"] >= 2 for r in pmi)
+
+
+def test_r5_embedding_ops_edge_cases(spark):
+    """mean_center: exact integer-derived mean (order-independent);
+    truncate_renorm: zero prefix yields null unit vector, not NaN."""
+    from clickhouse_etl_spark.dataops.similarity import mean_center, truncate_renorm
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [3.0, 0.0, 4.0]), (3, [5.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: list(r["centered"]) for r in mean_center(emb).collect()}
+    assert abs(out[1][0] - (1.0 - 3.0)) < 1e-9   # mean dim0 = 3.0 exactly
+    assert out[1][1] == 0.0
+    # shuffled input order produces the IDENTICAL mean (integer sums)
+    out2 = {
+        r["vec_id"]: list(r["centered"])
+        for r in mean_center(emb.orderBy(F.col("vec_id").desc())).collect()
+    }
+    assert out == out2
+
+    tr = {r["vec_id"]: r for r in truncate_renorm(emb, d=2).collect()}
+    assert abs(tr[1]["trunc_norm"] - 1.0) < 1e-12
+    assert list(tr[1]["truncated"]) == [1.0, 0.0]
+    zero = spark.createDataFrame([(9, [0.0, 0.0, 1.0])], ["vec_id", "embedding"])
+    z = truncate_renorm(zero, d=2).collect()[0]
+    assert z["trunc_norm"] == 0.0 and z["truncated"] is None

@@ -140,9 +140,14 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
     - docs_quality_deciles: crossJoin of the SINGLE-ROW decile-
       threshold aggregate — same bounded 1×n pattern;
     - emb_pq_ann_topk: bounded query set × encoded-corpus ADC scan —
-      same pattern as emb_cosine_topk (the corpus never shuffles).
+      same pattern as emb_cosine_topk (the corpus never shuffles);
+    - docs_bigram_pmi: joins of the SINGLE-ROW total-token and
+      total-bigram aggregates onto the min_count-filtered collocation
+      table — two 1×n broadcasts;
+    - emb_mean_center: crossJoin of the SINGLE-ROW per-dimension-means
+      array aggregate (dim-bounded) — same bounded 1×n pattern.
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2"}
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2", "docs_bigram_pmi", "emb_mean_center"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
