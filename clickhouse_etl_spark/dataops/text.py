@@ -680,21 +680,21 @@ def bigram_pmi(
     """
     from pyspark.sql import Window
 
+    df = scale_out(df)  # single-file parquet reads as ONE partition
     toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     uni = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w").agg(F.count("*").alias("c_w"))
     )
     n_u = uni.agg(F.sum("c_w").alias("n_u"))
-    big = (
+    big_all = (
         df.select(F.explode(_bigrams(toks)).alias("bigram"))
         .groupBy("bigram").agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
     )
-    n_b = (
-        df.select(F.explode(_bigrams(toks)).alias("b"))
-        .agg(F.count("*").alias("n_b"))
-    )
+    # total bigram count from the aggregated table — no second corpus
+    # explode pass (sum of per-bigram counts == the stream length)
+    n_b = big_all.agg(F.sum("c_ab").alias("n_b"))
+    big = big_all.filter(F.col("c_ab") >= min_count)
     wa = F.split(F.col("bigram"), " ").getItem(0)
     wb = F.split(F.col("bigram"), " ").getItem(1)
     scored = (
@@ -740,6 +740,7 @@ def lm_familiarity(
     bit-for-bit. Shape: bigram counts table (hash agg), joined back to
     the per-doc bigram stream (shuffle on the bigram key), per-doc sum.
     """
+    df = scale_out(df)  # single-file parquet reads as ONE partition
     toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     per_doc = df.select(F.col(id_col), F.explode(_bigrams(toks)).alias("bigram"))
     counts = per_doc.groupBy("bigram").agg(F.count("*").alias("c"))
@@ -783,6 +784,7 @@ def kgram_novelty(
     Integer counts and one division; first-occurrence is min(doc_id)
     per gram — a total order, engine-identical.
     """
+    df = scale_out(df)  # single-file parquet reads as ONE partition
     toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     grams = F.when(
         F.size(toks) >= k,

@@ -30,6 +30,18 @@ def test_bench_emits_contract_json():
     assert doc["sf"] == 0.001
     assert set(doc["queries"]) == {"filter_project", "q6_forecast_revenue"}
     assert doc["value"] == round(sum(doc["queries"].values()), 3) or doc["value"] >= 0
+    # VERDICT r4 #3: totals must be the LAST keys on the line so a
+    # tail-byte capture retains them
+    keys = list(doc)
+    assert keys[-2:] == ["value", "total_sec"]
+    assert doc["total_sec"] == doc["value"]
+    # VERDICT r4 #4: same-window contamination control present
+    assert doc["control_q1"] is None or doc["control_q1"] > 0
+    assert isinstance(doc["contended"], bool)
+    # VERDICT r4 #8: cross-SF scaling map present (empty here: sf dir
+    # IS the small dir's sibling but queries_small may be empty at
+    # sf0.001 only if the sf0.01 dir is missing)
+    assert "scale_ratio_vs_small" in doc and "scale_flagged" in doc
 
 
 def test_bench_surfaces_child_crash():
