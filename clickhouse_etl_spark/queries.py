@@ -4098,6 +4098,181 @@ def emb_truncate_renorm(spark, sf_dir):
     )
 
 
+@q(
+    "docs_curation_v3",
+    """
+    WITH ded AS (
+        SELECT d.doc_id, d.text, d.source
+        FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id
+    ), w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '),
+                           t -> len(t) > 0) AS w
+        FROM ded
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM w
+    ), counts AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+    ), fam AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM bg JOIN counts USING (bigram) GROUP BY doc_id
+    ), scored AS (
+        SELECT w.doc_id, w.source, w.w,
+               CAST(COALESCE(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(f.s, 0) AS BIGINT) AS s,
+               CASE WHEN f.n_bigrams IS NOT NULL
+                    THEN CAST(f.s AS DOUBLE) / f.n_bigrams
+                    ELSE 0.0 END AS familiarity
+        FROM w LEFT JOIN fam f USING (doc_id)
+    ), gated AS (
+        SELECT * FROM scored
+        QUALIFY (CAST(row_number() OVER
+                          (ORDER BY familiarity DESC, doc_id) AS BIGINT) - 1)
+                    * 10
+                <= (CAST(count(*) OVER () AS BIGINT) - 1) * 6
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM gated
+    ), fo AS (
+        SELECT g, min(doc_id) AS f FROM g GROUP BY g
+    ), nov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM g JOIN fo USING (g) GROUP BY doc_id
+    )
+    SELECT gated.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(gated.n_bigrams) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN sum(gated.n_bigrams) > 0
+                      THEN CAST(sum(gated.s) AS DOUBLE)
+                               / CAST(sum(gated.n_bigrams) AS BIGINT)
+                      ELSE 0.0 END, 6) AS familiarity,
+           CAST(sum(COALESCE(nov.n_grams, 0)) AS BIGINT) AS n_grams,
+           CAST(sum(COALESCE(nov.n_novel, 0)) AS BIGINT) AS n_novel,
+           round(CASE WHEN sum(COALESCE(nov.n_grams, 0)) > 0
+                      THEN CAST(sum(COALESCE(nov.n_novel, 0)) AS DOUBLE)
+                               / CAST(sum(COALESCE(nov.n_grams, 0)) AS BIGINT)
+                      ELSE 0.0 END, 6) AS novelty_ratio
+    FROM gated LEFT JOIN nov USING (doc_id)
+    GROUP BY gated.source
+    ORDER BY gated.source
+    """,
+    "bench",
+)
+def docs_curation_v3(spark, sf_dir):
+    """Composed r5 curation chain, oracle-backed END TO END: exact
+    dedup → corpus-trained bigram-familiarity gate (keep the top 60%
+    by (familiarity, doc_id) — a rank gate with pure integer
+    arithmetic, no data-dependent float threshold) → 3-gram novelty
+    over the surviving set → per-source rollup.
+
+    Source-level familiarity is ``sum(s)/sum(n_bigrams)`` — integer
+    sums with ONE division, never a float mean of floats (order-
+    dependent). The gate uses a global row_number + count() window:
+    by that stage the table is the deduped corpus (small next to the
+    raw stream); at 100 TB the same gate runs per-shard or via the
+    1-row percentile broadcast of docs_quality_deciles.
+    """
+    from pyspark.sql import Window
+
+    from .dataops.text import _bigrams, _tokens
+    from .dataops.util import scale_out
+
+    d = scale_out(_t(spark, sf_dir, "documents"))
+    w1 = Window.partitionBy("_h").orderBy("doc_id")
+    ded = (
+        d.withColumn("_h", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "source")
+    )
+    toks = F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+    per_doc = ded.select("doc_id", F.explode(_bigrams(toks)).alias("bigram"))
+    counts = per_doc.groupBy("bigram").agg(F.count("*").alias("c"))
+    fam = (
+        per_doc.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("c").alias("_s"))
+    )
+    scored = ded.join(fam, "doc_id", "left").select(
+        "doc_id", "text", "source",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("_s", F.lit(0)).cast("bigint").alias("_s"),
+        F.when(
+            F.col("n_bigrams").isNotNull(),
+            F.col("_s").cast("double") / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)).alias("familiarity"),
+    )
+    w2 = Window.orderBy(F.col("familiarity").desc(), F.col("doc_id"))
+    gated = (
+        scored.withColumn("_rn", F.row_number().over(w2).cast("bigint"))
+        .withColumn(
+            "_n", F.count("*").over(Window.partitionBy()).cast("bigint")
+        )
+        .filter((F.col("_rn") - 1) * 10 <= (F.col("_n") - 1) * 6)
+    )
+    k = 3
+    grams = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + off) for off in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ge = gated.select("doc_id", F.explode(grams).alias("g"))
+    first = ge.groupBy("g").agg(F.min("doc_id").alias("_f"))
+    nov = (
+        ge.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_f") == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+    )
+    sum_ng = F.sum(F.coalesce(F.col("n_grams"), F.lit(0)))
+    sum_nn = F.sum(F.coalesce(F.col("n_novel"), F.lit(0)))
+    return (
+        gated.join(nov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.when(
+                    F.sum("n_bigrams") > 0,
+                    F.sum("_s").cast("double") / F.sum("n_bigrams").cast("bigint"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("familiarity"),
+            sum_ng.cast("bigint").alias("n_grams"),
+            sum_nn.cast("bigint").alias("n_novel"),
+            F.round(
+                F.when(
+                    sum_ng > 0, sum_nn.cast("double") / sum_ng.cast("bigint")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The
