@@ -15,6 +15,14 @@ Scale notes: brute force is a broadcast of the (small) query set
 against the corpus — embarrassingly parallel, no shuffle on the
 corpus. LSH adds one hash-shuffle on bucket id. Neither collects to
 the driver.
+
+Contract: embeddings are assumed NON-ZERO-NORM for the cosine paths —
+a zero vector has no defined direction, and Spark (NaN largest) and
+numpy (NaN last) order NaN similarities differently. The cell
+assigner (`_cells_batched`) handles degenerates explicitly (sim =
+-inf, tie-rule placement); filter zero-norm vectors out (e.g. via
+``normalize_embeddings``'s l2_norm column) before the top-k /
+near-dup ops if the corpus may contain them.
 """
 
 from __future__ import annotations
