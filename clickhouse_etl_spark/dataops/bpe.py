@@ -1,0 +1,212 @@
+"""BPE (byte-pair encoding) vocabulary induction over a document corpus
+— tokenizer training as a pipeline op (Sennrich et al. 2016, the
+standard subword algorithm behind GPT/Llama-family tokenizers).
+
+Industrial BPE training is two-phase, and the phases have very
+different scale shapes:
+
+1. **Word counting** — corpus-scale, embarrassingly parallel: one
+   explode + hash aggregation over the whole corpus. This is the part
+   that must distribute (at 100 TB it is the dominant cost), and it is
+   plain Spark (`_word_counts`).
+2. **Merge learning** — operates on the (word, count) FREQUENCY TABLE,
+   never the corpus: the classic greedy loop picks the most frequent
+   adjacent symbol pair and merges it, ``n_merges`` times. The table is
+   vocab-bounded (top ``max_vocab`` words by frequency — the standard
+   practice; rare tail words contribute nothing to early merges), so
+   the loop runs on the driver over a few-MB dict, like every published
+   BPE trainer (`learn_bpe`).
+
+Determinism: no RNG anywhere; the pair argmax breaks ties by the pair
+itself (lexicographic), and the word table is bounded by
+(count desc, word) — a total order. Re-running on the same corpus
+reproduces the identical merge list, which is what makes a tokenizer
+reproducible from its corpus.
+
+``apply_bpe`` segments documents with a learned merge list via one
+Arrow-batched ``mapInPandas`` pass (per-distinct-word memoization — the
+Zipf distribution makes the cache hit rate ~99%), returning per-doc
+subword counts. Python-side because BPE's iterative pair-replacement
+is genuinely not expressible in Catalyst; the batch loop touches each
+DISTINCT word once per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import scale_out
+
+#: marks end-of-word so merges never cross word boundaries
+EOW = "</w>"
+
+
+def _word_counts(
+    df: DataFrame, text_col: str = "text", max_vocab: int = 100_000
+) -> DataFrame:
+    """Corpus word-frequency table, bounded to the ``max_vocab`` most
+    frequent words by the total order (count desc, word asc).
+
+    The explode + two hash aggregations are the only corpus-scale work
+    in BPE training; the top-k is a WindowGroupLimit-style bounded
+    sort over the (already small) distinct-word table.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    counts = (
+        scale_out(df)
+        .select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("word"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_vocab)
+        .select("word", "count")
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    max_vocab: int = 100_000,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns the merge table as a list of dicts
+    ``{"rank", "left", "right", "merged", "pair_count"}`` in merge
+    order — ``pair_count`` is the corpus frequency of the pair at the
+    moment it was chosen (weighted by word counts), the standard
+    training log.
+
+    The greedy loop is the textbook algorithm over the bounded word
+    table (driver-side — see module docstring for why that is the
+    honest scale shape); ties on count resolve to the lexicographically
+    smallest (left, right) pair, making the result a pure function of
+    the corpus.
+    """
+    rows = _word_counts(df, text_col, max_vocab).collect()
+    # each word becomes a symbol tuple: chars + end-of-word marker
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        sym = tuple(r["word"]) + (EOW,)
+        vocab[sym] = vocab.get(sym, 0) + r["count"]
+
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple, int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # argmax with a total tie-break: count desc, then pair asc
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break  # nothing repeats — further merges are noise
+        merged = left + right
+        new_vocab: dict[tuple, int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+        merges.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "merged": merged,
+                "pair_count": cnt,
+            }
+        )
+    return merges
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple, int]) -> list[str]:
+    """Segment one word with a learned merge-rank table (lowest rank
+    merges first — the exact inference rule of every BPE tokenizer)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list; adds
+    ``n_bpe_tokens`` (subword count) and ``bpe_ratio``
+    (subwords per whitespace word — the compression diagnostic that
+    tells you whether the vocabulary fits the corpus).
+
+    One Arrow-batched pass; per-distinct-word memoization inside each
+    batch exploits the Zipf head. The merge table is tiny and ships in
+    the task closure (broadcast-equivalent).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_words", T.LongType(), False),
+            T.StructField("n_bpe_tokens", T.LongType(), False),
+            T.StructField("bpe_ratio", T.DoubleType(), False),
+        ]
+    )
+
+    def seg_batches(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_words, n_tokens = [], []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").lower().split(" ") if w]
+                total = 0
+                for w in words:
+                    n = cache.get(w)
+                    if n is None:
+                        n = len(bpe_segment_word(w, ranks))
+                        cache[w] = n
+                    total += n
+                n_words.append(len(words))
+                n_tokens.append(total)
+            nw = pd.Series(n_words)
+            nt = pd.Series(n_tokens)
+            yield pdf.assign(
+                n_words=nw.values,
+                n_bpe_tokens=nt.values,
+                bpe_ratio=(nt / nw.where(nw > 0, 1)).values,
+            )
+
+    return scale_out(df).mapInPandas(seg_batches, schema)

@@ -4287,6 +4287,42 @@ def docs_curation_v3(spark, sf_dir):
     )
 
 
+@q("docs_bpe_vocab", None)
+def docs_bpe_vocab(spark, sf_dir):
+    """BPE tokenizer training over the corpus (dataops/bpe.learn_bpe):
+    corpus-scale word counting in Spark, the textbook greedy merge loop
+    over the bounded frequency table. Output: the merge table in merge
+    order (the tokenizer artifact). Deterministic — total tie-breaks
+    throughout — but iterative, so not SQL-expressible: rows-only;
+    the algorithm is pinned against a hand-computed example and a
+    pure-Python reference in test_dataops.py."""
+    from .dataops.bpe import learn_bpe
+
+    merges = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=64)
+    return spark.createDataFrame(merges).select(
+        F.col("rank").cast("int").alias("rank"),
+        "left", "right", "merged",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+    ).orderBy("rank")
+
+
+@q("docs_bpe_tokens", None)
+def docs_bpe_tokens(spark, sf_dir):
+    """Apply the corpus-learned BPE vocabulary back to the corpus
+    (dataops/bpe.apply_bpe — Arrow-batched, per-distinct-word
+    memoization): per-doc subword counts + compression ratio, the
+    diagnostic for whether a vocabulary fits a corpus. Rows-only
+    (merge learning is iterative); segmentation rule pinned by unit
+    tests."""
+    from .dataops.bpe import apply_bpe, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=64)
+    return apply_bpe(docs, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens", F.round("bpe_ratio", 6).alias("bpe_ratio")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The

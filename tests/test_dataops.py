@@ -991,3 +991,113 @@ def test_r5_embedding_ops_edge_cases(spark):
     zero = spark.createDataFrame([(9, [0.0, 0.0, 1.0])], ["vec_id", "embedding"])
     z = truncate_renorm(zero, d=2).collect()[0]
     assert z["trunc_norm"] == 0.0 and z["truncated"] is None
+
+
+def test_bpe_learn_textbook_example(spark):
+    """The Sennrich et al. worked example: corpus of {low, lower, newest,
+    widest} with counts — the first merges must be the classic ones, and
+    the whole run must be a pure function of the corpus (shuffled input
+    gives identical merges)."""
+    from clickhouse_etl_spark.dataops.bpe import EOW, learn_bpe
+
+    rows = (
+        [(i, "low") for i in range(5)]
+        + [(100 + i, "lower") for i in range(2)]
+        + [(200 + i, "newest") for i in range(6)]
+        + [(300 + i, "widest") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = learn_bpe(docs, n_merges=6)
+    got = [(m["left"], m["right"]) for m in merges]
+    # 'es' (9: newest 6 + widest 3) is the most frequent pair; then
+    # 'est' (9), then 'est</w>' (9); 'lo' (7: low 5 + lower 2) follows
+    assert got[0] == ("e", "s")
+    assert got[1] == ("es", "t")
+    assert got[2] == ("est", EOW)
+    assert got[3] == ("l", "o")
+    assert got[4] == ("lo", "w")
+    assert merges[0]["pair_count"] == 9
+    assert merges[3]["pair_count"] == 7
+    # determinism under input order
+    again = learn_bpe(docs.orderBy(F.col("doc_id").desc()), n_merges=6)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in merges] == [
+        (m["left"], m["right"], m["pair_count"]) for m in again
+    ]
+
+
+def test_bpe_segment_and_apply(spark):
+    """Segmentation follows merge rank order (lowest rank first); the
+    Arrow-batched apply matches per-word segmentation and handles empty
+    documents."""
+    from clickhouse_etl_spark.dataops.bpe import (
+        EOW,
+        apply_bpe,
+        bpe_segment_word,
+        learn_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low") for i in range(5)] + [(10, "lowest"), (11, ""), (12, "low lowest")],
+        ["doc_id", "text"],
+    )
+    merges = learn_bpe(docs, n_merges=10)
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    seg = bpe_segment_word("low", ranks)
+    assert "".join(seg) == "low" + EOW
+    out = {r["doc_id"]: r for r in apply_bpe(docs, merges).collect()}
+    assert out[11]["n_words"] == 0 and out[11]["n_bpe_tokens"] == 0
+    assert out[0]["n_bpe_tokens"] == len(seg)
+    assert out[12]["n_bpe_tokens"] == len(seg) + len(bpe_segment_word("lowest", ranks))
+    # more merges can only compress: ratio bounded below by 1/word... and
+    # every word yields at least one symbol
+    assert all(r["n_bpe_tokens"] >= r["n_words"] for r in out.values())
+
+
+def test_bpe_matches_pure_python_reference(spark, sf_dir):
+    """The Spark word-count + driver merge-loop pipeline must equal a
+    single-process reference BPE run over the same corpus sample."""
+    from collections import Counter
+
+    from clickhouse_etl_spark.dataops.bpe import EOW, learn_bpe
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    rows = docs.select("text").collect()
+    # pure-python reference: same tokenization, same greedy rule
+    wc = Counter()
+    for r in rows:
+        for w in (r["text"] or "").lower().split(" "):
+            if w:
+                wc[w] += 1
+    vocab = Counter()
+    for w, c in wc.items():
+        vocab[tuple(w) + (EOW,)] += c
+    ref = []
+    for _ in range(12):
+        pc = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (l, r_), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        nv = Counter()
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = nv
+        ref.append((l, r_, cnt))
+    got = [
+        (m["left"], m["right"], m["pair_count"])
+        for m in learn_bpe(docs, n_merges=12)
+    ]
+    assert got == ref
