@@ -4287,7 +4287,7 @@ def docs_curation_v3(spark, sf_dir):
     )
 
 
-@q("docs_bpe_vocab", None)
+@q("docs_bpe_vocab", None, "bench")
 def docs_bpe_vocab(spark, sf_dir):
     """BPE tokenizer training over the corpus (dataops/bpe.learn_bpe):
     corpus-scale word counting in Spark, the textbook greedy merge loop
@@ -4306,7 +4306,7 @@ def docs_bpe_vocab(spark, sf_dir):
     ).orderBy("rank")
 
 
-@q("docs_bpe_tokens", None)
+@q("docs_bpe_tokens", None, "bench")
 def docs_bpe_tokens(spark, sf_dir):
     """Apply the corpus-learned BPE vocabulary back to the corpus
     (dataops/bpe.apply_bpe — Arrow-batched, per-distinct-word

@@ -335,6 +335,20 @@ def section_r5(spark) -> None:
     )
     shutil.rmtree(path, ignore_errors=True)
 
+    # BPE tokenizer training at 100k docs: the corpus-scale phase is
+    # the word count; the merge loop runs over the bounded table
+    from clickhouse_etl_spark.dataops.bpe import apply_bpe, learn_bpe
+
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+    t0 = time.perf_counter()
+    merges = learn_bpe(bd, n_merges=64)
+    print(f"bpe_learn_100k: {time.perf_counter() - t0:.1f}s ({len(merges)} merges)")
+    _timed(
+        "bpe_apply_100k", apply_bpe(bd, merges), nd, "docs",
+        warm=apply_bpe(bd.limit(200), merges),
+    )
+
 
 def main() -> None:
     if len(sys.argv) > 1:
