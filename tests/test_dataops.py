@@ -1101,3 +1101,22 @@ def test_bpe_matches_pure_python_reference(spark, sf_dir):
         for m in learn_bpe(docs, n_merges=12)
     ]
     assert got == ref
+
+
+def test_matryoshka_ann_recall_floor(spark, sf_dir):
+    """Coarse-to-fine prefix retrieval: recall vs full brute force stays
+    above a loose floor even on these unstructured synthetic vectors
+    (a 16-of-64 prefix of noise — real MRL embeddings concentrate
+    signal in the prefix and sit near 1.0)."""
+    from clickhouse_etl_spark.queries import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, qs, k=5).collect()}
+    mrl = {(r["query_id"], r["neighbor_id"])
+           for r in QUERIES["emb_matryoshka_ann_topk"].fn(spark, sf_dir).collect()}
+    recall = len(mrl & brute) / len(brute)
+    assert recall >= 0.2, recall
