@@ -445,6 +445,39 @@ def dedup_against_path(
     return exact_dedup_keep(survivors, text_col=text_col, id_col=id_col)
 
 
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document id across two
+    ingest waves as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by content digest — the audit step between incremental corpus
+    versions (what actually moved between yesterday's training set and
+    today's?).
+
+    One full-outer join keyed by id; the shuffle carries (id, 32-char
+    digest) projections, never text. Output: (id, status, old_digest,
+    new_digest) — aggregate it for the wave report, anti-join it for
+    the changed-set extraction.
+    """
+    o = old_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_digest")
+    )
+    n = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_digest")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"), "old_digest", "new_digest")
+
+
 def span_dedup(
     df: DataFrame,
     span_tokens: int = 16,

@@ -4390,6 +4390,60 @@ def emb_matryoshka_ann_topk(spark, sf_dir):
     )
 
 
+@q(
+    "docs_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS old_digest FROM documents
+        WHERE doc_id % 10 != 0
+    ), new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                        ELSE text END) AS new_digest
+        FROM documents WHERE doc_id % 7 != 0
+    ), j AS (
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               old_digest, new_digest
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    SELECT CASE WHEN old_digest IS NULL THEN 'added'
+                WHEN new_digest IS NULL THEN 'removed'
+                WHEN old_digest = new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    "bench",
+)
+def docs_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two corpus waves (dataops/dedup.
+    snapshot_diff): one digest-keyed full-outer join classifies every
+    id as added/removed/changed/unchanged — the audit between
+    incremental training-set versions. The two waves are derived
+    deterministically from the documents table (drop-10%, drop-1/7 +
+    revise-1/5) so the oracle replays the identical scenario."""
+    from .dataops.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .orderBy("status")
+    )
+
+
 @q("docs_bpe_vocab", None, "bench")
 def docs_bpe_vocab(spark, sf_dir):
     """BPE tokenizer training over the corpus (dataops/bpe.learn_bpe):

@@ -1120,3 +1120,16 @@ def test_matryoshka_ann_recall_floor(spark, sf_dir):
            for r in QUERIES["emb_matryoshka_ann_topk"].fn(spark, sf_dir).collect()}
     recall = len(mrl & brute) / len(brute)
     assert recall >= 0.2, recall
+
+
+def test_snapshot_diff_statuses(spark):
+    from clickhouse_etl_spark.dataops.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-changed"), (4, "d")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
