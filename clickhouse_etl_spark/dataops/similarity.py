@@ -1333,3 +1333,50 @@ def truncate_renorm(
             ),
         )
     )
+
+
+def pq_index_append(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+) -> None:
+    """Append a new ingest wave to a persisted :func:`pq_index_build`
+    index WITHOUT retraining: the stored codebooks and centroids
+    quantize the new vectors, and their codes land in the same
+    cell-partitioned layout (parquet append mode writes only the new
+    files — existing partitions are untouched).
+
+    This completes the index lifecycle for a growing corpus: build
+    once, append per wave, query many times. Retrain (rebuild) when the
+    data distribution drifts enough that quantization error degrades
+    recall — the standard IVF/PQ operational rule; the index is
+    deterministic, so a rebuild is reproducible and comparable.
+    """
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    books_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    books: list[list[list[float]]] = [
+        [None] * meta["n_codes"] for _ in range(meta["m"])
+    ]
+    for r in books_rows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    books = [[c for c in sub if c is not None] for sub in books]
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+
+    enc = _cells_batched(
+        pq_encode(new_corpus, books, id_col=id_col, vec_col=vec_col),
+        cents, 1, id_col, vec_col, pre_scaled=True,
+    )
+    cols = [
+        F.col(id_col),
+        F.col("_cells")[0].alias("cell"),
+        F.col("pq_codes").alias("codes"),
+    ]
+    if meta["store_vectors"]:
+        cols.append(F.col(vec_col))
+    enc.select(*cols).write.mode("append").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )

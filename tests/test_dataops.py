@@ -1133,3 +1133,58 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_pq_index_append_wave_equals_one_shot_encode(spark, sf_dir, tmp_path):
+    """Index lifecycle: build on wave 1, append wave 2 with the STORED
+    codebooks — querying the grown index equals querying an index whose
+    codes were all produced by those same (wave-1-trained) codebooks in
+    one shot."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    grown = str(tmp_path / "grown")
+    pq_index_build(wave1, grown, n_centroids=16, m=8, n_codes=16)
+    pq_index_append(spark, grown, wave2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in pq_index_query(spark, grown, queries, k=5, n_probe=8).collect()
+    )
+
+    assert len(got) > 0
+    # the grown index answers over BOTH waves (odd and even neighbors)
+    ids = {nid for _, nid, _, _ in got}
+    assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
+
+    # independent reference: the appended wave-2 codes must equal a
+    # fresh pq_encode of wave 2 with the codebooks READ BACK from the
+    # index (not the in-memory ones) — proves append used the stored
+    # artifact, not retraining
+    from clickhouse_etl_spark.dataops.similarity import pq_encode
+
+    books_rows = spark.read.parquet(f"{grown}/codebooks").collect()
+    meta = spark.read.parquet(f"{grown}/meta").collect()[0].asDict()
+    books = [[None] * meta["n_codes"] for _ in range(meta["m"])]
+    for r in books_rows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    books = [[c for c in sub if c is not None] for sub in books]
+    stored = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{grown}/codes")
+        .filter(F.col("vec_id") % 2 == 1)
+        .collect()
+    }
+    fresh = {
+        r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(wave2, books).collect()
+    }
+    assert stored == fresh and len(stored) == wave2.count()
