@@ -445,6 +445,29 @@ def dedup_against_path(
     return exact_dedup_keep(survivors, text_col=text_col, id_col=id_col)
 
 
+def write_digest_table(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Persist the DISTINCT content digests of an ingest wave — the
+    compact seen-set artifact for :func:`dedup_against_path`.
+
+    Between waves you ship 32-char digests, not text: at 100 TB of
+    documents the digest table is ~3 orders of magnitude smaller than
+    the corpus and is what the next wave's anti-join broadcasts.
+    ``mode="append"`` accumulates across waves (the anti-join reads
+    DISTINCT digests, so overlap between appends is harmless).
+    """
+    (
+        df.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def snapshot_diff(
     old_df: DataFrame,
     new_df: DataFrame,

@@ -338,3 +338,23 @@ def test_dedup_against_requires_seen_path_at_parse_time(spark):
     }
     with _pytest.raises(SpecError, match="seen_path"):
         parse_pipeline_json(doc)
+
+
+def test_write_digest_table_feeds_dedup_against(spark, tmp_path):
+    """Waves ship digests, not text: a digest table written by wave 1
+    (and appended by wave 2) drives dedup_against_path for wave 3."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        write_digest_table,
+    )
+
+    digests = str(tmp_path / "digests")
+    w1 = spark.createDataFrame([(1, "aa"), (2, "bb")], ["doc_id", "text"])
+    w2 = spark.createDataFrame([(3, "cc"), (4, "bb")], ["doc_id", "text"])
+    write_digest_table(w1, digests)
+    write_digest_table(w2, digests)  # append; 'bb' overlap is harmless
+    w3 = spark.createDataFrame(
+        [(5, "aa"), (6, "cc"), (7, "new one")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against_path(w3, digests).collect())
+    assert kept == [7]
