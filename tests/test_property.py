@@ -130,3 +130,34 @@ def test_char_fold_three_engine_agreement(spark, n_cases):
         ).fetchone()[0]
         assert got_spark[s] == expected_py[s], s
         assert (d if d is not None else 0) == expected_py[s], s
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_segmentation_is_lossless(word, n_merges):
+    """For ANY word and ANY learned merge table, BPE segmentation is a
+    partition of the word: concatenating the symbols reproduces
+    word + end-marker exactly (merges can never drop or duplicate
+    characters)."""
+    from collections import Counter
+
+    from clickhouse_etl_spark.dataops.bpe import EOW, bpe_segment_word
+
+    # derive a deterministic merge-rank table from the word itself plus
+    # a fixed seed corpus — content does not matter for the invariant
+    pairs = []
+    syms = list("abcdef") + [EOW]
+    for i, a in enumerate(syms):
+        for b in syms:
+            pairs.append((a, b))
+    ranks = {p: i for i, p in enumerate(pairs[: n_merges])}
+    # grow compound merges too (merged symbols re-merge)
+    for i, ((l1, r1), (l2, r2)) in enumerate(zip(pairs, pairs[1:])):
+        if i < n_merges // 2:
+            ranks[(l1 + r1, l2 + r2)] = 1000 + i
+    seg = bpe_segment_word(word, ranks)
+    assert "".join(seg) == word + EOW
+    assert all(seg)  # no empty symbols
