@@ -14,24 +14,63 @@ any O(n^2) comparison so the candidate set, not the corpus, is
 quadratic.
 """
 
+from .bpe import apply_bpe, learn_bpe
 from .dedup import (
+    dedup_against,
+    dedup_against_path,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    snapshot_diff,
+    span_dedup,
+    write_digest_table,
 )
-from .similarity import cosine_topk, embedding_near_dup_pairs
-from .text import doc_fingerprint, language_id, quality_score, token_stats
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_pq_topk,
+    mean_center,
+    pq_index_append,
+    pq_index_build,
+    pq_index_query,
+    truncate_renorm,
+)
+from .text import (
+    bigram_pmi,
+    doc_fingerprint,
+    kgram_novelty,
+    language_id,
+    lm_familiarity,
+    quality_score,
+    token_stats,
+)
 
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",
+    "span_dedup",
+    "dedup_against",
+    "dedup_against_path",
+    "write_digest_table",
+    "snapshot_diff",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "ivf_pq_topk",
+    "pq_index_build",
+    "pq_index_append",
+    "pq_index_query",
+    "mean_center",
+    "truncate_renorm",
     "language_id",
     "quality_score",
     "token_stats",
     "doc_fingerprint",
+    "bigram_pmi",
+    "lm_familiarity",
+    "kgram_novelty",
+    "learn_bpe",
+    "apply_bpe",
 ]
