@@ -198,7 +198,10 @@ def main_child() -> None:
             except Exception:
                 pass
         timings[name] = _timed(qd.fn, sf_dir)
-        if do_small:
+        # scaling sample only for non-trivial queries: under ~0.5s the
+        # fixed per-query overhead dominates and the ratio is noise —
+        # and a sub-linear-looking ratio there flags nothing anyway
+        if do_small and timings[name] >= 0.5:
             try:
                 small[name] = _timed(qd.fn, small_dir)
             except Exception:
