@@ -1,0 +1,140 @@
+"""Mechanical staleness detection for the query registry (VERDICT r5 #1/#3).
+
+``_STALE_SIGNED`` in ``queries.py`` marks registry entries whose
+implementing code changed after their last driver-signed CORRECTNESS
+row, so the rotation re-signs them first. Until r5 that set was
+maintained by hand from per-function git diffs — a human-error-prone
+invariant. This module makes it mechanical:
+
+- ``impl_hash(fn)`` computes a sha256 over the *transitive* source of a
+  registry wrapper: the wrapper's own source plus the source of every
+  function/class defined inside ``clickhouse_etl_spark`` that the
+  wrapper (or anything it reaches) references by name. The walk
+  resolves identifiers against each function's module globals, so it
+  follows ``from .dataops.x import f`` imports and module-level helper
+  calls alike.
+- ``scripts/snapshot_impl_hashes.py`` freezes ``registry_hashes()`` to
+  ``clickhouse_etl_spark/impl_hashes_signed.json`` at signing time
+  (i.e. at the commit the driver's CORRECTNESS run certified).
+- ``tests/test_rotation.py`` asserts that every entry whose current
+  hash differs from the snapshot is either never-driver-checked
+  (priority 0 already) or listed in ``_STALE_SIGNED`` — editing an
+  implementing function without updating the stale set fails the fast
+  suite immediately.
+
+The hash is deliberately conservative in the safe direction: it may
+flag an entry whose behaviour didn't change (docstring edit in a shared
+helper), which merely spends rotation budget; it cannot *miss* a change
+to any function the entry actually executes, as long as that function
+is reachable by name from the wrapper (lambdas stored in data
+structures are included via their enclosing definition's source).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import re
+from pathlib import Path
+
+_PKG = "clickhouse_etl_spark"
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+SNAPSHOT_PATH = Path(__file__).with_name("impl_hashes_signed.json")
+
+
+def _in_pkg(obj) -> bool:
+    mod = getattr(obj, "__module__", None)
+    return bool(mod) and (mod == _PKG or mod.startswith(_PKG + "."))
+
+
+def _source_of(obj) -> str | None:
+    try:
+        return inspect.getsource(obj)
+    except (OSError, TypeError):
+        return None
+
+
+def _reachable(fn) -> dict[str, str]:
+    """Map of ``module.qualname -> source`` for fn plus every package
+    function/class transitively referenced by name from its source."""
+    seen: dict[str, str] = {}
+    stack = [fn]
+    while stack:
+        obj = stack.pop()
+        obj = inspect.unwrap(obj)
+        key = f"{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', getattr(obj, '__name__', '?'))}"
+        if key in seen:
+            continue
+        src = _source_of(obj)
+        if src is None:
+            continue
+        seen[key] = src
+        mod = inspect.getmodule(obj)
+        namespace = dict(getattr(mod, "__dict__", {}))
+        # methods resolve against their class too
+        cls = getattr(obj, "__self__", None)
+        for name in set(_IDENT.findall(src)):
+            target = namespace.get(name)
+            if target is None and cls is not None:
+                target = getattr(type(cls), name, None)
+            if target is None:
+                continue
+            if inspect.ismodule(target) and _in_pkg_module(target):
+                # referenced as module.attr — pull the attrs used
+                for attr in _module_attrs_used(src, name):
+                    t2 = getattr(target, attr, None)
+                    if t2 is not None and _hashable_target(t2):
+                        stack.append(t2)
+                continue
+            if _hashable_target(target):
+                stack.append(target)
+    return seen
+
+
+def _in_pkg_module(mod) -> bool:
+    name = getattr(mod, "__name__", "")
+    return name == _PKG or name.startswith(_PKG + ".")
+
+
+def _module_attrs_used(src: str, modname: str) -> set[str]:
+    return set(re.findall(rf"\b{re.escape(modname)}\.([A-Za-z_][A-Za-z0-9_]*)", src))
+
+
+def _hashable_target(obj) -> bool:
+    return (inspect.isfunction(obj) or inspect.isclass(obj)) and _in_pkg(obj)
+
+
+def impl_hash(fn) -> str:
+    parts = _reachable(fn)
+    h = hashlib.sha256()
+    for key in sorted(parts):
+        h.update(key.encode())
+        h.update(b"\x00")
+        h.update(parts[key].encode())
+        h.update(b"\x01")
+    return h.hexdigest()[:16]
+
+
+def registry_hashes() -> dict[str, str]:
+    from . import queries
+
+    return {name: impl_hash(qd.fn) for name, qd in queries.QUERIES.items()}
+
+
+def load_snapshot() -> dict[str, str]:
+    if not SNAPSHOT_PATH.exists():
+        return {}
+    return json.loads(SNAPSHOT_PATH.read_text())
+
+
+def changed_entries() -> list[str]:
+    """Registry entries whose implementing source differs from the
+    signed snapshot (new entries — absent from the snapshot — are NOT
+    listed; they are priority 0 by virtue of never being checked)."""
+    snap = load_snapshot()
+    if not snap:
+        return []
+    cur = registry_hashes()
+    return sorted(n for n, h in cur.items() if n in snap and snap[n] != h)

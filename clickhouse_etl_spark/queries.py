@@ -4487,14 +4487,13 @@ def docs_bpe_tokens(spark, sf_dir):
 #   0. entries never driver-checked (new ops; plus this round the three
 #      rows-only entries that have never received even a row-count row),
 #   1. entries whose implementing code CHANGED since their last driver-signed
-#      CORRECTNESS row (_STALE_SIGNED, maintained by hand from the
-#      per-function git diff of each round — the signed artifact must match
-#      the shipped code),
+#      CORRECTNESS row (_STALE_SIGNED — since r6 mechanically enforced by
+#      tests/test_rotation.py against impl_hashes_signed.json),
 #   2. the core §2 pipeline surface (stays driver-verified every round),
-#   3. entries whose newest signature is oldest (r3-only before r4-signed).
+#   3+. entries by age of newest signature (r3-tail before r4 before r5).
 # All entries stay covered by the local tests/test_oracle.py replay
-# regardless.  _R03_CHECKED / _R04_CHECKED are the key sets of the
-# corresponding CORRECTNESS_r0N.json files.
+# regardless.  _R03_CHECKED / _R04_CHECKED / _R05_CHECKED are the key sets
+# of the corresponding CORRECTNESS_r0N.json files.
 # ---------------------------------------------------------------------------
 _R03_CHECKED = frozenset({
     "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
@@ -4538,20 +4537,42 @@ _R04_CHECKED = frozenset({
     "sliding_window_agg", "value_histogram",
 })
 
-# r3-signed entries whose implementing functions were modified in r4
-# (per-function `git diff 85492b1 1d472c9` context: pack_sequences,
-# connected_components, simhash, corpus_report, split_assign, cosine_topk,
-# embedding_near_dup_pairs, ivf_topk, lsh_bucket_topk, semantic_dedup,
-# extract_features, flatten_metrics, flatten_traces) — plus entries whose
-# code is modified THIS round (r5) after an r4 signature.
+_R05_CHECKED = frozenset({
+    "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
+    "docs_bigram_pmi", "docs_bpe_tokens", "docs_bpe_vocab",
+    "docs_corpus_report", "docs_curation_v3", "docs_dup_clusters",
+    "docs_exact_dedup", "docs_fingerprint", "docs_kgram_novelty",
+    "docs_langid", "docs_lm_familiarity", "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard_pairs", "docs_quality_score",
+    "docs_sequence_packing", "docs_simhash", "docs_snapshot_diff",
+    "docs_split_report", "docs_token_stats", "emb_cosine_topk",
+    "emb_ivf_ann_topk", "emb_ivf_pq_ann_topk", "emb_lsh_ann_topk",
+    "emb_matryoshka_ann_topk", "emb_mean_center", "emb_near_dup_pairs",
+    "emb_pq_ann_topk", "emb_pq_index_ann_topk", "emb_semantic_dedup",
+    "emb_semantic_dedup_lsh", "emb_truncate_renorm", "filter_project",
+    "json_props_extract", "multimodal_pipeline",
+    "multimodal_video_embedding", "otlp_flatten_metrics",
+    "otlp_flatten_traces", "pipeline_canonical", "session_window_agg",
+    "sessionize_events", "sink_mapping_casts", "temporal_join_enrich",
+    "topk_orders_per_priority", "transform_query_params",
+    "transform_scalars", "tumbling_window_agg", "validate_dlq_counts",
+})
+
+# Entries whose implementing code changed after their newest driver-signed
+# CORRECTNESS row. Since r6 this set is MECHANICALLY ENFORCED:
+# tests/test_rotation.py compares each entry's transitive implementing-source
+# hash (impl_hash.py) against clickhouse_etl_spark/impl_hashes_signed.json
+# (snapshotted at the r5-signed commit via scripts/snapshot_impl_hashes.py)
+# and fails if a changed entry is missing from this set. Re-snapshot at the
+# start of each round, then add entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    "docs_sequence_packing", "docs_dup_clusters", "docs_simhash",
-    "docs_corpus_report", "docs_split_report", "emb_cosine_topk",
-    "emb_near_dup_pairs", "emb_ivf_ann_topk", "emb_lsh_ann_topk",
-    "emb_semantic_dedup", "multimodal_pipeline", "otlp_flatten_metrics",
-    "otlp_flatten_traces",
-    # r5 code motion (ADVICE fixes + guards in similarity.py touch pq_topk)
-    "emb_pq_ann_topk",
+    # r6 edits after an r5 signature:
+    "docs_curation_v3",        # rank gate -> fixed-point percentile broadcast
+    "emb_pq_index_ann_topk",   # append duplicate-id guard (ADVICE r5)
+    "docs_bpe_vocab",          # empty-merge schema + truncation stat
+    "docs_bpe_tokens",         # shares learn_bpe with docs_bpe_vocab
+    "docs_snapshot_diff",      # null-digest policy (ADVICE r5)
+    "emb_pq_ann_topk",         # per-stage fixed-point ADC oracle plumbing
 })
 
 
@@ -4562,18 +4583,19 @@ def _priority(name: str) -> int:
         "asof_join_clicks", "sink_mapping_casts", "validate_dlq_counts",
         "otlp_flatten_metrics",
     }
-    checked = name in _R03_CHECKED or name in _R04_CHECKED
+    checked = name in _R03_CHECKED or name in _R04_CHECKED or name in _R05_CHECKED
     if not checked:
-        # never driver-checked — includes every new-this-round op AND the
-        # rows-only trio that has never received even a row-count row
+        # never driver-checked — every new-this-round op
         return 0
     if name in _STALE_SIGNED:
         return 1  # signed artifact no longer matches shipped code — re-sign
     if name in core:
         return 2  # keep the most-graded §2 rows driver-verified every round
-    if name not in _R04_CHECKED:
-        return 3  # newest signature is r3 — refresh before r4-signed ones
-    return 4
+    if name not in _R04_CHECKED and name not in _R05_CHECKED:
+        return 3  # newest signature is r3 — the oldest tail, refresh first
+    if name not in _R05_CHECKED:
+        return 4  # newest signature is r4
+    return 5  # signed in r5 itself — cheapest to defer
 
 
 QUERIES = {
