@@ -521,6 +521,43 @@ def quality_deciles(
     )
 
 
+def percentile_threshold_gate(
+    df: DataFrame,
+    value_col: str,
+    keep_top_frac: float,
+    scale: float = 1048576.0,
+) -> DataFrame:
+    """Fractional corpus selection WITHOUT a global sort: keep the rows
+    whose ``value_col`` is at or above the corpus's
+    ``(1 - keep_top_frac)`` percentile (keep-all-ties policy).
+
+    This is the scale-safe replacement for the global
+    ``row_number()/count() over ()`` rank gate (VERDICT r5 "wrong #1"):
+    a fractional K cannot use WindowGroupLimit's partial top-K, so a
+    rank gate serializes the whole corpus into one window task. Here
+    the threshold is ONE exact ``percentile`` aggregate over the
+    fixed-point value — ``floor(v·scale)`` BIGINT, where ``scale`` is a
+    power of two so the multiply is IEEE-exact — broadcast back as a
+    1-row crossJoin (bounded BNLJ, the ``quality_deciles`` pattern).
+    The corpus itself never sorts and never shuffles for the gate.
+
+    Oracle form (DuckDB): ``quantile_cont(ff, 1-frac)`` over the same
+    fixed-point column matches Spark ``percentile`` exactly on BIGINT
+    inputs; the gate predicate ``CAST(ff AS DOUBLE) >= t`` is then
+    engine-identical. On an empty input the percentile is NULL and the
+    gate keeps nothing (both engines).
+    """
+    d = df.withColumn(
+        "_ff", F.floor(F.col(value_col) * F.lit(scale)).cast("bigint")
+    )
+    th = d.agg(F.percentile("_ff", F.lit(1.0 - keep_top_frac)).alias("_t"))
+    return (
+        d.crossJoin(F.broadcast(th))
+        .filter(F.col("_ff").cast("double") >= F.col("_t"))
+        .drop("_ff", "_t")
+    )
+
+
 def rare_token_ratio(
     df: DataFrame,
     k_rare: int = 8,

@@ -1188,3 +1188,27 @@ def test_pq_index_append_wave_equals_one_shot_encode(spark, sf_dir, tmp_path):
         r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(wave2, books).collect()
     }
     assert stored == fresh and len(stored) == wave2.count()
+
+
+def test_percentile_threshold_gate_keeps_top_fraction(spark):
+    from clickhouse_etl_spark.dataops.text import percentile_threshold_gate
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["doc_id", "v"]
+    )
+    kept = percentile_threshold_gate(df, "v", 0.6).collect()
+    # 40th percentile of 1..100 (fixed-point exact) is 40.6 -> keep v >= 40.6
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == list(range(41, 101))
+    # gate columns are dropped
+    assert set(kept[0].asDict()) == {"doc_id", "v"}
+
+
+def test_percentile_threshold_gate_ties_and_empty(spark):
+    from clickhouse_etl_spark.dataops.text import percentile_threshold_gate
+
+    # all-equal values: threshold == the value -> keep-all-ties keeps everything
+    df = spark.createDataFrame([(i, 7.5) for i in range(20)], ["doc_id", "v"])
+    assert percentile_threshold_gate(df, "v", 0.3).count() == 20
+    # empty input: NULL percentile gates everything out, no crash
+    assert percentile_threshold_gate(df.filter("doc_id < 0"), "v", 0.5).count() == 0

@@ -191,3 +191,23 @@ def test_pq_index_query_prunes_code_partitions(spark, sf_dir, tmp_path):
     # and the scan's partition count is bounded by the probed cells,
     # not the full 16-cell table: the pruned read drives candidate cost
     assert out.count() > 0
+
+
+def test_percentile_gate_has_no_unpartitioned_window(spark, sf_dir):
+    """VERDICT r5 'wrong #1' done-condition: the fractional curation
+    gate must not plan ANY Window over the corpus (the old rank gate
+    serialized the deduped corpus into one global-sort window task).
+    The threshold is a 1-row percentile aggregate broadcast back."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.text import percentile_threshold_gate
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "familiarity", F.length("text").cast("double")
+    )
+    gated = percentile_threshold_gate(docs, "familiarity", 0.6)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the only BNLJ is the bounded 1-row threshold broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
