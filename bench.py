@@ -3,9 +3,12 @@
 Prints exactly one JSON line:
 ``{"metric": ..., "unit": "sec", "sf": ..., "queries": {...}, ...,
 "value": total_sec, "total_sec": total_sec}`` — totals LAST so a
-tail-byte capture of the line always retains them, plus a same-window
-q1 contamination control (``control_q1``/``control_ratio``) and a
-cross-SF scaling map (``scale_ratio_vs_small``, sf0.1 vs sf0.01).
+tail-byte capture of the line always retains them, preceded by a
+``slowest`` map (top-15 per-query numbers, so the heavy tail also
+survives tail capture — VERDICT r5 #3), per-chunk q1 contamination
+controls at chunk START and END with individually flagged
+``contended_chunks`` (VERDICT r5 #4), and a cross-SF scaling map
+(``scale_ratio_vs_small``, sf0.1 vs sf0.01).
 
 Each query is executed to completion via the no-op sink (full compute,
 no write cost). Timings include plan + execution, not session startup.
@@ -92,13 +95,29 @@ def main_parent() -> None:
     timings: dict[str, float] = {}
     small: dict[str, float] = {}
     controls: list[float] = []
+    chunk_controls: list[dict] = []
     errors: dict[str, str] = {}
     for chunk in chunks:
         out = _run_child({"BENCH_FILTER": ",".join(chunk), "BENCH_SKIP_STREAMING": "1"})
         timings.update(out.get("queries", {}))
         small.update(out.get("queries_small", {}))
-        if "control_q1" in out:
-            controls.append(out["control_q1"])
+        # per-chunk contamination record (VERDICT r5 #4): q1 is timed at
+        # the START (young JVM, pre-sweep) and END of each chunk; a
+        # chunk whose worse control reads > 2x q1's reference 0.6 s is
+        # individually flagged — one mid-sweep steal burst no longer
+        # hides behind a clean global max.
+        ctl_vals = [
+            out[k] for k in ("control_q1_start", "control_q1") if k in out
+        ]
+        controls.extend(ctl_vals)
+        chunk_controls.append(
+            {
+                "chunk": f"{chunk[0]}..{chunk[-1]}",
+                "start": out.get("control_q1_start"),
+                "end": out.get("control_q1"),
+                "contended": bool(ctl_vals and max(ctl_vals) / 0.6 > 2),
+            }
+        )
         # a crashed child JVM must not make the bench look faster/complete:
         # record which queries vanished and exit non-zero at the end
         if "error" in out:
@@ -144,11 +163,22 @@ def main_parent() -> None:
     }
     if errors:
         result["errors"] = errors
+    # per-query evidence for the heavy tail, emitted AFTER the big maps
+    # so the driver's tail-byte capture retains it (VERDICT r5 #3): the
+    # r5 artifact head-truncated the `queries` map and the judge had to
+    # re-run the heavy queries to audit them.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    contended_chunks = [c["chunk"] for c in chunk_controls if c["contended"]]
     result.update(
         streaming_ingest=streaming,
+        chunk_controls=chunk_controls,
+        contended_chunks=contended_chunks,
         control_q1=control_q1,
         control_ratio=control_ratio,
-        contended=bool(control_ratio and control_ratio > 2),
+        contended=bool(contended_chunks),
+        slowest=slowest,
         value=total,
         total_sec=total,
     )
@@ -191,6 +221,25 @@ def main_child() -> None:
     timings: dict[str, float] = {}
     small: dict[str, float] = {}
     do_small = os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(sf_dir)
+
+    def _control() -> float | None:
+        ctl = QUERIES.get("q1_pricing_summary")
+        if ctl is None:
+            return None
+        try:
+            if os.path.isdir(warm_dir):
+                ctl.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            return _timed(ctl.fn, sf_dir)
+        except Exception:
+            return None
+
+    out: dict = {}
+    # chunk-START control: the young-JVM, pre-sweep reading — paired
+    # with the end control it brackets the chunk's steal window
+    start_ctl = _control()
+    if start_ctl is not None:
+        out["control_q1_start"] = start_ctl
+
     for name, qd in bench_queries.items():
         if os.path.isdir(warm_dir):
             try:
@@ -207,17 +256,13 @@ def main_child() -> None:
             except Exception:
                 pass
 
-    out = {"queries": timings, "queries_small": small}
-    # same-window contamination control: q1 re-timed at the end of the
-    # chunk, where JVM-age / steal inflation is maximal
-    ctl = QUERIES.get("q1_pricing_summary")
-    if ctl is not None:
-        try:
-            if os.path.isdir(warm_dir):
-                ctl.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-            out["control_q1"] = _timed(ctl.fn, sf_dir)
-        except Exception:
-            pass
+    out["queries"] = timings
+    out["queries_small"] = small
+    # chunk-END contamination control: q1 re-timed where JVM-age /
+    # steal inflation is maximal
+    end_ctl = _control()
+    if end_ctl is not None:
+        out["control_q1"] = end_ctl
     print(json.dumps(out))
 
 

@@ -42,6 +42,19 @@ def test_bench_emits_contract_json():
     # IS the small dir's sibling but queries_small may be empty at
     # sf0.001 only if the sf0.01 dir is missing)
     assert "scale_ratio_vs_small" in doc and "scale_flagged" in doc
+    # VERDICT r5 #3: the heavy tail survives a tail-byte capture —
+    # slowest sits just before the totals
+    assert keys[-3] == "slowest"
+    assert set(doc["slowest"]) <= set(doc["queries"])
+    assert doc["slowest"] == dict(
+        sorted(doc["queries"].items(), key=lambda kv: -kv[1])[:15]
+    )
+    # VERDICT r5 #4: per-chunk controls, individually flagged
+    assert isinstance(doc["chunk_controls"], list) and doc["chunk_controls"]
+    for c in doc["chunk_controls"]:
+        assert {"chunk", "start", "end", "contended"} <= set(c)
+    assert isinstance(doc["contended_chunks"], list)
+    assert doc["contended"] == bool(doc["contended_chunks"])
 
 
 def test_bench_surfaces_child_crash():
