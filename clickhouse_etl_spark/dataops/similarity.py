@@ -317,6 +317,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells — the other
     standard ANN scale path next to LSH.
@@ -336,7 +337,11 @@ def ivf_topk(
     brute-force ``cosine_topk`` is the quality oracle
     (tests/test_dataops.py measures recall like the LSH path).
     """
-    cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    )
     c = _cells_batched(
         corpus.select(id_col, vec_col), cents, 1, id_col, vec_col
     ).select(
@@ -722,6 +727,70 @@ def _pq_codebooks(
     return books
 
 
+def sample_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """SQL-expressible PQ codebooks: the sub-slices of the first
+    ``n_codes`` corpus vectors under the portable affine hash order —
+    no k-means, so a DuckDB oracle can derive the exact same codebooks
+    with a ``row_number() OVER (ORDER BY (id*a+b)%P, id)`` sample and
+    list slicing (VERDICT r5 #5: per-stage oracles for the PQ chain).
+
+    Quality is below the Lloyd-refined :func:`_pq_codebooks` (use that
+    for production retrieval); the purpose here is an ADC/encode/
+    shortlist pipeline whose EVERY stage is cross-engine checkable.
+    ``codebooks[s][c]`` = slice ``s`` of sample vector ``c``.
+    """
+    from .hashing import affine_hash
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(
+            affine_hash(F.col(id_col).cast("bigint"), 2654435761 % HASH_MOD, 97),
+            F.col(id_col),
+        )
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    sub = dim // m
+    return [
+        [[float(v) for v in r[vec_col][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """SQL-expressible IVF coarse centroids: the first ``n_centroids``
+    corpus vectors under the portable affine hash order, unnormalized
+    (cosine cell assignment is scale-invariant, and skipping the
+    normalize keeps every float derivable in the DuckDB oracle).
+    Production retrieval should prefer :func:`_kmeans_centroids`."""
+    from .hashing import affine_hash
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(
+            affine_hash(F.col(id_col).cast("bigint"), 2654435761 % HASH_MOD, 97),
+            F.col(id_col),
+        )
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(v) for v in r[vec_col]] for r in rows]
+
+
 def _sub_l2(vec_slice: Column, cent: Column) -> Column:
     """Sequential-fold squared L2 between two small arrays (portable
     double order, same as _dot)."""
@@ -831,6 +900,8 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int | None = 10_000,
+    codebooks: list[list[list[float]]] | None = None,
+    emit_adc: bool = False,
 ) -> DataFrame:
     """Approximate top-k via product quantization with asymmetric
     distance (ADC) + exact re-rank — the third ANN scale path next to
@@ -871,7 +942,12 @@ def pq_topk(
             corpus.sparkSession, query_id_col,
             queries.schema[query_id_col].dataType, corpus.schema[id_col].dataType,
         )
-    books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    books = (
+        codebooks
+        if codebooks is not None
+        else _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    )
+    m = len(books)
     sub = len(books[0][0])
     encoded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
         id_col, "pq_codes"
@@ -917,22 +993,31 @@ def pq_topk(
     short = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k * shortlist_factor)
-        .select(query_id_col, id_col)
+        .select(query_id_col, id_col, "_adc")
         .join(F.broadcast(q), query_id_col)
     )
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     exact = short.join(vecs, id_col).filter(F.col(id_col) != F.col(query_id_col))
     rescored = exact.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
     w2 = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    out_cols = [
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_rn").alias("rank"),
+        F.round(F.col("sim"), 6).alias("sim"),
+    ]
+    if emit_adc:
+        # fixed-point evidence of the ADC stage itself (VERDICT r5 #5):
+        # floor(d·2²⁰) of the shortlist distance — ×2²⁰ is an exact
+        # power-of-two scaling and floor-then-CAST is engine-exact, so
+        # the oracle hashes the ADC values, not just the ranking
+        out_cols.append(
+            F.floor(F.col("_adc") * F.lit(1048576.0)).cast("bigint").alias("adc_fp")
+        )
     return (
         rescored.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
-        .select(
-            F.col(query_id_col),
-            F.col(id_col).alias("neighbor_id"),
-            F.col("_rn").alias("rank"),
-            F.round(F.col("sim"), 6).alias("sim"),
-        )
+        .select(*out_cols)
     )
 
 

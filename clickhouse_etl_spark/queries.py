@@ -2732,36 +2732,193 @@ def emb_lsh_ann_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, queries, k=10, n_tables=8, bits_per_table=4, dim=64)
 
 
-@q("emb_ivf_ann_topk", None)
+# --- oracle SQL builders for the ANN entries (VERDICT r5 #5) --------- #
+# The sample codebooks/centroids (similarity.sample_codebooks /
+# sample_centroids) are SQL-derivable, which makes the WHOLE PQ / IVF
+# chain — sample, encode, LUT/assignment, shortlist, exact re-rank —
+# cross-engine checkable. Every float is produced by the same
+# sequential fold order in both engines.
+
+_ANN_AFF = affine_hash_sql("vec_id", 2654435761 % HASH_MOD, 97)
+
+
+def _sql_subl2(vec_elem: str, cent_elem: str, sub: int) -> str:
+    """Sequential-fold squared L2 over ``sub`` dims; ``i`` is the
+    1-based lambda index inside both element expressions."""
+    diff = f"(CAST({vec_elem} AS DOUBLE) - {cent_elem})"
+    return (
+        f"list_reduce([0.0] || list_transform(range(1, {sub + 1}), "
+        f"i -> {diff} * {diff}), (a, b) -> a + b)"
+    )
+
+
+def _sql_dot(a_elem: str, b_elem: str, dim: int) -> str:
+    return (
+        f"list_reduce([0.0] || list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a_elem} AS DOUBLE) * CAST({b_elem} AS DOUBLE)), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _sql_norm2(lst: str) -> str:
+    return (
+        f"list_reduce([0.0] || list_transform({lst}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+
+
+def _sql_cosine(a_lst: str, b_lst: str, dim: int) -> str:
+    return (
+        f"{_sql_dot(a_lst + '[i]', b_lst + '[i]', dim)}"
+        f" / (sqrt({_sql_norm2(a_lst)}) * sqrt({_sql_norm2(b_lst)}))"
+    )
+
+
+_IVF_SQL = f"""
+    WITH smp AS (
+        SELECT rn - 1 AS c,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM (SELECT embedding, vec_id,
+                     row_number() OVER (ORDER BY {_ANN_AFF}, vec_id) AS rn
+              FROM embeddings)
+        WHERE rn <= 16
+    ), sims AS (
+        SELECT v.vec_id, ct.c,
+               {_sql_dot('v.embedding[i]', 'ct.cent[i]', 64)}
+                 / (sqrt({_sql_norm2('v.embedding')})
+                    * sqrt({_sql_norm2('ct.cent')})) AS sim
+        FROM embeddings v, smp ct
+    ), vcell AS (
+        SELECT vec_id, c AS cell FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c) = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), qsims AS (
+        SELECT q.query_id, ct.c,
+               {_sql_dot('q.qv[i]', 'ct.cent[i]', 64)}
+                 / (sqrt({_sql_norm2('q.qv')})
+                    * sqrt({_sql_norm2('ct.cent')})) AS sim
+        FROM q, smp ct
+    ), qcell AS (
+        SELECT query_id, c AS cell FROM qsims
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, c) <= 4
+    ), exact AS (
+        SELECT qc.query_id, vc.vec_id,
+               {_sql_cosine('q.qv', 'v.embedding', 64)} AS sim
+        FROM qcell qc
+        JOIN vcell vc ON qc.cell = vc.cell
+        JOIN q ON qc.query_id = q.query_id
+        JOIN embeddings v ON vc.vec_id = v.vec_id
+        WHERE vc.vec_id != qc.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS INTEGER)
+               AS rank,
+           round(sim, 6) AS sim
+    FROM exact
+    QUALIFY rank <= 10
+"""
+
+
+@q("emb_ivf_ann_topk", _IVF_SQL)
 def emb_ivf_ann_topk(spark, sf_dir):
-    """Approximate NN via IVF cells (deterministic centroids, Catalyst
-    argmax assignment, n_probe cell fan-out — the inverted-file scale
-    path next to LSH; recall measured vs brute force in
-    test_dataops.py). Rows-only check."""
-    from .dataops.similarity import ivf_topk
+    """Approximate NN via IVF cells, oracle-backed END TO END since r6
+    (VERDICT r5 #5): the registry entry injects the SQL-derivable
+    sample centroids (similarity.sample_centroids — the first 16
+    hash-ordered corpus vectors), so centroid choice, the Arrow-batched
+    cell assignment (exact fold order + desc-(sim, index) tie rule),
+    the n_probe fan-out, and the exact cosine re-rank are ALL verified
+    against DuckDB. The production path keeps the Lloyd-refined k-means
+    centroids (recall measured vs brute force in test_dataops.py)."""
+    from .dataops.similarity import ivf_topk, sample_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    cents = sample_centroids(emb, n_centroids=16)
+    return ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents)
 
 
-@q("emb_pq_ann_topk", None)
+_PQ_SQL = f"""
+    WITH smp AS (
+        SELECT rn - 1 AS c, embedding
+        FROM (SELECT embedding, vec_id,
+                     row_number() OVER (ORDER BY {_ANN_AFF}, vec_id) AS rn
+              FROM embeddings)
+        WHERE rn <= 16
+    ), books AS (
+        SELECT sp.s, smp.c,
+               list_transform(smp.embedding[sp.s * 8 + 1 : sp.s * 8 + 8],
+                              x -> CAST(x AS DOUBLE)) AS cent
+        FROM smp, (SELECT unnest(range(0, 8)) AS s) sp
+    ), dists AS (
+        SELECT v.vec_id, b.s, b.c,
+               {_sql_subl2('v.embedding[b.s * 8 + i]', 'b.cent[i]', 8)} AS d
+        FROM embeddings v, books b
+    ), enc AS (
+        SELECT vec_id, s, c FROM dists
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d, c) = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), qlut AS (
+        SELECT q.query_id, b.s, b.c,
+               {_sql_subl2('q.qv[b.s * 8 + i]', 'b.cent[i]', 8)} AS l
+        FROM q, books b
+    ), adc AS (
+        SELECT ql.query_id, e.vec_id,
+               list_reduce([0.0] || list(ql.l ORDER BY e.s),
+                           (a, b) -> a + b) AS d
+        FROM enc e JOIN qlut ql ON ql.s = e.s AND ql.c = e.c
+        GROUP BY ql.query_id, e.vec_id
+    ), short AS (
+        SELECT query_id, vec_id, d FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d, vec_id) <= 80
+    ), exact AS (
+        SELECT s.query_id, s.vec_id, s.d,
+               {_sql_cosine('q.qv', 'v.embedding', 64)} AS sim
+        FROM short s
+        JOIN q ON s.query_id = q.query_id
+        JOIN embeddings v ON s.vec_id = v.vec_id
+        WHERE s.vec_id != s.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS INTEGER)
+               AS rank,
+           round(sim, 6) AS sim,
+           CAST(floor(d * 1048576.0) AS BIGINT) AS adc_fp
+    FROM exact
+    QUALIFY rank <= 10
+"""
+
+
+@q("emb_pq_ann_topk", _PQ_SQL)
 def emb_pq_ann_topk(spark, sf_dir):
-    """Approximate NN via product quantization: deterministic
-    per-subspace codebooks, Catalyst-only encoding (8 codes replace
-    the float vector in the scan), ADC shortlist + exact cosine
-    re-rank — the bytes-per-candidate scale path that composes with
-    IVF cells at web scale. Recall vs brute force measured in
-    test_dataops.py. Rows-only check."""
-    from .dataops.similarity import pq_topk
+    """Approximate NN via product quantization, oracle-backed END TO
+    END since r6 (VERDICT r5 #5): the entry injects SQL-derivable
+    sample codebooks (similarity.sample_codebooks), so encoding (argmin
+    ties → lowest code), the per-query ADC lookup tables, the LUT-
+    gather shortlist, AND the fixed-point ``adc_fp = floor(d·2²⁰)``
+    distances themselves are hash-verified against DuckDB — the
+    matryoshka per-stage-oracle method applied to the PQ chain. The
+    production path keeps Lloyd-refined codebooks (recall vs brute
+    force in test_dataops.py)."""
+    from .dataops.similarity import pq_topk, sample_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk(emb, queries, k=10)
+    books = sample_codebooks(emb, m=8, n_codes=16)
+    return pq_topk(emb, queries, k=10, codebooks=books, emit_adc=True)
 
 
 @q("emb_ivf_pq_ann_topk", None)
@@ -4577,6 +4734,7 @@ _STALE_SIGNED = frozenset({
     "docs_bpe_tokens",         # shares learn_bpe with docs_bpe_vocab
     "docs_snapshot_diff",      # null-digest policy (ADVICE r5)
     "emb_pq_ann_topk",         # per-stage fixed-point ADC oracle plumbing
+    "emb_ivf_ann_topk",        # sample-centroid injection -> oracle-backed
 })
 
 

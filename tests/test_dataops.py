@@ -1212,3 +1212,37 @@ def test_percentile_threshold_gate_ties_and_empty(spark):
     assert percentile_threshold_gate(df, "v", 0.3).count() == 20
     # empty input: NULL percentile gates everything out, no crash
     assert percentile_threshold_gate(df.filter("doc_id < 0"), "v", 0.5).count() == 0
+
+
+def test_sample_codebook_pq_recall_floor(spark, sf_dir):
+    """The oracle-backed registry variant (SQL-derivable sample
+    codebooks, no Lloyd) must still retrieve: exact re-rank over an 8x
+    ADC shortlist keeps recall well above collapse even with unrefined
+    codebooks."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        cosine_topk,
+        pq_topk,
+        sample_codebooks,
+        sample_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    books = sample_codebooks(emb, m=8, n_codes=16)
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, q, k=10, codebooks=books, emit_adc=True).collect()
+    }
+    assert len(pq & exact) / len(exact) >= 0.5, "sample-codebook PQ recall collapsed"
+    cents = sample_centroids(emb, n_centroids=16)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=10, n_probe=4, centroids=cents).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.4, "sample-centroid IVF recall collapsed"
