@@ -1034,6 +1034,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int | None = 10_000,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF+PQ — the canonical web-scale ANN composition: IVF cells
     shrink the candidate SET (a query touches ~n_probe/n_centroids of
@@ -1063,8 +1065,16 @@ def ivf_pq_topk(
             corpus.sparkSession, query_id_col,
             queries.schema[query_id_col].dataType, corpus.schema[id_col].dataType,
         )
-    cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
-    books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    )
 
     # pre_scaled: pq_encode already scaled the corpus out — encoder and
     # cell assigner pipeline through ONE Arrow pass, no second exchange
@@ -1200,6 +1210,8 @@ def pq_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     store_vectors: bool = True,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> dict:
     """Build and PERSIST an IVF+PQ index: one corpus pass, queried many
     times by :func:`pq_index_query` without rebuilding (VERDICT r4 #2 —
@@ -1225,8 +1237,18 @@ def pq_index_build(
     rebuilding from the same corpus bit-reproduces the index.
     """
     spark = corpus.sparkSession
-    cents = _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
-    books = _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else _pq_codebooks(corpus, m, n_codes, vec_col, id_col)
+    )
+    m = len(books)
+    n_codes = max(len(b) for b in books)
     dim = len(cents[0])
 
     enc = _cells_batched(

@@ -2921,38 +2921,147 @@ def emb_pq_ann_topk(spark, sf_dir):
     return pq_topk(emb, queries, k=10, codebooks=books, emit_adc=True)
 
 
-@q("emb_ivf_pq_ann_topk", None)
+_PQ_INDEX_SQL = f"""
+    WITH smp AS (
+        SELECT rn - 1 AS c, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM (SELECT embedding, vec_id,
+                     row_number() OVER (ORDER BY {_ANN_AFF}, vec_id) AS rn
+              FROM embeddings)
+        WHERE rn <= 16
+    ), books AS (
+        SELECT sp.s, smp.c,
+               list_transform(smp.embedding[sp.s * 8 + 1 : sp.s * 8 + 8],
+                              x -> CAST(x AS DOUBLE)) AS cent
+        FROM smp, (SELECT unnest(range(0, 8)) AS s) sp
+    ), sims AS (
+        SELECT v.vec_id, ct.c,
+               {_sql_dot('v.embedding[i]', 'ct.cent[i]', 64)}
+                 / (sqrt({_sql_norm2('v.embedding')})
+                    * sqrt({_sql_norm2('ct.cent')})) AS sim
+        FROM embeddings v, smp ct
+    ), vcell AS (
+        SELECT vec_id, c AS cell FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c) = 1
+    ), dists AS (
+        SELECT v.vec_id, b.s, b.c,
+               {_sql_subl2('v.embedding[b.s * 8 + i]', 'b.cent[i]', 8)} AS d
+        FROM embeddings v, books b
+    ), enc AS (
+        SELECT vec_id, s, c FROM dists
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d, c) = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), qsims AS (
+        SELECT q.query_id, ct.c,
+               {_sql_dot('q.qv[i]', 'ct.cent[i]', 64)}
+                 / (sqrt({_sql_norm2('q.qv')})
+                    * sqrt({_sql_norm2('ct.cent')})) AS sim
+        FROM q, smp ct
+    ), qcell AS (
+        SELECT query_id, c AS cell FROM qsims
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, c) <= 8
+    ), qlut AS (
+        SELECT q.query_id, b.s, b.c,
+               {_sql_subl2('q.qv[b.s * 8 + i]', 'b.cent[i]', 8)} AS l
+        FROM q, books b
+    ), cand AS (
+        SELECT qc.query_id, vc.vec_id
+        FROM qcell qc JOIN vcell vc ON qc.cell = vc.cell
+        WHERE vc.vec_id != qc.query_id
+    ), adc AS (
+        SELECT cd.query_id, cd.vec_id,
+               list_reduce([0.0] || list(ql.l ORDER BY e.s),
+                           (a, b) -> a + b) AS d
+        FROM cand cd
+        JOIN enc e ON e.vec_id = cd.vec_id
+        JOIN qlut ql ON ql.query_id = cd.query_id
+                    AND ql.s = e.s AND ql.c = e.c
+        GROUP BY cd.query_id, cd.vec_id
+    ), short AS (
+        SELECT query_id, vec_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d, vec_id) <= 80
+    ), exact AS (
+        SELECT s.query_id, s.vec_id,
+               {_sql_cosine('q.qv', 'v.embedding', 64)} AS sim
+        FROM short s
+        JOIN q ON s.query_id = q.query_id
+        JOIN embeddings v ON s.vec_id = v.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS INTEGER)
+               AS rank,
+           round(sim, 6) AS sim
+    FROM exact
+    QUALIFY rank <= 10
+"""
+
+
+@q("emb_ivf_pq_ann_topk", _PQ_INDEX_SQL)
 def emb_ivf_pq_ann_topk(spark, sf_dir):
     """IVF+PQ composed ANN (dataops/similarity.ivf_pq_topk): cells
     shrink the candidate set, PQ codes shrink bytes-per-candidate; one
     corpus pass computes both, ADC shortlist + exact re-rank. The
     canonical web-scale layout; recall vs brute force in
-    test_dataops.py. Rows-only check."""
-    from .dataops.similarity import ivf_pq_topk
+    test_dataops.py. Oracle-backed since r6 with the injected sample
+    artifacts — the oracle SQL is the SAME _PQ_INDEX_SQL as the
+    persisted-index entry, because ivf_pq_topk and pq_index_query
+    share _ivf_adc_answer and the same deterministic artifacts: one
+    oracle pins BOTH paths (plus their equality)."""
+    from .dataops.similarity import (
+        ivf_pq_topk,
+        sample_centroids,
+        sample_codebooks,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=8)
+    return ivf_pq_topk(
+        emb, queries, k=10, n_probe=8,
+        centroids=sample_centroids(emb, n_centroids=16),
+        codebooks=sample_codebooks(emb, m=8, n_codes=16),
+    )
 
 
-@q("emb_pq_index_ann_topk", None)
+@q("emb_pq_index_ann_topk", _PQ_INDEX_SQL)
 def emb_pq_index_ann_topk(spark, sf_dir):
     """ANN against a PERSISTED IVF+PQ index (dataops/similarity.
     pq_index_build / pq_index_query — VERDICT r4 #2): the index (cell-
     partitioned codes + centroids + codebooks parquet) is built once
     and served; query time pays only probe → pruned partition scan →
-    ADC → re-rank. Output equality with the fresh-build ivf_pq_topk is
-    pinned in test_dataops.py. Rows-only check (index build is
-    deterministic, but PQ is not SQL-expressible)."""
+    ADC → re-rank. Oracle-backed END TO END since r6 (VERDICT r5 #5):
+    the entry injects the SQL-derivable sample centroids + codebooks
+    (one shared first-16 hash-ordered sample), so the DuckDB oracle
+    reproduces the entire persisted lifecycle — cell assignment, PQ
+    codes, probe fan-out, cell-bounded ADC (self excluded BEFORE the
+    shortlist, matching _ivf_adc_answer), shortlist, exact re-rank —
+    through the parquet round-trip. Output equality with the
+    fresh-build ivf_pq_topk (production k-means path) stays pinned in
+    test_dataops.py."""
     import os
 
-    from .dataops.similarity import pq_index_build, pq_index_query
+    from .dataops.similarity import (
+        pq_index_build,
+        pq_index_query,
+        sample_centroids,
+        sample_codebooks,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     path = f"/tmp/pq_index_reg_{os.path.basename(os.path.normpath(sf_dir))}"
-    pq_index_build(emb, path, n_centroids=16, m=8, n_codes=16)
+    pq_index_build(
+        emb, path,
+        centroids=sample_centroids(emb, n_centroids=16),
+        codebooks=sample_codebooks(emb, m=8, n_codes=16),
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4735,6 +4844,7 @@ _STALE_SIGNED = frozenset({
     "docs_snapshot_diff",      # null-digest policy (ADVICE r5)
     "emb_pq_ann_topk",         # per-stage fixed-point ADC oracle plumbing
     "emb_ivf_ann_topk",        # sample-centroid injection -> oracle-backed
+    "emb_ivf_pq_ann_topk",     # sample-artifact injection -> oracle-backed
 })
 
 
