@@ -42,27 +42,26 @@ from .util import scale_out
 EOW = "</w>"
 
 
-def _word_counts(
-    df: DataFrame, text_col: str = "text", max_vocab: int = 100_000
-) -> DataFrame:
-    """Corpus word-frequency table, bounded to the ``max_vocab`` most
-    frequent words by the total order (count desc, word asc).
-
-    The explode + two hash aggregations are the only corpus-scale work
-    in BPE training; the top-k is a WindowGroupLimit-style bounded
-    sort over the (already small) distinct-word table.
-    """
-    from pyspark.sql import Window
-
+def _word_counts_raw(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unbounded corpus word-frequency table — the only corpus-scale
+    work in BPE training (one explode + hash aggregation)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: F.length(t) > 0
     )
-    counts = (
+    return (
         scale_out(df)
         .select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
+
+
+def _bound_word_counts(counts: DataFrame, max_vocab: int) -> DataFrame:
+    """Top ``max_vocab`` words by the total order (count desc, word
+    asc) — a WindowGroupLimit-style bounded sort over the (already
+    small) distinct-word table."""
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col("count").desc(), F.col("word"))
     return (
         counts.withColumn("_rn", F.row_number().over(w))
@@ -71,12 +70,19 @@ def _word_counts(
     )
 
 
+def _word_counts(
+    df: DataFrame, text_col: str = "text", max_vocab: int = 100_000
+) -> DataFrame:
+    return _bound_word_counts(_word_counts_raw(df, text_col), max_vocab)
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int = 100,
     text_col: str = "text",
     max_vocab: int = 100_000,
-) -> list[dict]:
+    return_stats: bool = False,
+) -> "list[dict] | tuple[list[dict], dict]":
     """Learn ``n_merges`` BPE merges from the corpus.
 
     Returns the merge table as a list of dicts
@@ -90,8 +96,40 @@ def learn_bpe(
     honest scale shape); ties on count resolve to the lexicographically
     smallest (left, right) pair, making the result a pure function of
     the corpus.
+
+    **Vocab-overflow contract** (VERDICT r5 #8): training uses only the
+    ``max_vocab`` most frequent words. On a corpus whose distinct-word
+    count exceeds the bound, the tail is silently excluded from merge
+    statistics — harmless when the tail is Zipf dust, material when the
+    bound is undersized for the corpus. Pass ``return_stats=True`` to
+    get ``(merges, stats)`` where ``stats`` records whether and how
+    hard the bound bit: ``distinct_words``, ``kept_words``,
+    ``truncated_words`` (distinct words dropped), ``total_occurrences``
+    / ``kept_occurrences``, and ``truncated_occurrence_fraction`` (the
+    share of corpus word MASS excluded — the number to alert on; a
+    100-TB caller should retrain with a larger ``max_vocab`` or accept
+    the documented bias when it exceeds their tolerance).
     """
-    rows = _word_counts(df, text_col, max_vocab).collect()
+    counts = _word_counts_raw(df, text_col)
+    if return_stats:
+        tot = counts.agg(
+            F.count("*").alias("d"), F.sum("count").alias("o")
+        ).collect()[0]
+    rows = _bound_word_counts(counts, max_vocab).collect()
+    if return_stats:
+        distinct_words = int(tot["d"] or 0)
+        total_occ = int(tot["o"] or 0)
+        kept_occ = sum(r["count"] for r in rows)
+        stats = {
+            "distinct_words": distinct_words,
+            "kept_words": len(rows),
+            "truncated_words": distinct_words - len(rows),
+            "total_occurrences": total_occ,
+            "kept_occurrences": kept_occ,
+            "truncated_occurrence_fraction": (
+                (total_occ - kept_occ) / total_occ if total_occ else 0.0
+            ),
+        }
     # each word becomes a symbol tuple: chars + end-of-word marker
     vocab: dict[tuple, int] = {}
     for r in rows:
@@ -136,6 +174,8 @@ def learn_bpe(
                 "pair_count": cnt,
             }
         )
+    if return_stats:
+        return merges, stats
     return merges
 
 

@@ -379,6 +379,19 @@ def simhash(
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _content_digest(text_col: str):
+    """Cross-wave content digest with an explicit null policy: null
+    text is treated as EMPTY text (``md5(coalesce(text, ''))``).
+
+    ``md5(NULL)`` is NULL, and a NULL join key never matches a LEFT
+    ANTI join — null-text documents would survive cross-wave dedup
+    forever while null digests accumulated in the digest table
+    (ADVICE r5). Coalescing makes null-text rows dedup exactly like
+    empty-text rows on every digest-lifecycle path (write, batch
+    anti-join, stream-static anti-join)."""
+    return F.md5(F.coalesce(F.col(text_col), F.lit("")))
+
+
 def dedup_against(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -396,9 +409,9 @@ def dedup_against(
     text; AQE broadcasts the digest set when it is small. Within-batch
     first-wins is the usual WindowGroupLimit row_number()=1.
     """
-    seen = seen_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    seen = seen_df.select(_content_digest(text_col).alias("_h")).distinct()
     survivors = (
-        new_df.withColumn("_h", F.md5(F.col(text_col)))
+        new_df.withColumn("_h", _content_digest(text_col))
         .join(seen, "_h", "left_anti")
         .drop("_h")
     )
@@ -430,15 +443,15 @@ def dedup_against_path(
     if "digest" in seen_raw.columns:
         seen = seen_raw.select(F.col("digest").alias("_h")).distinct()
     else:
-        seen = seen_raw.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+        seen = seen_raw.select(_content_digest(text_col).alias("_h")).distinct()
     if df.isStreaming:
         return (
-            df.withColumn("_h", F.md5(F.col(text_col)))
+            df.withColumn("_h", _content_digest(text_col))
             .join(seen, "_h", "left_anti")
             .drop("_h")
         )
     survivors = (
-        df.withColumn("_h", F.md5(F.col(text_col)))
+        df.withColumn("_h", _content_digest(text_col))
         .join(seen, "_h", "left_anti")
         .drop("_h")
     )
@@ -461,7 +474,7 @@ def write_digest_table(
     DISTINCT digests, so overlap between appends is harmless).
     """
     (
-        df.select(F.md5(F.col(text_col)).alias("digest"))
+        df.select(_content_digest(text_col).alias("digest"))
         .distinct()
         .write.mode(mode)
         .parquet(path)

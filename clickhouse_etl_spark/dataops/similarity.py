@@ -1446,6 +1446,7 @@ def pq_index_append(
     spark,
     path: str,
     new_corpus: DataFrame,
+    dedup_ids: bool = True,
 ) -> None:
     """Append a new ingest wave to a persisted :func:`pq_index_build`
     index WITHOUT retraining: the stored codebooks and centroids
@@ -1458,9 +1459,23 @@ def pq_index_append(
     data distribution drifts enough that quantization error degrades
     recall — the standard IVF/PQ operational rule; the index is
     deterministic, so a rebuild is reproducible and comparable.
+
+    Ids must be unique across the index: a duplicated id would surface
+    as duplicate ``neighbor_id`` rows in :func:`pq_index_query` top-k
+    results (ADVICE r5). ``dedup_ids=True`` (default) LEFT-ANTI-joins
+    the wave against the existing codes' ids — the codes scan reads
+    ONLY the id column (column pruning), so the guard costs one
+    broadcast-ish join over ids, not a vector scan. Re-appending an
+    already-indexed wave is then a no-op instead of an index
+    corruption. Pass ``dedup_ids=False`` only when the caller
+    guarantees id-disjoint waves (e.g. monotonically sharded ingest
+    ids) and wants to skip the read.
     """
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if dedup_ids:
+        existing_ids = spark.read.parquet(f"{path}/codes").select(id_col)
+        new_corpus = new_corpus.join(existing_ids, id_col, "left_anti")
     books_rows = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[list[list[float]]] = [
         [None] * meta["n_codes"] for _ in range(meta["m"])

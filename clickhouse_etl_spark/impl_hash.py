@@ -73,6 +73,12 @@ def _reachable(fn) -> dict[str, str]:
         seen[key] = src
         mod = inspect.getmodule(obj)
         namespace = dict(getattr(mod, "__dict__", {}))
+        # function-LOCAL imports (`from .dataops.x import f` inside the
+        # body) never reach module globals — resolve them explicitly or
+        # the walk silently stops at the wrapper (missed-staleness hole
+        # found in r6: docs_incremental_dedup was not flagged after a
+        # dedup_against change)
+        namespace.update(_local_imports(src, getattr(mod, "__name__", _PKG)))
         # methods resolve against their class too
         cls = getattr(obj, "__self__", None)
         for name in set(_IDENT.findall(src)):
@@ -91,6 +97,48 @@ def _reachable(fn) -> dict[str, str]:
             if _hashable_target(target):
                 stack.append(target)
     return seen
+
+
+_IMPORT_RE = re.compile(
+    r"^\s*from\s+(\.+[\w.]*|" + _PKG + r"[\w.]*)\s+import\s+\(?([^)\n]+)\)?",
+    re.MULTILINE,
+)
+
+
+def _local_imports(src: str, from_module: str) -> dict:
+    """Resolve ``from .x import a, b`` statements in ``src`` against the
+    package, including relative forms, returning {name: object}."""
+    import importlib
+
+    out: dict = {}
+    for modpart, names in _IMPORT_RE.findall(src):
+        if modpart.startswith("."):
+            # resolve relative to the defining module's package
+            pkg = from_module.rsplit(".", 1)[0] if "." in from_module else from_module
+            level = len(modpart) - len(modpart.lstrip("."))
+            base_parts = pkg.split(".")
+            if level > 1:
+                base_parts = base_parts[: len(base_parts) - (level - 1)]
+            suffix = modpart.lstrip(".")
+            target = ".".join(base_parts + ([suffix] if suffix else []))
+        else:
+            target = modpart
+        if not (target == _PKG or target.startswith(_PKG + ".")):
+            continue
+        try:
+            mod = importlib.import_module(target)
+        except ImportError:
+            continue
+        for raw in names.split(","):
+            raw = raw.strip()
+            if not raw:
+                continue
+            name = raw.split(" as ")[0].strip()
+            alias = raw.split(" as ")[1].strip() if " as " in raw else name
+            obj = getattr(mod, name, None)
+            if obj is not None:
+                out[alias] = obj
+    return out
 
 
 def _in_pkg_module(mod) -> bool:

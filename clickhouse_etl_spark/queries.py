@@ -4723,14 +4723,25 @@ def docs_bpe_vocab(spark, sf_dir):
     throughout — but iterative, so not SQL-expressible: rows-only;
     the algorithm is pinned against a hand-computed example and a
     pure-Python reference in test_dataops.py."""
+    from pyspark.sql import types as T
+
     from .dataops.bpe import learn_bpe
 
     merges = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=64)
-    return spark.createDataFrame(merges).select(
-        F.col("rank").cast("int").alias("rank"),
-        "left", "right", "merged",
-        F.col("pair_count").cast("bigint").alias("pair_count"),
-    ).orderBy("rank")
+    # explicit schema: a degenerate corpus can yield ZERO merges (no
+    # pair with count >= 2) and schema inference on [] raises (ADVICE r5)
+    schema = T.StructType([
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("left", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+    ])
+    rows = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in merges
+    ]
+    return spark.createDataFrame(rows, schema).orderBy("rank")
 
 
 @q("docs_bpe_tokens", None, "bench")
@@ -4836,15 +4847,17 @@ _R05_CHECKED = frozenset({
 # and fails if a changed entry is missing from this set. Re-snapshot at the
 # start of each round, then add entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r6 edits after an r5 signature:
+    # r6 edits after an r4/r5 signature (mechanically verified against
+    # impl_hashes_signed.json by tests/test_rotation.py):
     "docs_curation_v3",        # rank gate -> fixed-point percentile broadcast
-    "emb_pq_index_ann_topk",   # append duplicate-id guard (ADVICE r5)
+    "emb_pq_index_ann_topk",   # oracle-backed + append duplicate-id guard
     "docs_bpe_vocab",          # empty-merge schema + truncation stat
     "docs_bpe_tokens",         # shares learn_bpe with docs_bpe_vocab
-    "docs_snapshot_diff",      # null-digest policy (ADVICE r5)
     "emb_pq_ann_topk",         # per-stage fixed-point ADC oracle plumbing
     "emb_ivf_ann_topk",        # sample-centroid injection -> oracle-backed
     "emb_ivf_pq_ann_topk",     # sample-artifact injection -> oracle-backed
+    "docs_incremental_dedup",  # dedup_against null-digest policy (ADVICE r5)
+    "docs_curation_v2",        # chains through the dedup_against change
 })
 
 

@@ -14,10 +14,15 @@ the larger table fits an executor core's working memory
 
 from __future__ import annotations
 
+import re
 import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: catalog identifiers only — anything else could traverse out of the
+#: warehouse directory when the orphan pre-clean builds an rmtree path
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def _preclean_orphan_location(spark: SparkSession, table: str) -> None:
@@ -35,8 +40,15 @@ def _preclean_orphan_location(spark: SparkSession, table: str) -> None:
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
     if warehouse.scheme not in ("", "file"):
         return
-    name = table.split(".")[-1].lower()
-    shutil.rmtree(f"{warehouse.path}/{name}", ignore_errors=True)
+    parts = table.split(".")
+    # a name like "../x" or "a/b" must never reach the rmtree path
+    # (ADVICE r5); Spark itself would reject such identifiers later,
+    # so refusing here loses nothing
+    if not all(_SAFE_NAME.match(p) for p in parts):
+        raise ValueError(
+            f"unsafe table identifier {table!r}: parts must match [A-Za-z0-9_]+"
+        )
+    shutil.rmtree(f"{warehouse.path}/{parts[-1].lower()}", ignore_errors=True)
 
 
 def write_bucketed(

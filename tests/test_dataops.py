@@ -1246,3 +1246,70 @@ def test_sample_codebook_pq_recall_floor(spark, sf_dir):
         for r in ivf_topk(emb, q, k=10, n_probe=4, centroids=cents).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.4, "sample-centroid IVF recall collapsed"
+
+
+def test_bpe_vocab_overflow_contract(spark):
+    """VERDICT r5 #8: when the corpus's distinct-word count exceeds
+    max_vocab, learn_bpe must report how hard the bound bit."""
+    from clickhouse_etl_spark.dataops.bpe import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(i, f"common common w{i} w{i+1000}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    merges, stats = learn_bpe(docs, n_merges=4, max_vocab=10, return_stats=True)
+    assert stats["kept_words"] == 10
+    assert stats["distinct_words"] > 10
+    assert stats["truncated_words"] == stats["distinct_words"] - 10
+    assert stats["kept_occurrences"] < stats["total_occurrences"]
+    frac = stats["truncated_occurrence_fraction"]
+    assert 0 < frac < 1
+    assert frac == (
+        (stats["total_occurrences"] - stats["kept_occurrences"])
+        / stats["total_occurrences"]
+    )
+    # unbounded run reports zero truncation
+    _, full = learn_bpe(docs, n_merges=4, max_vocab=100_000, return_stats=True)
+    assert full["truncated_words"] == 0
+    assert full["truncated_occurrence_fraction"] == 0.0
+    # bounded vs unbounded merges may differ; both are deterministic
+    assert merges == learn_bpe(docs, n_merges=4, max_vocab=10)
+
+
+def test_bpe_vocab_registry_entry_handles_zero_merges(spark, tmp_path):
+    """ADVICE r5: a corpus with no repeating pair yields an EMPTY merge
+    list; the registry entry must return an empty frame with the
+    declared schema, not crash on schema inference."""
+    from clickhouse_etl_spark.queries import QUERIES
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["docs_bpe_vocab"].fn(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "left", "right", "merged", "pair_count",
+    ]
+
+
+def test_digest_lifecycle_null_text_policy(spark, tmp_path):
+    """ADVICE r5: null text must dedup like empty text across waves —
+    md5(NULL) never matches an anti-join, so without the coalesce
+    policy null-text docs survive forever and null digests accumulate."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        write_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(1, None), (2, "real content")], ["doc_id", "text"]
+    )
+    path = f"{tmp_path}/digests"
+    write_digest_table(wave1, path, mode="overwrite")
+    digests = spark.read.parquet(path)
+    assert digests.filter(F.col("digest").isNull()).count() == 0
+    # next wave: null-text AND empty-text rows both match wave1's null row
+    wave2 = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "fresh")], ["doc_id", "text"]
+    )
+    kept = dedup_against_path(wave2, path)
+    assert [r["doc_id"] for r in kept.collect()] == [12]
