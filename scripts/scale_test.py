@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6"]
 
 
 def materialize(spark) -> None:
@@ -350,6 +350,81 @@ def section_r5(spark) -> None:
     )
 
 
+def section_r6(spark) -> None:
+    """Index lifecycle at scale (VERDICT r5 #6): build at 1M vectors,
+    APPEND a 100k wave with the stored codebooks (no retrain), and show
+    (a) the append costs a wave-sized encode, (b) query latency is
+    unchanged after the append, (c) recall on the appended index holds
+    a floor vs exact brute force over the grown corpus."""
+    import shutil
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        cosine_topk,
+        pq_index_append,
+        pq_index_build,
+        pq_index_query,
+    )
+
+    n_vec, n_wave = 1_000_000, 100_000
+
+    def synth(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: ((F.col("id") * 131 + i * 65537) % 1000).cast("double") / 1000.0,
+            ).alias("embedding"),
+        )
+
+    base = synth(0, n_vec)
+    wave = synth(n_vec, n_wave)
+    queries = base.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    path = "/tmp/scale_pq_index_r6"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    pq_index_build(base, path, n_centroids=16, m=8, n_codes=16)
+    print(f"pq_index_build_1M: {time.perf_counter() - t0:.1f}s (one-time)")
+    _timed(
+        "pq_index_query_pre_append",
+        pq_index_query(spark, path, queries, k=10, n_probe=4),
+        n_vec,
+        warm=pq_index_query(spark, path, queries.limit(1), k=10, n_probe=4),
+    )
+    t0 = time.perf_counter()
+    pq_index_append(spark, path, wave)
+    dt = time.perf_counter() - t0
+    print(f"pq_index_append_100k: {dt:.1f}s ({n_wave/dt/1000:.0f}k vec/s)")
+    _timed(
+        "pq_index_query_post_append",
+        pq_index_query(spark, path, queries, k=10, n_probe=4),
+        n_vec + n_wave,
+    )
+    # recall floor on the GROWN index vs exact brute force at 1.1M —
+    # appended codes use the stored (1M-trained) codebooks, so this is
+    # the number that tells you when distribution drift demands retrain
+    grown = base.unionByName(wave)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_index_query(spark, path, queries, k=10, n_probe=4).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(grown, queries, k=10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    print(f"pq_index_recall_post_append: {recall:.2f} (floor 0.30)")
+    assert recall >= 0.30, f"appended-index recall collapsed: {recall}"
+    # duplicate-guard sanity: re-appending the SAME wave must be a no-op
+    n_codes_before = spark.read.parquet(f"{path}/codes").count()
+    pq_index_append(spark, path, wave)
+    n_codes_after = spark.read.parquet(f"{path}/codes").count()
+    assert n_codes_before == n_codes_after == n_vec + n_wave, (
+        n_codes_before, n_codes_after,
+    )
+    print(f"pq_index_reappend_noop: codes stable at {n_codes_after}")
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -360,7 +435,7 @@ def main() -> None:
         _ensure_data(spark)
         {"ops": section_ops, "text": section_text,
          "multimodal": section_multimodal, "new": section_new,
-         "r4": section_r4, "r5": section_r5}[section](spark)
+         "r4": section_r4, "r5": section_r5, "r6": section_r6}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

@@ -91,6 +91,70 @@ def main() -> None:
     )
 
     stateful_join_bench(spark)
+    digest_lifecycle_bench(spark)
+
+
+def digest_lifecycle_bench(spark) -> None:
+    """Cross-wave dedup in the live chain (VERDICT r5 #7): stream the
+    document corpus through the ingest chain WITH the
+    ``dedup_against_path`` stream-static LEFT ANTI stage (against a
+    ``write_digest_table`` artifact holding half the corpus — the
+    'previous waves' seen-set) and WITHOUT it, reporting rows/s for
+    both — the marginal cost of the digest lifecycle users actually
+    deploy between ingest waves."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        write_digest_table,
+    )
+
+    docs_dir = f"{BASE}/docs"
+    seen_path = f"{BASE}/digests_seen"
+    if not os.path.isdir(docs_dir):
+        raise SystemExit("run scripts/scale_test.py first (materializes docs)")
+    docs = spark.read.parquet(docs_dir)
+    n_in = docs.count()
+    if not os.path.isdir(seen_path):
+        write_digest_table(
+            docs.filter(F.col("doc_id") % 2 == 0), seen_path, mode="overwrite"
+        )
+    schema = docs.schema
+    results = {}
+    for label, with_anti in (("anti_on", True), ("anti_off", False)):
+        ckpt = f"{BASE}/digest_ckpt_{label}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_dir)
+        )
+        chain = stream.filter(F.length(F.col("text")) > 0)
+        if with_anti:
+            chain = dedup_against_path(chain, seen_path)
+        t0 = time.perf_counter()
+        q = (
+            chain.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[label] = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "digest_lifecycle_chain_throughput",
+                "rows_in": n_in,
+                "anti_on_sec": round(results["anti_on"], 2),
+                "anti_off_sec": round(results["anti_off"], 2),
+                "anti_on_rows_per_sec": int(n_in / results["anti_on"]),
+                "anti_off_rows_per_sec": int(n_in / results["anti_off"]),
+                "anti_join_overhead_pct": round(
+                    100 * (results["anti_on"] / results["anti_off"] - 1), 1
+                ),
+            }
+        )
+    )
 
 
 def stateful_join_bench(spark, n_left: int = 2_000_000, n_keys: int = 9_000) -> None:

@@ -1313,3 +1313,36 @@ def test_digest_lifecycle_null_text_policy(spark, tmp_path):
     )
     kept = dedup_against_path(wave2, path)
     assert [r["doc_id"] for r in kept.collect()] == [12]
+
+
+def test_pq_index_append_dedup_guard(spark, sf_dir, tmp_path):
+    """ADVICE r5: re-appending an already-indexed wave must be a no-op
+    (duplicate ids would surface as duplicate neighbor_id rows in
+    query results); dedup_ids=False skips the guard by contract."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    wave = emb.filter(F.col("vec_id") % 2 == 1)
+    path = f"{tmp_path}/idx"
+    pq_index_build(base, path, n_centroids=4, m=8, n_codes=8)
+    pq_index_append(spark, path, wave)
+    n_all = spark.read.parquet(f"{path}/codes").count()
+    assert n_all == emb.count()
+    # guarded re-append: no growth
+    pq_index_append(spark, path, wave)
+    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    # query results carry no duplicate neighbors
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_index_query(spark, path, q, k=10, n_probe=2).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in res]
+    assert len(pairs) == len(set(pairs))
+    # unguarded re-append DOES grow (the documented contract)
+    pq_index_append(spark, path, wave, dedup_ids=False)
+    assert spark.read.parquet(f"{path}/codes").count() == n_all + wave.count()
