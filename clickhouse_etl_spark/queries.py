@@ -2720,18 +2720,6 @@ def multimodal_decode_stub(spark, sf_dir):
     return decode_assets(assets)
 
 
-@q("emb_lsh_ann_topk", None)
-def emb_lsh_ann_topk(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH buckets (the 100TB scale
-    path; brute-force emb_cosine_topk is its quality oracle).
-    Rows-only check."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_bucket_topk(emb, queries, k=10, n_tables=8, bits_per_table=4, dim=64)
-
-
 # --- oracle SQL builders for the ANN entries (VERDICT r5 #5) --------- #
 # The sample codebooks/centroids (similarity.sample_codebooks /
 # sample_centroids) are SQL-derivable, which makes the WHOLE PQ / IVF
@@ -2772,6 +2760,83 @@ def _sql_cosine(a_lst: str, b_lst: str, dim: int) -> str:
         f"{_sql_dot(a_lst + '[i]', b_lst + '[i]', dim)}"
         f" / (sqrt({_sql_norm2(a_lst)}) * sqrt({_sql_norm2(b_lst)}))"
     )
+
+
+def _lsh_bucket_ctes() -> str:
+    """CTEs deriving the multi-table hyperplane buckets for EVERY
+    embedding row, mirroring ``similarity._pseudo_hyperplane`` +
+    ``_lsh_buckets_batched`` exactly: the ±1 hyperplanes are an LCG
+    fold (recursive CTE), the 32 dot products use the sequential
+    ``_dot`` fold order, sign bits pack little-endian per 4-bit table.
+    Yields relation ``bkt(vec_id, bkt)`` with one row per (vector,
+    table)."""
+    return f"""
+    WITH RECURSIVE hp(plane, i, h) AS (
+        SELECT sp.plane, 0,
+               (sp.plane * 2654435761 + 97) % {HASH_MOD}
+        FROM (SELECT unnest(range(0, 32)) AS plane) sp
+        UNION ALL
+        SELECT plane, i + 1, (h * 1103515245 + 12345) % {HASH_MOD}
+        FROM hp WHERE i < 64
+    ), planes AS (
+        SELECT plane,
+               list(CASE WHEN h % 2 = 1 THEN 1.0 ELSE -1.0 END
+                    ORDER BY i) AS pv
+        FROM hp WHERE i >= 1 GROUP BY plane
+    ), db AS (
+        SELECT v.vec_id, p.plane,
+               {_sql_dot('v.embedding[i]', 'p.pv[i]', 64)} AS d
+        FROM embeddings v, planes p
+    ), bkt AS (
+        SELECT vec_id,
+               (plane // 4) || ':' ||
+               CAST(sum((CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                        << (plane % 4)) AS BIGINT) AS bkt
+        FROM db GROUP BY vec_id, plane // 4
+    )"""
+
+
+_LSH_TOPK_SQL = f"""
+    {_lsh_bucket_ctes()}, q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+        FROM bkt cb
+        JOIN (SELECT b.* FROM bkt b JOIN q ON b.vec_id = q.query_id) qb
+          ON cb.bkt = qb.bkt
+        WHERE cb.vec_id != qb.vec_id
+    ), exact AS (
+        SELECT c.query_id, c.vec_id,
+               {_sql_cosine('q.qv', 'v.embedding', 64)} AS sim
+        FROM cand c
+        JOIN q ON c.query_id = q.query_id
+        JOIN embeddings v ON c.vec_id = v.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS INTEGER)
+               AS rank,
+           round(sim, 6) AS sim
+    FROM exact
+    QUALIFY rank <= 10
+"""
+
+
+@q("emb_lsh_ann_topk", _LSH_TOPK_SQL)
+def emb_lsh_ann_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (the 100TB scale
+    path; brute-force emb_cosine_topk is its quality oracle). Oracle-
+    backed END TO END since r6: the hyperplane family is a portable LCG
+    fold, so the DuckDB oracle re-derives the ±1 planes with a
+    recursive CTE, replays the sequential-fold dot products and 4-bit
+    sign packing, and reproduces bucket membership, candidate
+    generation, and the exact cosine re-rank hash-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucket_topk(emb, queries, k=10, n_tables=8, bits_per_table=4, dim=64)
 
 
 _IVF_SQL = f"""
@@ -3382,17 +3447,48 @@ def emb_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+_SEMANTIC_LSH_SQL = f"""
+    {_lsh_bucket_ctes()}, cpair AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM cpair
+        JOIN embeddings va ON cpair.id_a = va.vec_id
+        JOIN embeddings vb ON cpair.id_b = vb.vec_id
+        WHERE {_sql_cosine('va.embedding', 'vb.embedding', 64)} >= 0.45
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON r.id = e.a
+    ), cc AS (
+        SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_kept
+    FROM cc
+"""
+
+
 @q(
     "emb_semantic_dedup_lsh",
-    None,
+    _SEMANTIC_LSH_SQL,
     "bench",
 )
 def emb_semantic_dedup_lsh(spark, sf_dir):
     """The 100-TB semantic-dedup plan: LSH-bucketed candidate pairs
     (multi-table hyperplane, join on (table, bucket) — never all-pairs)
     -> exact cosine verify -> the same transitive-closure clustering as
-    the exact form. Rows-only check by design (recall < 1.0 vs the
-    exact oracle form; measured in tests/test_dataops.py)."""
+    the exact form. Oracle-backed since r6: the portable LCG hyperplane
+    family lets the DuckDB oracle re-derive the buckets (recursive
+    CTE), regenerate the identical candidate-pair set, verify with the
+    same sequential-fold cosine, and replay the closure as a recursive
+    CTE — so even the APPROXIMATE path is hash-verified end to end
+    (its recall vs the exact form stays measured in test_dataops.py)."""
     from .dataops.similarity import semantic_dedup
 
     return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.45, method="lsh")
@@ -4858,6 +4954,9 @@ _STALE_SIGNED = frozenset({
     "emb_ivf_pq_ann_topk",     # sample-artifact injection -> oracle-backed
     "docs_incremental_dedup",  # dedup_against null-digest policy (ADVICE r5)
     "docs_curation_v2",        # chains through the dedup_against change
+    "emb_lsh_ann_topk",        # LCG-hyperplane oracle -> oracle-backed
+    "emb_semantic_dedup_lsh",  # recursive-CTE closure -> oracle-backed
+    "emb_semantic_dedup",      # docstring cross-ref (conservative flag)
 })
 
 
