@@ -2695,11 +2695,42 @@ def otlp_flatten_traces(spark, sf_dir):
     )
 
 
-@q("multimodal_decode_stub", None)
+@q(
+    "multimodal_decode_stub",
+    """
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text)) AS n,
+               CASE WHEN doc_id % 3 = 0 THEN 'png'
+                    WHEN doc_id % 3 = 1 THEN 'jpeg'
+                    ELSE 'tiff' END AS format
+        FROM documents
+    )
+    SELECT asset_id,
+           'image' AS media_type,
+           format,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN format IN ('png', 'jpeg')
+                THEN CAST(n % 640 + 1 AS INTEGER) END AS width,
+           CASE WHEN format IN ('png', 'jpeg')
+                THEN CAST((n * 7) % 480 + 1 AS INTEGER) END AS height,
+           CASE WHEN format IN ('png', 'jpeg')
+                THEN CAST(3 AS INTEGER) END AS n_channels,
+           format IN ('png', 'jpeg') AS decode_ok
+    FROM a
+    """,
+)
 def multimodal_decode_stub(spark, sf_dir):
     """Multimodal binary-column plumbing: text payloads as opaque bytes,
-    Arrow-batched mapInPandas decode (stubbed codec — see
-    dataops/multimodal.py). Rows-only check: no SQL equivalent."""
+    Arrow-batched mapInPandas decode. Oracle-backed since r6: the stub
+    codec derives (width, height, channels) from the payload byte
+    length by plain arithmetic (dataops/multimodal._decode_bytes), so
+    DuckDB reproduces the whole decode table — including the
+    decode_ok=false row-isolation path for the unknown 'tiff' format —
+    from octet_length(encode(text)). The codec SEAM stays per-row
+    Python by design (swap in PIL/soundfile/pyav in deployments); what
+    the oracle pins is the plumbing contract: schema, null handling of
+    failed rows, and the format dispatch."""
     docs = _t(spark, sf_dir, "documents")
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -4957,6 +4988,7 @@ _STALE_SIGNED = frozenset({
     "emb_lsh_ann_topk",        # LCG-hyperplane oracle -> oracle-backed
     "emb_semantic_dedup_lsh",  # recursive-CTE closure -> oracle-backed
     "emb_semantic_dedup",      # docstring cross-ref (conservative flag)
+    "multimodal_decode_stub",  # byte-length arithmetic -> oracle-backed
 })
 
 
