@@ -15,6 +15,7 @@ quadratic.
 """
 
 from .bpe import apply_bpe, learn_bpe
+from .sketches import cms_estimate, cms_merge, cms_table
 from .dedup import (
     dedup_against,
     dedup_against_path,
@@ -28,6 +29,8 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk,
+    sample_centroids,
+    sample_codebooks,
     embedding_near_dup_pairs,
     ivf_pq_topk,
     mean_center,
@@ -39,6 +42,8 @@ from .similarity import (
 from .text import (
     bigram_pmi,
     doc_fingerprint,
+    hash_embedding,
+    percentile_threshold_gate,
     kgram_novelty,
     language_id,
     lm_familiarity,
@@ -73,4 +78,11 @@ __all__ = [
     "kgram_novelty",
     "learn_bpe",
     "apply_bpe",
+    "hash_embedding",
+    "percentile_threshold_gate",
+    "sample_centroids",
+    "sample_codebooks",
+    "cms_table",
+    "cms_estimate",
+    "cms_merge",
 ]

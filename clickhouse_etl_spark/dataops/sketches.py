@@ -1,0 +1,120 @@
+"""Portable frequency sketches: count-min with the engine-independent
+affine hash family (Cormode & Muthukrishnan 2005).
+
+Spark's built-in approximation ops (``approx_count_distinct`` HLL,
+``approx_percentile``) are engine-specific sketches — correct to use,
+impossible to oracle against another engine. This module provides the
+complementary PORTABLE sketch: every hash is plain integer arithmetic
+(``dataops/hashing.py`` family), so a DuckDB oracle reproduces the
+sketch table and its estimates bit-for-bit, and a 100-TB deployment
+can ship the (depth × width) counter table between systems.
+
+Reference parity: the reference engine exposes no sketch ops; this is
+part of the beyond-reference large-pipeline surface (brief: training
+-data ops are first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import HASH_MOD, MINHASH_COEFFS
+
+
+def _cms_bucket(key: Column, d: int, width: int) -> Column:
+    """Row-``d`` bucket of ``key`` (bigint) in a width-``width`` CMS:
+    ``((a_d * key + b_d) mod P) mod width`` with the fixed MinHash
+    coefficient family — portable integer arithmetic end to end."""
+    a, b = MINHASH_COEFFS[d]
+    return ((key.cast("bigint") * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)) % F.lit(width)
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """The count-min counter table: ``depth × width`` cells, each the
+    total count of keys hashing into it — ONE pass, one aggregation
+    whose output is sketch-sized (bounded), never key-cardinality-sized.
+
+    At scale this is the point of CMS: the shuffle reduces to at most
+    ``depth*width`` rows regardless of key cardinality, and the table
+    itself is the shippable artifact (mergeable across shards/waves by
+    cell-wise addition).
+
+    Output: (d, bucket, cnt).
+    """
+    rows = [
+        df.select(
+            F.lit(d).alias("d"),
+            _cms_bucket(F.col(key_col), d, width).alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    un = rows[0]
+    for r in rows[1:]:
+        un = un.unionByName(r)
+    return un.groupBy("d", "bucket").agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter estimation study: for the ``top_n`` keys by TRUE
+    count (total tie-break on key), report the CMS point estimate
+    (min over the depth rows) next to the truth — the calibration
+    table that tells you whether a (width, depth) choice is tight
+    enough for a corpus's skew before you deploy the sketch alone.
+
+    The estimate join is depth broadcast lookups of the (bounded)
+    sketch table against the candidate keys; all integers, so the
+    DuckDB oracle reproduces estimates exactly. CMS guarantees
+    ``estimate >= true`` (overestimate only) — asserted by tests.
+
+    Output: (key, true_cnt, cms_cnt, overestimate), ordered by
+    (true_cnt desc, key).
+    """
+    from pyspark.sql import Window
+
+    sketch = cms_table(df, key_col, width, depth)
+    truth = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    w = Window.orderBy(F.col("true_cnt").desc(), F.col("key"))
+    cand = (
+        truth.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .drop("_rn")
+    )
+    est = None
+    for d in range(depth):
+        sd = sketch.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"_b{d}"), F.col("cnt").alias(f"_c{d}")
+        )
+        keyed = cand.withColumn(f"_b{d}", _cms_bucket(F.col("key"), d, width))
+        cand = keyed.join(F.broadcast(sd), f"_b{d}").drop(f"_b{d}")
+        est = F.col(f"_c{d}") if est is None else F.least(est, F.col(f"_c{d}"))
+    return cand.select(
+        "key",
+        "true_cnt",
+        est.cast("bigint").alias("cms_cnt"),
+        (est.cast("bigint") - F.col("true_cnt")).alias("overestimate"),
+    ).orderBy(F.col("true_cnt").desc(), F.col("key"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS tables built with the same (width, depth): cell-
+    wise addition — the property that lets per-shard / per-wave
+    sketches combine without touching raw data."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

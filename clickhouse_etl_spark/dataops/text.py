@@ -558,6 +558,67 @@ def percentile_threshold_gate(
     )
 
 
+def hash_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick document featurization: token → portable
+    ``char_fold_hash % dim`` bucket → per-doc bucket-count histogram →
+    L2-normalized dense vector. The classic no-vocabulary text
+    embedding (Weinberger et al. 2009 feature hashing) — it turns the
+    documents table into the ``embeddings`` shape, so every downstream
+    similarity/dedup op (cosine_topk, LSH, semantic_dedup) composes on
+    raw text with no model artifact to ship.
+
+    Scale shape: one explode + (doc, bucket) hash aggregation, then a
+    per-doc map rebuild — shuffles carry (id, bucket, count) ints only.
+    The dense array materializes via ``map_from_entries`` + a
+    dim-bounded transform (64 lookups/row, Catalyst-side). Determinism:
+    counts are integers, the norm is a sqrt of an integer sum, and each
+    weight is ONE division of exact values — the oracle reproduces
+    every float.
+
+    Output: (id, n_tokens, embedding array<double>, l2_norm).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    exploded = scale_out(df).select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    )
+    from .hashing import char_fold_hash
+
+    buckets = exploded.select(
+        id_col, (char_fold_hash(F.col("_tok")) % dim).alias("_b")
+    )
+    counts = buckets.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_b", "_c")))
+        ).alias("_m"),
+        F.sum("_c").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("_m"), b.cast("bigint")), F.lit(0)
+        ).cast("double"),
+    )
+    withv = per_doc.withColumn("_v", dense)
+    norm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return withv.withColumn("l2_norm", norm).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.col("l2_norm") > 0,
+            F.transform(F.col("_v"), lambda x: x / F.col("l2_norm")),
+        ).alias("embedding"),
+        "l2_norm",
+    )
+
+
 def rare_token_ratio(
     df: DataFrame,
     k_rare: int = 8,

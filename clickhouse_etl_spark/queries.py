@@ -4888,6 +4888,194 @@ def docs_bpe_tokens(spark, sf_dir):
     )
 
 
+_HASH_EMB_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t != '')) AS tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id, ({char_fold_hash_sql('tok')}) % 64 AS bucket FROM toks
+    ), counts AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY doc_id, bucket
+    ), norms AS (
+        SELECT doc_id,
+               sqrt(list_reduce(
+                   [0.0] || list(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                                 ORDER BY bucket),
+                   (a, x) -> a + x)) AS nrm,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           n.n_tokens,
+           CAST(c.bucket AS INTEGER) AS bucket,
+           round(CAST(c.cnt AS DOUBLE) / n.nrm, 6) AS w
+    FROM counts c JOIN norms n USING (doc_id)
+    ORDER BY c.doc_id, bucket
+"""
+
+
+@q("docs_hash_embedding", _HASH_EMB_SQL, "bench")
+def docs_hash_embedding(spark, sf_dir):
+    """Hashing-trick text featurization (dataops/text.hash_embedding —
+    feature hashing, Weinberger et al. 2009): token → portable
+    char-fold hash % 64 bucket → per-doc count histogram → L2
+    normalize. Turns the documents table into the embeddings shape so
+    the whole similarity/dedup family composes on raw text with no
+    vocabulary artifact. Oracle-exact: integer counts, sqrt of an
+    integer sum, one division — emitted long-form (doc, bucket,
+    weight) so every float is hashed."""
+    from .dataops.text import hash_embedding
+
+    he = hash_embedding(_t(spark, sf_dir, "documents"), dim=64)
+    return (
+        he.select(
+            "doc_id", "n_tokens", F.posexplode("embedding").alias("bucket", "w")
+        )
+        .filter(F.col("w") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("w", 6).alias("w"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+_HASH_EMB_TOPK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t != '')) AS tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id, ({char_fold_hash_sql('tok')}) % 64 AS bucket FROM toks
+    ), counts AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY doc_id, bucket
+    ), norms AS (
+        SELECT doc_id,
+               sqrt(list_reduce(
+                   [0.0] || list(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                                 ORDER BY bucket),
+                   (a, x) -> a + x)) AS nrm
+        FROM counts GROUP BY doc_id
+    ), wts AS (
+        SELECT c.doc_id, c.bucket, CAST(c.cnt AS DOUBLE) / n.nrm AS w
+        FROM counts c JOIN norms n USING (doc_id)
+    ), qn AS (
+        SELECT doc_id AS query_id FROM documents WHERE doc_id < 3
+    ), dots AS (
+        SELECT q.query_id, c.doc_id,
+               list_reduce([0.0] || list(qa.w * c.w ORDER BY c.bucket),
+                           (a, x) -> a + x) AS dot
+        FROM qn q
+        JOIN wts qa ON qa.doc_id = q.query_id
+        JOIN wts c ON c.bucket = qa.bucket AND c.doc_id != q.query_id
+        GROUP BY q.query_id, c.doc_id
+    ), nn AS (
+        SELECT d.query_id, d.doc_id,
+               d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS sim
+        FROM dots d
+        JOIN (SELECT doc_id, list_reduce([0.0] || list(w * w ORDER BY bucket),
+                                         (a, x) -> a + x) AS n2
+              FROM wts GROUP BY doc_id) nq ON nq.doc_id = d.query_id
+        JOIN (SELECT doc_id, list_reduce([0.0] || list(w * w ORDER BY bucket),
+                                         (a, x) -> a + x) AS n2
+              FROM wts GROUP BY doc_id) nc ON nc.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, doc_id) AS INTEGER)
+               AS rank,
+           round(sim, 6) AS sim
+    FROM nn
+    QUALIFY rank <= 5
+"""
+
+
+@q("docs_hash_embed_topk", _HASH_EMB_TOPK_SQL)
+def docs_hash_embed_topk(spark, sf_dir):
+    """Text → embedding → ANN in one oracle-backed chain: hash-embed
+    the documents (feature hashing), then exact cosine top-5 nearest
+    documents for each query doc via the standard cosine_topk operator
+    — the model-free document-similarity pipeline, demonstrating that
+    the text featurizer composes with the whole similarity family.
+
+    Oracle determinism: the normalized weights are exact-integer-
+    derived; the fold over the DENSE 64-bucket vector equals the fold
+    over shared nonzero buckets in ascending bucket order because
+    adding exact zero products is the identity (+0.0 preserves every
+    IEEE value here — all weights are nonnegative)."""
+    from .dataops.similarity import cosine_topk
+    from .dataops.text import hash_embedding
+
+    he = hash_embedding(_t(spark, sf_dir, "documents"), dim=64).select(
+        "doc_id", "embedding"
+    )
+    queries = he.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(he, queries, k=5, id_col="doc_id")
+
+
+_CMS_COEFFS_SQL = ", ".join(
+    f"({d}, {MINHASH_COEFFS[d][0]}, {MINHASH_COEFFS[d][1]})" for d in range(4)
+)
+
+_CMS_SQL = f"""
+    WITH dd(d, a, b) AS (VALUES {_CMS_COEFFS_SQL}),
+    keys AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM events GROUP BY user_id
+    ), cand AS (
+        SELECT key, true_cnt FROM keys
+        QUALIFY row_number() OVER (ORDER BY true_cnt DESC, key) <= 20
+    ), cells AS (
+        SELECT dd.d,
+               ((e.user_id * dd.a + dd.b) % {HASH_MOD}) % 256 AS bucket
+        FROM events e, dd
+    ), sketch AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY d, bucket
+    ), est AS (
+        SELECT c.key, c.true_cnt, min(s.cnt) AS cms
+        FROM cand c
+        JOIN dd ON true
+        JOIN sketch s
+          ON s.d = dd.d
+         AND s.bucket = ((c.key * dd.a + dd.b) % {HASH_MOD}) % 256
+        GROUP BY c.key, c.true_cnt
+    )
+    SELECT key, true_cnt,
+           CAST(cms AS BIGINT) AS cms_cnt,
+           CAST(cms - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY true_cnt DESC, key
+"""
+
+
+@q("events_cms_calibration", _CMS_SQL, "bench")
+def events_cms_calibration(spark, sf_dir):
+    """Count-min sketch calibration (dataops/sketches.cms_estimate):
+    the 4×256 portable-hash CMS counter table over events.user_id,
+    with the top-20 true heavy hitters' point estimates next to their
+    true counts — the study that sizes (width, depth) against a
+    corpus's skew before deploying the sketch alone. Unlike Spark's
+    HLL/percentile sketches (engine-specific, rows-only entries), the
+    CMS is plain integer arithmetic — the DuckDB oracle reproduces the
+    whole counter table and every estimate exactly, and the table
+    merges cell-wise across shards (cms_merge)."""
+    from .dataops.sketches import cms_estimate
+
+    return cms_estimate(
+        _t(spark, sf_dir, "events"), "user_id", width=256, depth=4, top_n=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The

@@ -1346,3 +1346,46 @@ def test_pq_index_append_dedup_guard(spark, sf_dir, tmp_path):
     # unguarded re-append DOES grow (the documented contract)
     pq_index_append(spark, path, wave, dedup_ids=False)
     assert spark.read.parquet(f"{path}/codes").count() == n_all + wave.count()
+
+
+def test_hash_embedding_contract(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.text import hash_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_embedding(docs, dim=64).collect()
+    assert len(out) == docs.filter(F.length("text") > 0).count()
+    for r in out[:50]:
+        assert len(r["embedding"]) == 64
+        # unit norm (within float tolerance)
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-9
+        assert r["n_tokens"] >= 1
+    # deterministic across partitionings
+    again = hash_embedding(docs.repartition(7), dim=64).collect()
+    assert {r["doc_id"]: r["embedding"] for r in out} == {
+        r["doc_id"]: r["embedding"] for r in again
+    }
+
+
+def test_cms_overestimates_only_and_merges(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = cms_estimate(ev, "user_id", width=128, depth=4, top_n=15).collect()
+    assert len(est) == 15
+    for r in est:
+        # CMS guarantee: never underestimates
+        assert r["cms_cnt"] >= r["true_cnt"]
+        assert r["overestimate"] == r["cms_cnt"] - r["true_cnt"]
+    # sketch table is bounded by depth*width regardless of cardinality
+    tab = cms_table(ev, "user_id", width=128, depth=4)
+    assert tab.count() <= 4 * 128
+    # shard-merge == single-pass build
+    a = cms_table(ev.filter(F.col("event_id") % 2 == 0), "user_id", 128, 4)
+    b = cms_table(ev.filter(F.col("event_id") % 2 == 1), "user_id", 128, 4)
+    merged = {(r["d"], r["bucket"]): r["cnt"] for r in cms_merge(a, b).collect()}
+    single = {(r["d"], r["bucket"]): r["cnt"] for r in tab.collect()}
+    assert merged == single

@@ -149,7 +149,11 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
     - emb_matryoshka_ann_topk: bounded query set × corpus PREFIX scan —
       the cosine_topk pattern, reading a quarter of the vector bytes.
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2", "docs_bigram_pmi", "emb_mean_center", "emb_matryoshka_ann_topk"}
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2", "docs_bigram_pmi", "emb_mean_center", "emb_matryoshka_ann_topk",
+                    # docs_hash_embed_topk: cosine_topk's bounded 3-query
+                    # broadcast against the hash-embedded corpus — the
+                    # emb_cosine_topk pattern on text-derived vectors
+                    "docs_hash_embed_topk"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
