@@ -558,6 +558,33 @@ def percentile_threshold_gate(
     )
 
 
+def hash_bucket_counts(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse (id, _b, _c) bucket-count rows of the feature-hashing
+    featurizer — the shared corpus-scale stage of
+    :func:`hash_embedding` (dense form) and the long-form registry
+    entry. The char-fold hash (interpreted HOF) runs once per DISTINCT
+    token via a vocabulary dictionary broadcast back onto the token
+    stream; for corpora whose vocabulary exceeds the broadcast budget,
+    hash per occurrence instead (results identical)."""
+    from .hashing import char_fold_hash
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    exploded = scale_out(df).select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    )
+    vocab = exploded.select("_tok").distinct()
+    tok_dict = vocab.select(
+        "_tok", (char_fold_hash(F.col("_tok")) % dim).alias("_b")
+    )
+    buckets = exploded.join(F.broadcast(tok_dict), "_tok").select(id_col, "_b")
+    return buckets.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+
+
 def hash_embedding(
     df: DataFrame,
     dim: int = 64,
@@ -574,30 +601,33 @@ def hash_embedding(
 
     Scale shape: one explode + (doc, bucket) hash aggregation, then a
     per-doc map rebuild — shuffles carry (id, bucket, count) ints only.
-    The dense array materializes via ``map_from_entries`` + a
-    dim-bounded transform (64 lookups/row, Catalyst-side). Determinism:
-    counts are integers, the norm is a sqrt of an integer sum, and each
-    weight is ONE division of exact values — the oracle reproduces
-    every float.
+    The char-fold hash (an interpreted HOF) runs once per DISTINCT
+    token, not per occurrence: the vocabulary dictionary (token →
+    bucket) is built from the distinct-token table (map-side partial
+    distinct makes this cheap under Zipf) and broadcast back onto the
+    token stream — at sf0.1 this cut the hash stage ~9000× (31 distinct
+    vs 270k occurrences). The dictionary is vocab-bounded; for corpora
+    whose vocabulary exceeds the broadcast budget, hash per occurrence
+    instead (drop the dict join — results identical). The dense array
+    materializes via ``map_from_entries`` + a dim-bounded transform
+    (64 lookups/row, Catalyst-side). Determinism: counts are integers,
+    the norm is a sqrt of an integer sum, and each weight is ONE
+    division of exact values — the oracle reproduces every float.
 
     Output: (id, n_tokens, embedding array<double>, l2_norm).
     """
-    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    exploded = scale_out(df).select(
-        F.col(id_col), F.explode(toks).alias("_tok")
-    )
-    from .hashing import char_fold_hash
-
-    buckets = exploded.select(
-        id_col, (char_fold_hash(F.col("_tok")) % dim).alias("_b")
-    )
-    counts = buckets.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
+    counts = hash_bucket_counts(df, dim, text_col, id_col)
     per_doc = counts.groupBy(id_col).agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("_b", "_c")))
         ).alias("_m"),
         F.sum("_c").alias("n_tokens"),
     )
+    # the dense rebuild + norm fold below are interpreted HOFs (~4k ops
+    # per row); AQE coalesces the small per-doc aggregate to ONE
+    # partition, which would serialize them onto one core — scale_out
+    # restores explicit parallelism before the compute-heavy projection
+    per_doc = scale_out(per_doc)
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda b: F.coalesce(

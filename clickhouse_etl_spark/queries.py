@@ -4927,19 +4927,30 @@ def docs_hash_embedding(spark, sf_dir):
     vocabulary artifact. Oracle-exact: integer counts, sqrt of an
     integer sum, one division — emitted long-form (doc, bucket,
     weight) so every float is hashed."""
-    from .dataops.text import hash_embedding
+    from .dataops.text import hash_bucket_counts
 
-    he = hash_embedding(_t(spark, sf_dir, "documents"), dim=64)
+    # long form straight from the SPARSE bucket counts — no dense-map
+    # rebuild / posexplode round-trip (that path cost 3+ interpreted-HOF
+    # stages at bench SF); the ascending-bucket sparse norm fold equals
+    # the dense fold because adding exact-zero squares is the identity
+    counts = hash_bucket_counts(_t(spark, sf_dir, "documents"), dim=64)
+    norms = counts.groupBy("doc_id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_b", "_c"))),
+                F.lit(0.0),
+                lambda a, s: a + s["_c"].cast("double") * s["_c"].cast("double"),
+            )
+        ).alias("_nrm"),
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+    )
     return (
-        he.select(
-            "doc_id", "n_tokens", F.posexplode("embedding").alias("bucket", "w")
-        )
-        .filter(F.col("w") > 0)
+        counts.join(norms, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
-            F.col("bucket").cast("int").alias("bucket"),
-            F.round("w", 6).alias("w"),
+            F.col("_b").cast("int").alias("bucket"),
+            F.round(F.col("_c").cast("double") / F.col("_nrm"), 6).alias("w"),
         )
         .orderBy("doc_id", "bucket")
     )
