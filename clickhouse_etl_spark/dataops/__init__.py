@@ -18,6 +18,7 @@ from .bpe import apply_bpe, learn_bpe
 from .sketches import cms_estimate, cms_merge, cms_table
 from .dedup import (
     dedup_against,
+    ngram_containment_pairs,
     dedup_against_path,
     exact_dedup,
     minhash_lsh_pairs,
@@ -54,6 +55,7 @@ from .text import (
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_lsh_pairs",
     "simhash",
     "span_dedup",

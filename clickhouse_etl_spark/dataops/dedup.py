@@ -67,32 +67,19 @@ def _word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def ngram_jaccard_pairs(
+def _shared_shingle_pairs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 5,
-    threshold: float = 0.4,
-    max_doc_freq: int = 100,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram-set Jaccard, with an
-    inverted-index candidate join (pairs must share >= 1 shingle).
-
-    Output: (id_a, id_b, shared, size_a, size_b, jaccard) with
-    id_a < id_b. Jaccard = shared / (size_a + size_b - shared) — pure
-    integer counts, so the double division is engine-identical.
-
-    ``max_doc_freq`` drops postings whose shingle occurs in more than
-    that many documents — the standard document-frequency cap of
-    inverted-index near-dup pipelines. Without it a single boilerplate
-    shingle shared by m documents emits C(m, 2) pairs in ONE posting
-    group (quadratic blow-up on a hot key — the scale-killer at 100 TB;
-    at m = 1M that is ~5e11 pairs from one group). The trade: shared /
-    jaccard are computed over non-hot shingles only, so jaccard is a
-    lower bound and a pair sharing *only* ultra-common shingles is not
-    reported (exact duplicates of such documents are still caught by
-    ``exact_dedup``; texts dominated by boilerplate are what the cap is
-    *supposed* to ignore).
+    """Inverted-index candidate pairs with shingle-overlap counts —
+    the shared engine of :func:`ngram_jaccard_pairs` (symmetric
+    near-dup) and :func:`ngram_containment_pairs` (asymmetric
+    near-subset). Returns (id_a, id_b, size_a, size_b, shared) with
+    id_a < id_b; see ngram_jaccard_pairs for the plan-shape and
+    doc-frequency-cap rationale.
     """
     # single-pass inverted index: build the gram arrays ONCE, group the
     # postings per shingle, emit pair combinations array-side (a
@@ -135,9 +122,39 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    shared = combos.groupBy("id_a", "id_b", "size_a", "size_b").agg(
+    return combos.groupBy("id_a", "id_b", "size_a", "size_b").agg(
         F.count("*").alias("shared")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.4,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-set Jaccard, with an
+    inverted-index candidate join (pairs must share >= 1 shingle).
+
+    Output: (id_a, id_b, shared, size_a, size_b, jaccard) with
+    id_a < id_b. Jaccard = shared / (size_a + size_b - shared) — pure
+    integer counts, so the double division is engine-identical.
+
+    ``max_doc_freq`` drops postings whose shingle occurs in more than
+    that many documents — the standard document-frequency cap of
+    inverted-index near-dup pipelines. Without it a single boilerplate
+    shingle shared by m documents emits C(m, 2) pairs in ONE posting
+    group (quadratic blow-up on a hot key — the scale-killer at 100 TB;
+    at m = 1M that is ~5e11 pairs from one group). The trade: shared /
+    jaccard are computed over non-hot shingles only, so jaccard is a
+    lower bound and a pair sharing *only* ultra-common shingles is not
+    reported (exact duplicates of such documents are still caught by
+    ``exact_dedup``; texts dominated by boilerplate are what the cap is
+    *supposed* to ignore).
+    """
+    shared = _shared_shingle_pairs(df, text_col, id_col, n, max_doc_freq)
     return (
         shared.withColumn(
             "jaccard",
@@ -145,6 +162,40 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram-set containment:
+    ``containment = shared / min(size_a, size_b)`` — the smaller
+    document's shingles that also appear in the larger one. Jaccard
+    misses the "document A is embedded inside document B" shape (a
+    short doc fully contained in a long one has tiny Jaccard but
+    containment 1.0); containment is the standard subset/quotation/
+    boilerplate-inclusion detector (Broder 1997's other resemblance
+    measure) a curation pipeline runs NEXT TO the symmetric pass.
+
+    Same inverted-index engine and doc-frequency cap as
+    :func:`ngram_jaccard_pairs` (one shuffle of the gram stream, pair
+    combinations array-side, no all-pairs stage). Integer counts, one
+    division — oracle-exact. Output: (id_a, id_b, shared, size_a,
+    size_b, containment), id_a < id_b.
+    """
+    shared = _shared_shingle_pairs(df, text_col, id_col, n, max_doc_freq)
+    return (
+        shared.withColumn(
+            "containment",
+            F.col("shared") / F.least(F.col("size_a"), F.col("size_b")),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "shared", "size_a", "size_b", "containment")
     )
 
 

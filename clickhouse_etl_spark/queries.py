@@ -1655,6 +1655,45 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+_CONTAINMENT_SQL = """
+    WITH g AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM g GROUP BY id
+    ), keep AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) > 1 AND count(*) <= 100
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+        WHERE a.g IN (SELECT g FROM keep)
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+           sa.sz AS size_a, sb.sz AS size_b,
+           shared / least(sa.sz, sb.sz) AS containment
+    FROM shared JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE shared / least(sa.sz, sb.sz) >= 0.6
+"""
+
+
+@q("docs_ngram_containment_pairs", _CONTAINMENT_SQL, "bench")
+def docs_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup pairs by n-gram containment (dataops/dedup.
+    ngram_containment_pairs): shared / min(size) catches "short doc
+    embedded in long doc" — the subset/quotation shape symmetric
+    Jaccard misses. Shares the inverted-index pair engine with the
+    Jaccard pass (one shuffle, df-capped postings); oracle-exact."""
+    from .dataops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.6
+    )
+
+
 @q(
     "docs_dup_clusters",
     """
@@ -5188,6 +5227,11 @@ _STALE_SIGNED = frozenset({
     "emb_semantic_dedup_lsh",  # recursive-CTE closure -> oracle-backed
     "emb_semantic_dedup",      # docstring cross-ref (conservative flag)
     "multimodal_decode_stub",  # byte-length arithmetic -> oracle-backed
+    # r6 _shared_shingle_pairs refactor (containment op extraction):
+    "docs_ngram_jaccard_pairs",
+    "docs_dup_clusters",
+    "docs_dedup_agreement",
+    "docs_pipeline_e2e",
 })
 
 

@@ -1389,3 +1389,23 @@ def test_cms_overestimates_only_and_merges(spark, sf_dir):
     merged = {(r["d"], r["bucket"]): r["cnt"] for r in cms_merge(a, b).collect()}
     single = {(r["d"], r["bucket"]): r["cnt"] for r in tab.collect()}
     assert merged == single
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from clickhouse_etl_spark.dataops.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(20, 28))  # fully inside long
+    docs = spark.createDataFrame(
+        [(1, long), (2, short), (3, "totally different text entirely here now")],
+        ["doc_id", "text"],
+    )
+    cont = ngram_containment_pairs(docs, n=5, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    # symmetric jaccard misses the same pair at any meaningful threshold
+    jac = ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    assert (1, 2) not in [(r["id_a"], r["id_b"]) for r in jac]
