@@ -44,6 +44,7 @@ from .text import (
     bigram_pmi,
     doc_fingerprint,
     hash_embedding,
+    normalize_text,
     percentile_threshold_gate,
     kgram_novelty,
     language_id,
@@ -81,6 +82,7 @@ __all__ = [
     "learn_bpe",
     "apply_bpe",
     "hash_embedding",
+    "normalize_text",
     "percentile_threshold_gate",
     "sample_centroids",
     "sample_codebooks",

@@ -558,6 +558,38 @@ def percentile_threshold_gate(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text canonicalization — the cleanup pass run
+    before dedup/tokenization so that case and punctuation variants of
+    the same content collapse to one canonical form: lowercase, map
+    every non-[a-z0-9 space] character to a space, collapse space runs,
+    trim. Restricted to ASCII character classes on purpose: these
+    behave identically in Java regex (Spark) and RE2 (DuckDB), keeping
+    the op oracle-exact — locale-dependent Unicode folding is exactly
+    what a cross-engine pipeline must avoid.
+
+    Adds ``text_norm`` plus the before/after whitespace token counts
+    (the shrinkage diagnostic). Row-local, no shuffle.
+    """
+    lowered = F.lower(F.col(text_col))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(lowered, "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n_raw = F.size(F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0))
+    n_norm = F.size(
+        F.filter(F.split(cleaned, " "), lambda t: F.length(t) > 0)
+    )
+    return df.withColumn("text_norm", cleaned).withColumn(
+        "n_tokens_raw", n_raw.cast("bigint")
+    ).withColumn("n_tokens_norm", n_norm.cast("bigint"))
+
+
 def hash_bucket_counts(
     df: DataFrame,
     dim: int = 64,

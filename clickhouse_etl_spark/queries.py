@@ -1680,6 +1680,37 @@ _CONTAINMENT_SQL = """
 """
 
 
+@q(
+    "docs_normalize_text",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS text_norm
+        FROM documents
+    )
+    SELECT doc_id, text_norm,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> t != '')) AS BIGINT) AS n_tokens_raw,
+           CAST(len(list_filter(string_split(text_norm, ' '),
+                                t -> t != '')) AS BIGINT) AS n_tokens_norm
+    FROM n
+    """,
+)
+def docs_normalize_text(spark, sf_dir):
+    """Canonicalization pass (dataops/text.normalize_text): lowercase,
+    non-alphanumeric → space, collapse runs, trim — ASCII classes only
+    so Java regex and RE2 agree (the cross-engine-safe subset of text
+    normalization). Emits before/after token counts; oracle-exact,
+    row-local."""
+    from .dataops.text import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_norm", "n_tokens_raw", "n_tokens_norm"
+    )
+
+
 @q("docs_ngram_containment_pairs", _CONTAINMENT_SQL, "bench")
 def docs_ngram_containment_pairs(spark, sf_dir):
     """Asymmetric near-dup pairs by n-gram containment (dataops/dedup.

@@ -1409,3 +1409,22 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # symmetric jaccard misses the same pair at any meaningful threshold
     jac = ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
     assert (1, 2) not in [(r["id_a"], r["id_b"]) for r in jac]
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from clickhouse_etl_spark.dataops.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World! (TEST)"),
+            (2, "hello world test"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    # case/punct variants collapse to the same canonical form
+    assert out[1]["text_norm"] == out[2]["text_norm"] == "hello world test"
+    assert out[1]["n_tokens_raw"] == 3 and out[1]["n_tokens_norm"] == 3
+    assert out[2]["n_tokens_raw"] == 3
+    assert out[3]["text_norm"] is None
