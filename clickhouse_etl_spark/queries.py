@@ -4958,6 +4958,197 @@ def docs_bpe_tokens(spark, sf_dir):
     )
 
 
+_CURATION_V4_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS text
+        FROM documents
+    ), ded AS (
+        SELECT n.* FROM norm n
+        JOIN (SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(text)) k
+          ON n.doc_id = k.doc_id
+    ), g AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ded)
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM g GROUP BY id
+    ), keepg AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) > 1 AND count(*) <= 100
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+        WHERE a.g IN (SELECT g FROM keepg)
+        GROUP BY 1, 2
+    ), victims AS (
+        SELECT DISTINCT
+               CASE WHEN sa.sz < sb.sz THEN id_a
+                    WHEN sb.sz < sa.sz THEN id_b
+                    ELSE greatest(id_a, id_b) END AS doc_id
+        FROM shared
+        JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE shared / least(sa.sz, sb.sz) >= 0.8
+    ), pruned AS (
+        SELECT * FROM ded
+        WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+    ), base AS (
+        SELECT doc_id, source, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t IN ({_EN_STOPS}))) AS BIGINT) AS n_stop,
+               CAST(list_reduce([0::BIGINT] || list_transform(
+                   list_filter(string_split(text, ' '), t -> len(t) > 0),
+                   t -> CAST(len(t) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS sum_tok_len,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_nonempty
+        FROM pruned
+    ), scored AS (
+        SELECT doc_id, source, n_nonempty,
+               0.3 * (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN (CASE WHEN n_nonempty > 0 THEN sum_tok_len / n_nonempty ELSE 0.0 END) >= 2.0
+                            AND (CASE WHEN n_nonempty > 0 THEN sum_tok_len / n_nonempty ELSE 0.0 END) <= 12.0
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)
+             + 0.2 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END))
+                 AS quality
+        FROM base
+    ), ff AS (
+        SELECT doc_id, source, n_nonempty,
+               CAST(floor(quality * 1048576.0) AS BIGINT) AS ff
+        FROM scored
+    ), th AS (
+        SELECT quantile_cont(ff, 0.3) AS t FROM ff
+    ), kept AS (
+        SELECT f.* FROM ff f, th WHERE CAST(f.ff AS DOUBLE) >= th.t
+    ), raw_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM norm GROUP BY source
+    ), ded_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_dedup FROM ded GROUP BY source
+    ), pruned_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pruned FROM pruned GROUP BY source
+    ), kept_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_nonempty) AS BIGINT) AS tokens_kept,
+               CAST(sum(ff) AS BIGINT) AS qsum_fp
+        FROM kept GROUP BY source
+    )
+    SELECT r.source, r.n_raw, d.n_dedup, p.n_pruned,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept,
+           round(CASE WHEN COALESCE(k.n_kept, 0) > 0
+                      THEN (CAST(k.qsum_fp AS DOUBLE) / k.n_kept) / 1048576.0
+                      ELSE 0.0 END, 6) AS avg_quality
+    FROM raw_roll r
+    JOIN ded_roll d ON r.source = d.source
+    JOIN pruned_roll p ON r.source = p.source
+    LEFT JOIN kept_roll k ON r.source = k.source
+    ORDER BY r.source
+"""
+
+
+@q("docs_curation_v4", _CURATION_V4_SQL, "bench")
+def docs_curation_v4(spark, sf_dir):
+    """r6 flagship curation chain, oracle-backed END TO END, composed
+    entirely from this round's ops plus the established gates:
+
+    1. ``normalize_text`` — canonical lowercase/ASCII form, so
+       case/punctuation variants of the same content collapse;
+    2. exact dedup ON THE CANONICAL TEXT (strictly stronger than raw-
+       text dedup; min-id survivor, WindowGroupLimit partial top-k);
+    3. ``ngram_containment_pairs`` prune at 0.8 — drops the SMALLER
+       document of every near-subset pair (the quotation/boilerplate-
+       inclusion shape Jaccard chains miss); deterministic victim rule
+       (smaller size, ties to the larger id);
+    4. ``percentile_threshold_gate`` on the quality score — keep the
+       top 70% by fixed-point floor(q·2²⁰) percentile broadcast (the
+       scale-safe fractional gate; no unpartitioned Window);
+    5. per-source rollup with stage attrition counts (raw → dedup →
+       pruned → kept), kept-token totals, and the fixed-point-sum
+       average quality (order-independent BIGINT sums — the
+       emb_mean_center float-mean trick).
+    """
+    from pyspark.sql import Window
+
+    from .dataops.dedup import ngram_containment_pairs
+    from .dataops.text import (
+        normalize_text,
+        percentile_threshold_gate,
+        quality_score,
+    )
+    from .dataops.util import scale_out
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(docs).select(
+        "doc_id", "source", F.col("text_norm").alias("text")
+    )
+    w1 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        norm.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # three downstream branches (containment pairs, quality, rollups)
+    # re-derive ded otherwise — and AQE coalesces the dedup window's
+    # output to one partition (the curation_v3 lesson)
+    ded = scale_out(ded).localCheckpoint()
+    pairs = ngram_containment_pairs(ded, n=5, threshold=0.8)
+    victim = (
+        F.when(F.col("size_a") < F.col("size_b"), F.col("id_a"))
+        .when(F.col("size_b") < F.col("size_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+    )
+    victims = pairs.select(victim.alias("doc_id")).distinct()
+    pruned = ded.join(victims, "doc_id", "left_anti")
+    pruned = scale_out(pruned).localCheckpoint()
+    scored = quality_score(pruned).withColumn(
+        "n_nonempty",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        ).cast("bigint"),
+    )
+    gated = percentile_threshold_gate(scored, "quality", 0.7).withColumn(
+        "_ffq", F.floor(F.col("quality") * F.lit(1048576.0)).cast("bigint")
+    )
+    raw_roll = norm.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_raw")
+    )
+    ded_roll = ded.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_dedup")
+    )
+    pruned_roll = pruned.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_pruned")
+    )
+    kept_roll = gated.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_nonempty").cast("bigint").alias("tokens_kept"),
+        F.sum("_ffq").cast("bigint").alias("qsum_fp"),
+    )
+    return (
+        raw_roll.join(ded_roll, "source")
+        .join(pruned_roll, "source")
+        .join(kept_roll, "source", "left")
+        .select(
+            "source", "n_raw", "n_dedup", "n_pruned",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.when(
+                    F.coalesce("n_kept", F.lit(0)) > 0,
+                    (F.col("qsum_fp").cast("double") / F.col("n_kept"))
+                    / F.lit(1048576.0),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 _HASH_EMB_SQL = f"""
     WITH toks AS (
         SELECT doc_id,

@@ -424,6 +424,34 @@ def section_r6(spark) -> None:
     print(f"pq_index_reappend_noop: codes stable at {n_codes_after}")
     shutil.rmtree(path, ignore_errors=True)
 
+    # r6 text/sketch ops at 100k docs / 10M events
+    from clickhouse_etl_spark.dataops.dedup import ngram_containment_pairs
+    from clickhouse_etl_spark.dataops.sketches import cms_estimate
+    from clickhouse_etl_spark.dataops.text import hash_embedding, normalize_text
+
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+    _timed(
+        "normalize_text_100k", normalize_text(bd), nd, "docs",
+        warm=normalize_text(bd.limit(200)),
+    )
+    _timed(
+        "hash_embedding_100k", hash_embedding(bd, dim=64), nd, "docs",
+        warm=hash_embedding(bd.limit(200), dim=64),
+    )
+    _timed(
+        "ngram_containment_100k",
+        ngram_containment_pairs(bd, n=5, threshold=0.6),
+        nd, "docs",
+        warm=ngram_containment_pairs(bd.limit(500), n=5, threshold=0.6),
+    )
+    bev = spark.read.parquet(f"{BASE}/events")
+    _timed(
+        "cms_estimate_10M", cms_estimate(bev, "user_id", width=256, depth=4),
+        N_ROWS,
+        warm=cms_estimate(bev.limit(5000), "user_id", width=256, depth=4),
+    )
+
 
 def main() -> None:
     if len(sys.argv) > 1:
