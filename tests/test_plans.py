@@ -153,7 +153,12 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
                     # docs_hash_embed_topk: cosine_topk's bounded 3-query
                     # broadcast against the hash-embedded corpus — the
                     # emb_cosine_topk pattern on text-derived vectors
-                    "docs_hash_embed_topk"}
+                    "docs_hash_embed_topk",
+                    # docs_curation_v4: percentile_threshold_gate's 1-row
+                    # threshold crossJoin (the docs_quality_deciles
+                    # bounded 1xn pattern; v3 hides the same join behind
+                    # a localCheckpoint, v4's flows into the rollup)
+                    "docs_curation_v4"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
