@@ -4302,13 +4302,78 @@ def multimodal_video_embedding(spark, sf_dir):
     )
 
 
-@q("multimodal_pipeline", None)
+_MM_PIPE_SQL = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id AS vec_id, CAST(length(text) AS BIGINT) AS n_bytes, text
+        FROM documents WHERE length(text) > 0
+    ), b AS (
+        SELECT vec_id, unicode(c) % 32 AS bucket
+        FROM (SELECT vec_id,
+                     unnest(list_filter(string_split(text, ''), c -> c != '')) AS c
+              FROM d)
+    ), hist AS (
+        SELECT vec_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY vec_id, bucket
+    ), nrm AS (
+        SELECT vec_id,
+               sqrt(CAST(list_reduce([0::BIGINT] || list(cnt * cnt ORDER BY bucket),
+                                     (a, x) -> a + x) AS DOUBLE)) AS nrm
+        FROM hist GROUP BY vec_id
+    ), w AS (
+        SELECT h.vec_id, h.bucket,
+               CAST(CAST(h.cnt AS DOUBLE) / n.nrm AS FLOAT) AS wf
+        FROM hist h JOIN nrm n USING (vec_id)
+    ), dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce([0.0] || list(CAST(a.wf AS DOUBLE) * CAST(b.wf AS DOUBLE)
+                                         ORDER BY a.bucket),
+                           (x, y) -> x + y) AS dot
+        FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ), n2 AS (
+        SELECT vec_id,
+               list_reduce([0.0] || list(CAST(wf AS DOUBLE) * CAST(wf AS DOUBLE)
+                                         ORDER BY bucket),
+                           (x, y) -> x + y) AS n2
+        FROM w GROUP BY vec_id
+    ), pairs AS (
+        SELECT id_a, id_b FROM dots
+        JOIN n2 na ON id_a = na.vec_id
+        JOIN n2 nb ON id_b = nb.vec_id
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.995
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT vec_id, vec_id FROM d
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON r.id = e.a
+    ), cc AS (
+        SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cc.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(d.n_bytes) AS BIGINT) AS total_bytes
+    FROM cc JOIN d USING (vec_id)
+    GROUP BY cc.cluster_id
+    ORDER BY cc.cluster_id
+"""
+
+
+@q("multimodal_pipeline", _MM_PIPE_SQL)
 def multimodal_pipeline(spark, sf_dir):
     """Composed multimodal chain over documents-as-assets: attach meta →
     decode → feature-extract (array<float>) → semantic near-dup
-    clustering on the extracted features.  Rows-only (binary payloads /
-    float vectors aren't SQL-oracle-able); the per-stage contracts are
-    unit-tested in test_dataops.py."""
+    clustering on the extracted features. Oracle-backed since r6: the
+    stub featurizer is a byte histogram, and on the ASCII corpus byte
+    values equal ``unicode(char)``, so DuckDB rebuilds the histograms
+    from characters; the L2 norm is a sqrt of an EXACT integer sum
+    (order-free), the float32 feature cast is IEEE round-to-nearest in
+    both engines, the pair cosine folds over shared buckets ascending
+    (adding exact-zero products is the identity vs the dense fold), and
+    the closure is the recursive-CTE min-label reach. The codec seam
+    itself stays per-row Python by design (swap in PIL in deployments);
+    what the oracle pins is every numeric stage downstream of it."""
     from .dataops.multimodal import attach_asset_meta, decode_assets, extract_features
     from .dataops.similarity import semantic_dedup
 
@@ -5454,6 +5519,7 @@ _STALE_SIGNED = frozenset({
     "docs_dup_clusters",
     "docs_dedup_agreement",
     "docs_pipeline_e2e",
+    "multimodal_pipeline",     # byte-histogram oracle -> oracle-backed
 })
 
 
