@@ -4275,13 +4275,92 @@ def docs_dedup_agreement(spark, sf_dir):
     )
 
 
-@q("multimodal_video_embedding", None)
+_MM_VIDEO_SQL = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id AS vec_id, CAST(length(text) AS BIGINT) AS n_bytes, text
+        FROM documents WHERE length(text) >= 50
+    ), fr AS (
+        SELECT d.vec_id, t.k,
+               substring(d.text,
+                         ((t.k * 50) % greatest(d.n_bytes - 8, 1)) + 1,
+                         8) AS fr
+        FROM d, (SELECT unnest(range(0, 8)) AS k) t
+        WHERE t.k < least(8, d.n_bytes // 50)
+    ), fb AS (
+        SELECT vec_id, k, unicode(c) % 32 AS bucket
+        FROM (SELECT vec_id, k,
+                     unnest(list_filter(string_split(fr, ''), c -> c != '')) AS c
+              FROM fr)
+    ), fh AS (
+        SELECT vec_id, k, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM fb GROUP BY 1, 2, 3
+    ), fn AS (
+        SELECT vec_id, k,
+               sqrt(CAST(list_reduce([0::BIGINT] || list(cnt * cnt ORDER BY bucket),
+                                     (a, x) -> a + x) AS DOUBLE)) AS nrm
+        FROM fh GROUP BY vec_id, k
+    ), fw AS (
+        SELECT h.vec_id, h.k, h.bucket,
+               CAST(CAST(h.cnt AS DOUBLE) / n.nrm AS FLOAT) AS wf
+        FROM fh h JOIN fn n ON h.vec_id = n.vec_id AND h.k = n.k
+    ), nfr AS (
+        SELECT vec_id, CAST(count(*) AS INTEGER) AS n_frames
+        FROM fr GROUP BY vec_id
+    ), pooled AS (
+        SELECT f.vec_id, f.bucket,
+               list_reduce([0.0] || list(CAST(f.wf AS DOUBLE) ORDER BY f.k),
+                           (a, x) -> a + x)
+                   / CAST(nf.n_frames AS DOUBLE) AS pv
+        FROM fw f JOIN nfr nf ON f.vec_id = nf.vec_id
+        GROUP BY f.vec_id, f.bucket, nf.n_frames
+    ), pdots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce([0.0] || list(a.pv * b.pv ORDER BY a.bucket),
+                           (x, y) -> x + y) AS dot
+        FROM pooled a JOIN pooled b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ), pn2 AS (
+        SELECT vec_id,
+               list_reduce([0.0] || list(pv * pv ORDER BY bucket),
+                           (x, y) -> x + y) AS n2
+        FROM pooled GROUP BY vec_id
+    ), pairs AS (
+        SELECT id_a, id_b FROM pdots
+        JOIN pn2 na ON id_a = na.vec_id
+        JOIN pn2 nb ON id_b = nb.vec_id
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.995
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT vec_id, vec_id FROM nfr
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON r.id = e.a
+    ), cc AS (
+        SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cc.vec_id AS asset_id, nf.n_frames, cc.cluster_id,
+           CAST(count(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT)
+               AS cluster_size,
+           cc.vec_id = cc.cluster_id AS is_kept
+    FROM cc JOIN nfr nf ON cc.vec_id = nf.vec_id
+"""
+
+
+@q("multimodal_video_embedding", _MM_VIDEO_SQL)
 def multimodal_video_embedding(spark, sf_dir):
     """Video path of the multimodal chain: frame-sample (1→N, sparse)
     → per-frame features → order-fixed mean pool back to ONE embedding
     per asset (dataops/multimodal.pool_frame_features), then semantic
     near-dup clustering on the pooled embeddings — the video-dedup
-    pipeline. Rows-only (stub codecs; per-stage contracts unit-tested)."""
+    pipeline. Oracle-backed since r6 end to end: the stub codec's
+    frame slices are character substrings on the ASCII corpus, per-
+    frame histograms/norms are exact-integer-derived, the f32 feature
+    cast and the k-ordered mean-pool fold replay identically in
+    DuckDB, and the pair cosine + closure reuse the recursive-CTE
+    machinery. Only the codec seam itself (pyav in deployments) is
+    non-SQL."""
     from .dataops.multimodal import attach_asset_meta, pool_frame_features
     from .dataops.similarity import semantic_dedup
 
@@ -5520,6 +5599,7 @@ _STALE_SIGNED = frozenset({
     "docs_dedup_agreement",
     "docs_pipeline_e2e",
     "multimodal_pipeline",     # byte-histogram oracle -> oracle-backed
+    "multimodal_video_embedding",  # frame-slice oracle -> oracle-backed
 })
 
 
