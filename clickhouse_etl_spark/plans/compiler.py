@@ -111,7 +111,7 @@ DATAOPS = frozenset({
     "fingerprint", "repetition_signals", "split_assign", "mixture_sample",
     "scrub_pii", "chunk_documents", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
-    "dedup_against",
+    "dedup_against", "normalize_text", "hash_embedding",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -130,9 +130,13 @@ REQUIRED_DATAOP_PARAMS = {"dedup_against": ("seen_path",)}
 # percentile thresholds), and epoch_shuffle (per-shard window) are
 # batch-only: streaming dedup is the spec's dedup stage
 # (dropDuplicatesWithinWatermark).
+# normalize_text is row-local (regex canonicalization) — stream-safe;
+# hash_embedding needs the corpus vocabulary dictionary and a per-doc
+# aggregation — batch-only.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
+    "hash_embedding",
 }
 
 
@@ -155,7 +159,9 @@ def resolve_dataop(op: str):
     from ..dataops.similarity import balanced_sample
     from ..dataops.text import (
         doc_fingerprint,
+        hash_embedding,
         language_id,
+        normalize_text,
         mixture_sample,
         quality_deciles,
         quality_score,
@@ -192,6 +198,8 @@ def resolve_dataop(op: str):
         "mixture_sample": mixture_sample,
         "scrub_pii": scrub_pii,
         "chunk_documents": chunk_documents,
+        "normalize_text": normalize_text,
+        "hash_embedding": hash_embedding,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

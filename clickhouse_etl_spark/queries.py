@@ -5600,6 +5600,7 @@ _STALE_SIGNED = frozenset({
     "docs_pipeline_e2e",
     "multimodal_pipeline",     # byte-histogram oracle -> oracle-backed
     "multimodal_video_embedding",  # frame-slice oracle -> oracle-backed
+    "pipeline_canonical",      # compiler dataop-registry extension (r6)
 })
 
 

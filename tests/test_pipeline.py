@@ -358,3 +358,54 @@ def test_write_digest_table_feeds_dedup_against(spark, tmp_path):
     )
     kept = sorted(r["doc_id"] for r in dedup_against_path(w3, digests).collect())
     assert kept == [7]
+
+
+def test_r6_dataops_on_spec_surface(spark, tmp_path):
+    """r6 ops on the v3 dataop surface: normalize_text is row-local and
+    stream-safe; hash_embedding is corpus-global and batch-only."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert {"normalize_text", "hash_embedding"} <= DATAOPS
+    assert "normalize_text" in STREAM_SAFE_DATAOPS
+    assert "hash_embedding" not in STREAM_SAFE_DATAOPS
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, WORLD!"), (2, "plain text here")], ["doc_id", "text"]
+    )
+    normed = resolve_dataop("normalize_text")(docs)
+    assert {r["doc_id"]: r["text_norm"] for r in normed.collect()}[1] == "hello world"
+    embedded = resolve_dataop("hash_embedding")(docs)
+    assert len(embedded.collect()[0]["embedding"]) == 64
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "docs_norm_in")
+    spark.createDataFrame(
+        [(1, "Hello, WORLD!", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="normalize_text"),)
+    )
+    out = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out.isStreaming and "text_norm" in out.columns
+    unsafe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="hash_embedding"),)
+    )
+    with _pytest.raises(SpecError, match="batch-only"):
+        streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
