@@ -15,7 +15,7 @@ quadratic.
 """
 
 from .bpe import apply_bpe, learn_bpe
-from .sketches import cms_estimate, cms_merge, cms_table
+from .sketches import cms_estimate, cms_merge, cms_table, kmv_distinct
 from .dedup import (
     dedup_against,
     ngram_containment_pairs,
@@ -89,4 +89,5 @@ __all__ = [
     "cms_table",
     "cms_estimate",
     "cms_merge",
+    "kmv_distinct",
 ]

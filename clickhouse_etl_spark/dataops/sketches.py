@@ -109,6 +109,69 @@ def cms_estimate(
     ).orderBy(F.col("true_cnt").desc(), F.col("key"))
 
 
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimator (Bar-Yossef et al.
+    2002) on the portable affine-hash family — the oracle-exact
+    alternative to engine HLL sketches: if the k-th smallest of n
+    uniform hashes in [0, P) is h_k, then n ≈ (k-1)·P/h_k.
+
+    Everything is integer arithmetic plus ONE double division, so a
+    DuckDB oracle reproduces the estimate bit-for-bit — and the k
+    minimum hash values themselves are the mergeable sketch (union =
+    re-take the k smallest of the combined sets). Spark's
+    ``approx_count_distinct`` (HLL) stays the right tool when
+    cross-engine verifiability doesn't matter; this is the portable
+    complement, like :func:`cms_table` for frequencies.
+
+    Per ``group_col`` (or globally with ``group_col=None``): the k-th
+    smallest DISTINCT hash via a rank over distinct (hash, key) —
+    WindowGroupLimit keeps it a partial top-k per group, never a full
+    sort. Groups with fewer than ``k`` distinct keys report the EXACT
+    distinct count (estimate == truth below the sketch threshold — the
+    standard KMV small-set behavior).
+
+    Output: (group?, n_distinct_exact, kmv_k, kmv_estimate).
+    """
+    from pyspark.sql import Window
+
+    a, b = MINHASH_COEFFS[0]
+    h = ((F.col(key_col).cast("bigint") * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD))
+    gcols = [group_col] if group_col else []
+    hashed = df.select(*gcols, h.alias("_h")).distinct()
+    w = (
+        Window.partitionBy(*gcols).orderBy("_h")
+        if gcols
+        else Window.partitionBy().orderBy("_h")
+    )
+    ranked = hashed.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count("*").cast("bigint").alias("_n_min"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
+    )
+    exact = df.groupBy(*gcols).agg(
+        F.countDistinct(key_col).cast("bigint").alias("n_distinct_exact")
+    )
+    est = F.when(
+        F.col("_n_min") < k, F.col("_n_min").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH_MOD)) / F.col("_hk").cast("double")
+    )
+    joined = exact.join(agg, gcols) if gcols else exact.crossJoin(agg)
+    return joined.select(
+        *gcols,
+        "n_distinct_exact",
+        F.lit(k).alias("kmv_k"),
+        F.round(est, 6).alias("kmv_estimate"),
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two CMS tables built with the same (width, depth): cell-
     wise addition — the property that lets per-shard / per-wave

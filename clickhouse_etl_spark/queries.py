@@ -5492,6 +5492,92 @@ def events_cms_calibration(spark, sf_dir):
     )
 
 
+@q(
+    "docs_bpe_word_table",
+    """
+    WITH wc AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS count
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t != '')) AS w
+              FROM documents)
+        GROUP BY w
+    )
+    SELECT word, count,
+           CAST(row_number() OVER (ORDER BY count DESC, word) AS INTEGER)
+               AS rank
+    FROM wc
+    QUALIFY rank <= 200
+    ORDER BY rank
+    """,
+)
+def docs_bpe_word_table(spark, sf_dir):
+    """The CORPUS-SCALE stage of BPE training under the oracle (the
+    per-stage-oracle method applied to the one iterative entry family):
+    the bounded word-frequency table — explode + hash aggregation +
+    (count desc, word) total-order top-K — that learn_bpe's driver-side
+    merge loop consumes. The merge loop itself stays rows-only
+    (genuinely iterative); this pins the distributed 99% of the work.
+    """
+    from pyspark.sql import Window
+
+    from .dataops.bpe import _word_counts_raw
+
+    counts = _word_counts_raw(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("count").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 200)
+        .select("word", "count", "rank")
+        .orderBy("rank")
+    )
+
+
+_KMV_SQL = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               (user_id * {MINHASH_COEFFS[0][0]} + {MINHASH_COEFFS[0][1]})
+                   % {HASH_MOD} AS h
+        FROM events
+    ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM h
+        QUALIFY rk <= 64
+    ), a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_min,
+               max(CASE WHEN rk = 64 THEN h END) AS hk
+        FROM r GROUP BY event_type
+    ), e AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_distinct_exact, 64 AS kmv_k,
+           round(CASE WHEN a.n_min < 64 THEN CAST(a.n_min AS DOUBLE)
+                      ELSE 63.0 * 2147483647.0 / CAST(a.hk AS DOUBLE) END,
+                 6) AS kmv_estimate
+    FROM e JOIN a USING (event_type)
+    ORDER BY e.event_type
+"""
+
+
+@q("events_kmv_distinct", _KMV_SQL, "bench")
+def events_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (dataops/sketches.
+    kmv_distinct): per event type, the KMV estimate of distinct users
+    next to the exact count — the PORTABLE, oracle-exact alternative
+    to Spark's HLL (approx_distinct_sketch stays the engine-sketch
+    entry; this one is integer hashes + one division, reproducible in
+    any engine, and its k minimum hash values merge across shards).
+    Groups under k distinct keys report exact counts by construction.
+    """
+    from .dataops.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), "user_id", group_col="event_type", k=64
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The

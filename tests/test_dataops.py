@@ -1428,3 +1428,22 @@ def test_normalize_text_canonicalizes_variants(spark):
     assert out[1]["n_tokens_raw"] == 3 and out[1]["n_tokens_norm"] == 3
     assert out[2]["n_tokens_raw"] == 3
     assert out[3]["text_norm"] is None
+
+
+def test_kmv_distinct_accuracy_and_small_set_exactness(spark, sf_dir):
+    from clickhouse_etl_spark.dataops.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = kmv_distinct(ev, "user_id", group_col="event_type", k=64).collect()
+    assert out
+    for r in out:
+        if r["n_distinct_exact"] < 64:
+            # below the sketch threshold KMV IS the exact count
+            assert r["kmv_estimate"] == float(r["n_distinct_exact"])
+        else:
+            # standard KMV accuracy ~ 1/sqrt(k) ≈ 12.5%; allow 3 sigma
+            rel = abs(r["kmv_estimate"] - r["n_distinct_exact"]) / r["n_distinct_exact"]
+            assert rel < 0.5, (r["event_type"], rel)
+    # global (ungrouped) form runs too
+    g = kmv_distinct(ev, "user_id", k=64).collect()
+    assert len(g) == 1 and g[0]["kmv_k"] == 64
