@@ -3836,6 +3836,88 @@ def events_zscore_anomalies(spark, sf_dir):
 
 
 @q(
+    "events_mad_anomalies",
+    """
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(round(value * 100) AS BIGINT) * 2 AS hc
+        FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(hc, 0.5) AS med_hc
+        FROM e GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.cents,
+               CAST(abs(CAST(e.hc AS DOUBLE) - m.med_hc) AS BIGINT) AS dev_hc
+        FROM e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(dev_hc, 0.5) AS mad_hc
+        FROM dev GROUP BY event_type
+    ), flagged AS (
+        SELECT d.event_id, d.event_type, d.cents, d.dev_hc, m.mad_hc
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE CAST(d.dev_hc AS DOUBLE) > 3.0 * m.mad_hc
+    )
+    SELECT event_id, event_type, cents, dev_hc,
+           round(mad_hc, 6) AS mad_hc,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev_hc DESC, event_id) AS INTEGER)
+               AS rank
+    FROM flagged
+    QUALIFY rank <= 20
+    """,
+    "bench",
+)
+def events_mad_anomalies(spark, sf_dir):
+    """Median/MAD robust outliers per event type — the complement to
+    the z-score pass when the distribution has heavy tails (mean and
+    variance are themselves dragged by the outliers a robust detector
+    must catch).
+
+    Oracle-exactness trick: work in HALF-cents (``2·cents``) so the
+    even-count median interpolation (midpoint of two even integers)
+    is an INTEGRAL double — abs-deviation then floor-casts exactly to
+    BIGINT, and the MAD percentile runs on integer inputs where Spark
+    ``percentile`` == DuckDB ``quantile_cont``. Two per-group exact
+    percentile aggregates broadcast back (group-count-bounded); the
+    top-20 flag rank is a constant-K WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    e = ev.select(
+        "event_id", "event_type", cents.alias("cents"),
+        (cents * 2).alias("hc"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("hc", F.lit(0.5)).alias("med_hc")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "cents",
+        F.abs(F.col("hc").cast("double") - F.col("med_hc"))
+        .cast("bigint")
+        .alias("dev_hc"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev_hc", F.lit(0.5)).alias("mad_hc")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("dev_hc").cast("double") > F.lit(3.0) * F.col("mad_hc")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("dev_hc").desc(), F.col("event_id")
+    )
+    return (
+        flagged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "event_id", "event_type", "cents", "dev_hc",
+            F.round("mad_hc", 6).alias("mad_hc"), "rank",
+        )
+    )
+
+
+@q(
     "docs_span_dedup",
     """
     WITH toks AS (
