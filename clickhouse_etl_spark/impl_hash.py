@@ -51,9 +51,49 @@ def _in_pkg(obj) -> bool:
 
 def _source_of(obj) -> str | None:
     try:
-        return inspect.getsource(obj)
+        return _strip_docstrings(inspect.getsource(obj))
     except (OSError, TypeError):
         return None
+
+
+def _strip_docstrings(src: str) -> str:
+    """Remove def/class docstrings from a source snippet — both for
+    hashing (a docstring edit does not change behavior and must not
+    burn rotation budget) and for identifier extraction (a
+    ``:func:`other_entry``` cross-reference in prose must not make the
+    walker treat ``other_entry`` as an implementation dependency).
+    Non-docstring string literals (SQL templates, constants) are kept —
+    they ARE behavior. Falls back to the raw source if it does not
+    parse standalone (decorated/indented edge cases)."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return src
+    spans = []
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                spans.append((body[0].lineno, body[0].end_lineno))
+    if not spans:
+        return src
+    lines = textwrap.dedent(src).splitlines(keepends=True)
+    drop = {
+        i
+        for lo, hi in spans
+        for i in range(lo - 1, min(hi, len(lines)))
+    }
+    return "".join(l for i, l in enumerate(lines) if i not in drop)
 
 
 def _reachable(fn) -> dict[str, str]:

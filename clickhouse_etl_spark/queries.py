@@ -5746,29 +5746,29 @@ _R05_CHECKED = frozenset({
 # and fails if a changed entry is missing from this set. Re-snapshot at the
 # start of each round, then add entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r6 edits after an r4/r5 signature (mechanically verified against
-    # impl_hashes_signed.json by tests/test_rotation.py):
-    "docs_curation_v3",        # rank gate -> fixed-point percentile broadcast
-    "emb_pq_index_ann_topk",   # oracle-backed + append duplicate-id guard
-    "docs_bpe_vocab",          # empty-merge schema + truncation stat
-    "docs_bpe_tokens",         # shares learn_bpe with docs_bpe_vocab
-    "emb_pq_ann_topk",         # per-stage fixed-point ADC oracle plumbing
-    "emb_ivf_ann_topk",        # sample-centroid injection -> oracle-backed
-    "emb_ivf_pq_ann_topk",     # sample-artifact injection -> oracle-backed
-    "docs_incremental_dedup",  # dedup_against null-digest policy (ADVICE r5)
-    "docs_curation_v2",        # chains through the dedup_against change
-    "emb_lsh_ann_topk",        # LCG-hyperplane oracle -> oracle-backed
-    "emb_semantic_dedup_lsh",  # recursive-CTE closure -> oracle-backed
-    "emb_semantic_dedup",      # docstring cross-ref (conservative flag)
-    "multimodal_decode_stub",  # byte-length arithmetic -> oracle-backed
-    # r6 _shared_shingle_pairs refactor (containment op extraction):
-    "docs_ngram_jaccard_pairs",
-    "docs_dup_clusters",
-    "docs_dedup_agreement",
-    "docs_pipeline_e2e",
-    "multimodal_pipeline",     # byte-histogram oracle -> oracle-backed
-    "multimodal_video_embedding",  # frame-slice oracle -> oracle-backed
-    "pipeline_canonical",      # compiler dataop-registry extension (r6)
+    # r6 edits after an r3/r4/r5 signature — EXACTLY the mechanical
+    # changed-set of impl_hash.changed_entries() vs the r5-signed
+    # snapshot (docstring-stripped source hashes; enforced by
+    # tests/test_rotation.py):
+    "docs_bpe_tokens",            # learn_bpe stats refactor
+    "docs_bpe_vocab",             # empty-merge schema + truncation stat
+    "docs_curation_v2",           # chains through dedup_against change
+    "docs_curation_v3",           # rank gate -> percentile broadcast
+    "docs_dedup_agreement",       # _shared_shingle_pairs refactor
+    "docs_dup_clusters",          # _shared_shingle_pairs refactor
+    "docs_incremental_dedup",     # dedup_against null-digest policy
+    "docs_ngram_jaccard_pairs",   # _shared_shingle_pairs refactor
+    "docs_pipeline_e2e",          # _shared_shingle_pairs refactor
+    "emb_ivf_ann_topk",           # sample-centroid injection -> oracle
+    "emb_ivf_pq_ann_topk",        # sample-artifact injection -> oracle
+    "emb_lsh_ann_topk",           # LCG-hyperplane oracle -> oracle
+    "emb_pq_ann_topk",            # fixed-point ADC oracle plumbing
+    "emb_pq_index_ann_topk",      # oracle + append duplicate-id guard
+    "emb_semantic_dedup_lsh",     # recursive-CTE closure -> oracle
+    "multimodal_decode_stub",     # byte-length arithmetic -> oracle
+    "multimodal_pipeline",        # byte-histogram oracle -> oracle
+    "multimodal_video_embedding", # frame-slice oracle -> oracle
+    "pipeline_canonical",         # compiler dataop-registry extension
 })
 
 
