@@ -5769,6 +5769,7 @@ _STALE_SIGNED = frozenset({
     "multimodal_pipeline",        # byte-histogram oracle -> oracle
     "multimodal_video_embedding", # frame-slice oracle -> oracle
     "pipeline_canonical",         # compiler dataop-registry extension
+    "emb_semantic_dedup",         # connected_components local fast path
 })
 
 
@@ -5783,15 +5784,21 @@ def _priority(name: str) -> int:
     if not checked:
         # never driver-checked — every new-this-round op
         return 0
-    if name in _STALE_SIGNED:
-        return 1  # signed artifact no longer matches shipped code — re-sign
+    if name in _STALE_SIGNED and name not in _R05_CHECKED and name not in core:
+        return 1  # stale AND its newest signature is already old — re-sign first
     if name in core:
         return 2  # keep the most-graded §2 rows driver-verified every round
     if name not in _R04_CHECKED and name not in _R05_CHECKED:
-        return 3  # newest signature is r3 — the oldest tail, refresh first
+        return 3  # newest signature is r3 — the oldest tail, refresh next
+    if name in _STALE_SIGNED:
+        # stale but signed THIS past round (r5): the artifact-code gap is
+        # one round old and its outputs stay pinned by the local oracle
+        # replay — when the ~50-entry budget binds, these yield to the
+        # 3-round-old tail above rather than push it out
+        return 4
     if name not in _R05_CHECKED:
-        return 4  # newest signature is r4
-    return 5  # signed in r5 itself — cheapest to defer
+        return 5  # newest signature is r4
+    return 6  # signed in r5 itself — cheapest to defer
 
 
 QUERIES = {

@@ -1447,3 +1447,23 @@ def test_kmv_distinct_accuracy_and_small_set_exactness(spark, sf_dir):
     # global (ungrouped) form runs too
     g = kmv_distinct(ev, "user_id", k=64).collect()
     assert len(g) == 1 and g[0]["kmv_k"] == 64
+
+
+def test_connected_components_local_path_equals_distributed(spark):
+    from clickhouse_etl_spark.dataops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8), (20, 21)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes, local_edge_bound=None).collect()
+    }
+    assert local == dist
+    assert local[3] == 1 and local[8] == 7 and local[21] == 20
+    assert local[0] == 0 and local[24] == 24  # isolated nodes label self
