@@ -5614,6 +5614,101 @@ def docs_bpe_word_table(spark, sf_dir):
     )
 
 
+#: fixed published-tokenizer merge table for the oracle-backed BPE
+#: APPLICATION entry — ranks are unique, merges chain (sc→sca) and
+#: interact (the'/'e</w>' priority), exercising the lowest-rank-first
+#: leftmost rule end to end
+_BPE_FIXED_MERGES = [
+    ("s", "c", 1), ("sc", "a", 2), ("a", "n", 3), ("t", "h", 4),
+    ("th", "e", 5), ("e", "</w>", 6), ("r", "o", 7), ("o", "w", 8),
+]
+
+_BPE_APPLY_SQL = f"""
+    WITH RECURSIVE m AS (
+        SELECT map(
+            [{", ".join(f"'{l}|{r}'" for l, r, _ in _BPE_FIXED_MERGES)}],
+            [{", ".join(str(k) for _, _, k in _BPE_FIXED_MERGES)}]
+        ) AS mm
+    ), tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t != '')) AS w
+        FROM documents
+    ), words AS (
+        SELECT DISTINCT w FROM tok
+    ), seg(word, syms) AS (
+        SELECT w,
+               list_append(list_filter(string_split(w, ''), c -> c != ''),
+                           '</w>')
+        FROM words
+        UNION ALL
+        SELECT word,
+               syms[1 : best.i - 1]
+                 || [syms[best.i] || syms[best.i + 1]]
+                 || syms[best.i + 2 : len(syms)]
+        FROM (
+            SELECT word, syms,
+                   (list_sort(list_filter(list_transform(
+                        range(1, len(syms)),
+                        i -> struct_pack(
+                            r := map_extract(m.mm,
+                                             syms[i] || '|' || syms[i + 1])[1],
+                            i := i)),
+                        x -> x.r IS NOT NULL)))[1] AS best
+            FROM seg, m
+        )
+        WHERE best IS NOT NULL
+    ), final AS (
+        SELECT word, len(syms) AS n_sub FROM seg
+        QUALIFY row_number() OVER (PARTITION BY word
+                                   ORDER BY len(syms)) = 1
+    ), counts AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(f.n_sub) AS BIGINT) AS n_bpe
+        FROM tok t JOIN final f ON t.w = f.word
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_words, 0) AS n_words,
+           COALESCE(c.n_bpe, 0) AS n_bpe_tokens,
+           round(CAST(COALESCE(c.n_bpe, 0) AS DOUBLE)
+                 / CAST(greatest(COALESCE(c.n_words, 0), 1) AS BIGINT),
+                 6) AS bpe_ratio
+    FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
+@q("docs_bpe_apply_fixed", _BPE_APPLY_SQL)
+def docs_bpe_apply_fixed(spark, sf_dir):
+    """BPE APPLICATION under the oracle (the per-stage method's last
+    reach into the BPE family): tokenize the corpus with a FIXED
+    published merge table — the deploy shape where a tokenizer
+    artifact is shipped, not retrained — via the same Arrow-batched
+    ``apply_bpe`` inference path the learned entries use. The DuckDB
+    oracle replays the exact segmentation rule (merge the lowest-rank
+    adjacent pair, leftmost first, until none applies) as a recursive
+    CTE over the distinct-word table with list surgery per step; the
+    final state per word is the minimum-length one (each merge
+    strictly shrinks the symbol list). Corpus-learned training stays
+    in docs_bpe_vocab/docs_bpe_tokens (rows-only — the merge LOOP is
+    iterative; its corpus-scale word-count stage is oracled by
+    docs_bpe_word_table)."""
+    from .dataops.bpe import apply_bpe
+
+    merges = [
+        {"rank": k, "left": l, "right": r, "merged": l + r, "pair_count": 0}
+        for l, r, k in _BPE_FIXED_MERGES
+    ]
+    docs = _t(spark, sf_dir, "documents")
+    return apply_bpe(docs, merges).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round("bpe_ratio", 6).alias("bpe_ratio"),
+    )
+
+
 _KMV_SQL = f"""
     WITH h AS (
         SELECT DISTINCT event_type,
