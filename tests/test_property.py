@@ -161,3 +161,107 @@ def test_bpe_segmentation_is_lossless(word, n_merges):
     seg = bpe_segment_word(word, ranks)
     assert "".join(seg) == word + EOW
     assert all(seg)  # no empty symbols
+
+
+# ------------------------------------------------------------ r6 ops
+
+
+def test_normalize_text_idempotent_and_collapsing(spark):
+    """normalize(normalize(x)) == normalize(x), and any two texts equal
+    up to case/punctuation/whitespace noise collapse to one canonical
+    form — the property the canonical-dedup stage of curation_v4 rests
+    on. Randomized corpus, fixed seed, one batched Spark pass."""
+    import random
+
+    from clickhouse_etl_spark.dataops.text import normalize_text
+
+    rng = random.Random(20260814)
+    bases, noisy = [], []
+    for i in range(64):
+        words = [
+            "".join(rng.choice("abcdefghij") for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 10))
+        ]
+        base = " ".join(words)
+        # inject case flips, punctuation, and whitespace runs
+        out = []
+        for w in words:
+            w2 = "".join(c.upper() if rng.random() < 0.4 else c for c in w)
+            out.append(rng.choice(["", "(", "'"]) + w2 + rng.choice(["", "!", ",", ")"]))
+        sep = lambda: " " * rng.randint(1, 3)
+        bases.append((2 * i, base))
+        noisy.append((2 * i + 1, sep().join([""] + out) + sep()))
+    df = spark.createDataFrame(bases + noisy, ["doc_id", "text"])
+    once = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    twice_df = spark.createDataFrame(
+        [(k, v) for k, v in once.items()], ["doc_id", "text"]
+    )
+    twice = {r["doc_id"]: r["text_norm"] for r in normalize_text(twice_df).collect()}
+    assert once == twice  # idempotent
+    for i in range(64):
+        assert once[2 * i + 1] == once[2 * i], (once[2 * i + 1], once[2 * i])
+
+
+def test_connected_components_matches_python_reference(spark):
+    """The (local fast-path) closure equals a pure-Python BFS reference
+    on randomized graphs — many graphs packed disjointly into ONE Spark
+    call via id offsets."""
+    import random
+
+    from clickhouse_etl_spark.dataops.dedup import connected_components
+
+    rng = random.Random(4242)
+    edges, nodes, expected = [], [], {}
+    for g in range(20):
+        off = g * 1000
+        n = rng.randint(2, 25)
+        ids = [off + i for i in range(n)]
+        nodes.extend(ids)
+        es = [
+            (rng.choice(ids), rng.choice(ids))
+            for _ in range(rng.randint(0, 2 * n))
+        ]
+        edges.extend(es)
+        # python reference: BFS components, min-id label
+        adj = {i: set() for i in ids}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        seen = set()
+        for i in ids:
+            if i in seen:
+                continue
+            comp, stack = [], [i]
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                comp.append(x)
+                stack.extend(adj[x])
+            lab = min(comp)
+            for x in comp:
+                expected[x] = lab
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], ["id_a", "id_b"]
+    )
+    ndf = spark.createDataFrame([(i,) for i in nodes], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edf, ndf).collect()
+    }
+    assert got == expected
+
+
+def test_cms_never_underestimates_random(spark):
+    """CMS point estimates are >= true counts for EVERY key on
+    randomized skewed data (the one-sided error guarantee)."""
+    import random
+
+    from clickhouse_etl_spark.dataops.sketches import cms_estimate
+
+    rng = random.Random(777)
+    rows = [(rng.randint(0, 50) ** 2,) for _ in range(5000)]  # skewed keys
+    df = spark.createDataFrame(rows, ["k"])
+    for r in cms_estimate(df, "k", width=64, depth=3, top_n=30).collect():
+        assert r["cms_cnt"] >= r["true_cnt"], r
