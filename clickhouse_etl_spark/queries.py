@@ -2540,6 +2540,49 @@ def otlp_flatten_logs(spark, sf_dir):
     )
 
 
+def _otlp_metrics_payload():
+    """Synthesized OTLP metrics payload (all five datapoint kinds) per
+    event row — shared by the flatten entry and the windowed rollup."""
+    t_ns = (F.unix_micros("ts") * 1000).cast("string")
+    val = F.col("value").cast("string")
+    return F.concat(
+
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"host",'
+              '"value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeMetrics":[{"scope":{"name":"meter","version":"1"},"metrics":['),
+        F.lit('{"name":"g","unit":"1","gauge":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","asDouble":'),
+        val,
+        F.lit('}]}},'),
+        F.lit('{"name":"s","unit":"1","sum":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","asInt":"'),
+        F.col("user_id").cast("string"),
+        F.lit('"}],"aggregationTemporality":2,"isMonotonic":true}},'),
+        F.lit('{"name":"h","unit":"ms","histogram":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","count":"5","sum":'),
+        val,
+        F.lit(',"min":0.25,"max":9.5,"bucketCounts":["1","4"],"explicitBounds":[2.5]}],'
+              '"aggregationTemporality":1}},'),
+        F.lit('{"name":"eh","unit":"s","exponentialHistogram":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","count":"7","sum":'),
+        val,
+        F.lit(',"min":0.5,"scale":3,"zeroCount":"2",'
+              '"positive":{"offset":1,"bucketCounts":["1","2"]}}],'
+              '"aggregationTemporality":2}},'),
+        F.lit('{"name":"sm","unit":"s","summary":{"dataPoints":[{"timeUnixNano":"'),
+        t_ns,
+        F.lit('","count":"9","sum":'),
+        val,
+        F.lit(',"quantileValues":[{"quantile":0.5,"value":1.0}]}]}}'),
+        F.lit(']}]}]}'),
+    )
+
+
 @q(
     "otlp_flatten_metrics",
     """
@@ -2594,43 +2637,7 @@ def otlp_flatten_metrics(spark, sf_dir):
 
     Reference: flattener/metrics.go:13-203, models/otlp.go:134-157."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
-    t_ns = (F.unix_micros("ts") * 1000).cast("string")
-    val = F.col("value").cast("string")
-    payload = F.concat(
-        F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"host",'
-              '"value":{"stringValue":"'),
-        F.col("event_type"),
-        F.lit('"}}]},"scopeMetrics":[{"scope":{"name":"meter","version":"1"},"metrics":['),
-        F.lit('{"name":"g","unit":"1","gauge":{"dataPoints":[{"timeUnixNano":"'),
-        t_ns,
-        F.lit('","asDouble":'),
-        val,
-        F.lit('}]}},'),
-        F.lit('{"name":"s","unit":"1","sum":{"dataPoints":[{"timeUnixNano":"'),
-        t_ns,
-        F.lit('","asInt":"'),
-        F.col("user_id").cast("string"),
-        F.lit('"}],"aggregationTemporality":2,"isMonotonic":true}},'),
-        F.lit('{"name":"h","unit":"ms","histogram":{"dataPoints":[{"timeUnixNano":"'),
-        t_ns,
-        F.lit('","count":"5","sum":'),
-        val,
-        F.lit(',"min":0.25,"max":9.5,"bucketCounts":["1","4"],"explicitBounds":[2.5]}],'
-              '"aggregationTemporality":1}},'),
-        F.lit('{"name":"eh","unit":"s","exponentialHistogram":{"dataPoints":[{"timeUnixNano":"'),
-        t_ns,
-        F.lit('","count":"7","sum":'),
-        val,
-        F.lit(',"min":0.5,"scale":3,"zeroCount":"2",'
-              '"positive":{"offset":1,"bucketCounts":["1","2"]}}],'
-              '"aggregationTemporality":2}},'),
-        F.lit('{"name":"sm","unit":"s","summary":{"dataPoints":[{"timeUnixNano":"'),
-        t_ns,
-        F.lit('","count":"9","sum":'),
-        val,
-        F.lit(',"quantileValues":[{"quantile":0.5,"value":1.0}]}]}}'),
-        F.lit(']}]}]}'),
-    )
+    payload = _otlp_metrics_payload()
     from .sources.otlp import flatten_metrics
 
     flat = flatten_metrics(ev.select(payload.alias("value")))
@@ -5614,6 +5621,77 @@ def docs_bpe_word_table(spark, sf_dir):
     )
 
 
+@q(
+    "otlp_metric_rollup_5m",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_id % 37 = 0),
+    b AS (
+        SELECT event_type AS host,
+               epoch_us(ts) // 300000000 AS win,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM e
+    )
+    SELECT host,
+           CAST(win AS BIGINT) AS window_id,
+           CAST(win * 300000000 AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           round(CAST(count(*) AS DOUBLE) / 300.0, 6) AS points_per_sec
+    FROM b
+    GROUP BY host, win
+    ORDER BY host, win
+    """,
+)
+def otlp_metric_rollup_5m(spark, sf_dir):
+    """Downstream observability rollup on the OTLP surface: the gauge
+    datapoint stream (through the FULL ingest flattener — the same
+    synthesized payload and flatten_metrics path as the S5 entry, so
+    the rollup verifies the ns-timestamp round-trip and resource-attr
+    extraction too) aggregated per (resource host, 5-minute tumbling
+    window): point count, sum/min/max in exact cents, and points/sec
+    rate. Window ids via exact integer arithmetic (us − us mod P, then
+    an exact-multiple division), matching DuckDB ``//``. The
+    post-ingest metrics rollup every observability deployment of the
+    reference runs in ClickHouse, expressed as one hash-shuffle."""
+    from .sources.otlp import flatten_metrics
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    flat = flatten_metrics(ev.select(_otlp_metrics_payload().alias("value")))
+    P = 300_000_000
+    us = F.unix_micros(F.to_timestamp("timestamp"))
+    g = flat.filter(F.col("metric_type") == "gauge").select(
+        F.element_at(F.col("resource_attributes"), F.lit("host")).alias("host"),
+        us.alias("us"),
+        F.round(F.col("value_double") * 100).cast("bigint").alias("cents"),
+    )
+    win = ((F.col("us") - F.col("us") % F.lit(P)) / F.lit(P)).cast("bigint")
+    return (
+        g.withColumn("window_id", win)
+        .groupBy("host", "window_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+        .select(
+            "host",
+            "window_id",
+            (F.col("window_id") * F.lit(P)).cast("bigint").alias("window_start_us"),
+            "n_points",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+            F.round(F.col("n_points").cast("double") / F.lit(300.0), 6).alias(
+                "points_per_sec"
+            ),
+        )
+        .orderBy("host", "window_id")
+    )
+
+
 #: fixed published-tokenizer merge table for the oracle-backed BPE
 #: APPLICATION entry — ranks are unique, merges chain (sc→sca) and
 #: interact (the'/'e</w>' priority), exercising the lowest-rank-first
@@ -5865,6 +5943,7 @@ _STALE_SIGNED = frozenset({
     "multimodal_video_embedding", # frame-slice oracle -> oracle
     "pipeline_canonical",         # compiler dataop-registry extension
     "emb_semantic_dedup",         # connected_components local fast path
+    "otlp_flatten_metrics",       # payload builder extracted (shared w/ rollup)
 })
 
 
