@@ -139,10 +139,31 @@ def _reachable(fn) -> dict[str, str]:
     return seen
 
 
-_IMPORT_RE = re.compile(
-    r"^\s*from\s+(\.+[\w.]*|" + _PKG + r"[\w.]*)\s+import\s+\(?([^)\n]+)\)?",
-    re.MULTILINE,
-)
+def _import_from_nodes(src: str) -> list[tuple[int, str, list[tuple[str, str]]]]:
+    """AST-extract ``from X import a, b as c`` statements from ``src`` as
+    ``(level, module, [(name, alias), ...])`` tuples. AST parsing (vs the
+    r6 regex) is what makes parenthesized multi-line imports — ``from .x
+    import (\\n a,\\n b)`` — resolve; the regex captured only ``(`` and
+    silently dropped every dep behind such an import (ADVICE r6 high:
+    emb_ivf_pq_ann_topk reached zero of its similarity deps)."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return []
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            out.append(
+                (
+                    node.level,
+                    node.module or "",
+                    [(a.name, a.asname or a.name) for a in node.names],
+                )
+            )
+    return out
 
 
 def _local_imports(src: str, from_module: str) -> dict:
@@ -151,30 +172,23 @@ def _local_imports(src: str, from_module: str) -> dict:
     import importlib
 
     out: dict = {}
-    for modpart, names in _IMPORT_RE.findall(src):
-        if modpart.startswith("."):
+    for level, modname, names in _import_from_nodes(src):
+        if level > 0:
             # resolve relative to the defining module's package
             pkg = from_module.rsplit(".", 1)[0] if "." in from_module else from_module
-            level = len(modpart) - len(modpart.lstrip("."))
             base_parts = pkg.split(".")
             if level > 1:
                 base_parts = base_parts[: len(base_parts) - (level - 1)]
-            suffix = modpart.lstrip(".")
-            target = ".".join(base_parts + ([suffix] if suffix else []))
+            target = ".".join(base_parts + ([modname] if modname else []))
         else:
-            target = modpart
+            target = modname
         if not (target == _PKG or target.startswith(_PKG + ".")):
             continue
         try:
             mod = importlib.import_module(target)
         except ImportError:
             continue
-        for raw in names.split(","):
-            raw = raw.strip()
-            if not raw:
-                continue
-            name = raw.split(" as ")[0].strip()
-            alias = raw.split(" as ")[1].strip() if " as " in raw else name
+        for name, alias in names:
             obj = getattr(mod, name, None)
             if obj is not None:
                 out[alias] = obj

@@ -788,30 +788,6 @@ def sliding_window_agg(spark, sf_dir):
 
 
 @q(
-    "anti_join_inactive_users",
-    """
-    SELECT o_custkey, count(*) AS n_orders
-    FROM orders o
-    WHERE NOT EXISTS (
-        SELECT 1 FROM events e
-        WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase'
-    )
-    GROUP BY o_custkey
-    """,
-)
-def anti_join_inactive_users(spark, sf_dir):
-    """NOT EXISTS -> left-anti join: customers with orders but no
-    purchase events."""
-    o = _t(spark, sf_dir, "orders")
-    e = _fact(_t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase"))
-    return (
-        o.join(e, o.o_custkey == e.user_id, "left_anti")
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"))
-    )
-
-
-@q(
     "q6_forecast_revenue",
     f"""
     SELECT CAST(sum({_CENTS.format(c='l_extendedprice')} * {_CENTS.format(c='l_discount')}) AS BIGINT) / 10000.0 AS revenue,
@@ -1041,82 +1017,6 @@ def q10_returned_revenue(spark, sf_dir):
         .agg((F.sum(ep * (F.lit(100) - disc)) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
-    )
-
-
-@q(
-    "rollup_revenue",
-    f"""
-    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
-           coalesce(l_linestatus, '<all>') AS linestatus,
-           CAST(sum({_CENTS.format(c='l_extendedprice')}) AS BIGINT) / 100.0 AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    "bench",
-)
-def rollup_revenue(spark, sf_dir):
-    """Grouping-sets surface: ROLLUP with subtotal rows (absent from the
-    reference; free in Spark SQL — SURVEY.md §2.8)."""
-    li = _t(spark, sf_dir, "lineitem")
-    ep = _cents("l_extendedprice")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg((F.sum(ep) / F.lit(100.0)).alias("revenue"), F.count("*").alias("n_rows"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
-            "revenue",
-            "n_rows",
-        )
-    )
-
-
-@q(
-    "percentiles_by_type",
-    """
-    SELECT event_type,
-           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
-           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0 AS p95,
-           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vmin,
-           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS vmax
-    FROM events GROUP BY event_type
-    """,
-    "bench",
-)
-def percentiles_by_type(spark, sf_dir):
-    """Exact percentiles (linear interpolation — Spark `percentile` and
-    DuckDB `quantile_cont` agree bit-for-bit on integer-cents inputs)."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    return ev.groupBy("event_type").agg(
-        (F.percentile(cents, 0.5) / F.lit(100.0)).alias("p50"),
-        (F.percentile(cents, 0.95) / F.lit(100.0)).alias("p95"),
-        (F.min(cents) / F.lit(100.0)).alias("vmin"),
-        (F.max(cents) / F.lit(100.0)).alias("vmax"),
-    )
-
-
-@q(
-    "distinct_counts",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           count(DISTINCT user_id % 100) AS n_user_buckets,
-           count(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-    "bench",
-)
-def distinct_counts(spark, sf_dir):
-    """Distinct aggregation surface (exact; approx_count_distinct exists
-    but is engine-specific so stays out of the oracle set)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct(F.col("user_id") % 100).alias("n_user_buckets"),
-        F.count("*").alias("n_events"),
     )
 
 
@@ -1558,54 +1458,6 @@ def q2_min_cost_supplier(spark, sf_dir):
         )
     )
 
-
-@q(
-    "running_totals_window",
-    f"""
-    SELECT o_custkey, o_orderkey,
-           CAST(sum({_CENTS.format(c='o_totalprice')}) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS running_cents,
-           CAST(row_number() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) AS INTEGER) AS order_seq
-    FROM orders
-    """,
-    "bench",
-)
-def running_totals_window(spark, sf_dir):
-    """Window-frame surface: running per-customer revenue with an
-    explicit ROWS frame + sequence numbering, total-ordered for
-    determinism (integer cents so the running sum is exact)."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(_cents("o_totalprice"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("running_cents"),
-        F.row_number().over(w).alias("order_seq"),
-    )
-
-
-@q("approx_percentiles_by_type", None)
-def approx_percentiles_by_type(spark, sf_dir):
-    """The 100TB-scale variant of percentiles_by_type: one-pass
-    approx_percentile instead of the exact full-sort-per-group form
-    (sketch results are engine-specific -> rows-only; the exact entry
-    is the oracle contract)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", 0.5, 10000).alias("p50"),
-        F.approx_percentile("value", 0.95, 10000).alias("p95"),
-        F.approx_percentile("value", 0.99, 10000).alias("p99"),
-        F.count("*").alias("n"),
-    )
 
 
 # ------------------------------------------------------------------ #
@@ -2463,17 +2315,6 @@ def docs_pipeline_e2e(spark, sf_dir):
 # ------------------------------------------------------------------ #
 # rows-only entries (non-SQL-expressible: pandas-UDF / LSH plumbing)  #
 # ------------------------------------------------------------------ #
-
-@q("approx_distinct_sketch", None)
-def approx_distinct_sketch(spark, sf_dir):
-    """HyperLogLog++ approximate distinct counts (sketch results are
-    engine-specific -> rows-only check; the exact version is the
-    oracle-backed distinct_counts entry)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
-    )
 
 @q(
     "otlp_flatten_logs",
@@ -3424,64 +3265,6 @@ def pivot_user_event_counts(spark, sf_dir):
     )
     return wide.select(
         "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types]
-    )
-
-
-@q(
-    "ntile_price_quartiles",
-    """
-    SELECT o_orderpriority,
-           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
-                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile,
-           o_orderkey, o_totalprice
-    FROM orders
-    """,
-    "bench",
-)
-def ntile_price_quartiles(spark, sf_dir):
-    """ntile window surface: per-priority price quartiles (windows keyed
-    by a grouping column — scales with the key count, never a global
-    sort; total tie-break keeps the bucket assignment deterministic)."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return o.select(
-        "o_orderpriority",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        "o_orderkey",
-        "o_totalprice",
-    )
-
-
-@q(
-    "value_histogram",
-    """
-    SELECT (CAST(round(value * 100) AS BIGINT) // 500) AS bucket,
-           count(*) AS n,
-           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
-    FROM events GROUP BY 1
-    """,
-    "bench",
-)
-def value_histogram(spark, sf_dir):
-    """Fixed-width histogram over event values in exact integer cents
-    (5-unit buckets) — the single-shuffle distributed histogram; bucket
-    ids via integer div so any engine bins identically."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    return (
-        ev.select(cents.alias("cents"))
-        .select(F.expr("cents div 500").alias("bucket"), "cents")
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("cents").alias("min_cents"),
-            F.max("cents").alias("max_cents"),
-        )
     )
 
 
@@ -5144,20 +4927,89 @@ def docs_snapshot_diff(spark, sf_dir):
     )
 
 
-@q("docs_bpe_vocab", None, "bench")
+#: merge-loop parameters shared by the Spark entries and their oracle —
+#: the TRAINING TABLE bound (top words by the (count desc, word) total
+#: order) is part of the entry contract; scale-unbounded learning (100k
+#: vocab at 100k docs) is exercised by scripts/scale_test.py
+_BPE_N_MERGES = 64
+_BPE_TRAIN_VOCAB = 200
+
+
+def _bpe_learn_ctes(n_merges: int = _BPE_N_MERGES, max_vocab: int = _BPE_TRAIN_VOCAB) -> str:
+    """CTE chain (for a ``WITH RECURSIVE`` list) replaying learn_bpe's
+    greedy merge loop in DuckDB (VERDICT r6 #2): the bounded word table,
+    then one recursive step per merge — the per-step argmax (count desc,
+    then (left, right) lexicographic) comes from an aggregate subquery
+    over the previous iteration's rows, and every word is rewritten by a
+    left-to-right non-overlapping fold (list_reduce over singleton
+    lists, the docs_bpe_apply_fixed list-surgery trick). Emits
+    ``learned(rank, left, right, merged, pair_count)``."""
+    return f"""wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x != '')) AS word
+              FROM documents)
+        GROUP BY word
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= {max_vocab}
+    ), seg(step, syms, cnt, ml, mr, mc) AS (
+        SELECT 0,
+               list_append(list_filter(string_split(word, ''), c -> c != ''),
+                           '</w>'),
+               cnt, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
+        FROM wc
+        UNION ALL
+        SELECT step + 1,
+               list_reduce(
+                   list_transform(syms, s -> [s]),
+                   (acc, x) -> CASE WHEN acc[-1] = best.bl AND x[1] = best.br
+                                    THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
+                                    ELSE acc || x END),
+               cnt, best.bl, best.br, best.bc
+        FROM seg CROSS JOIN (
+            SELECT l AS bl, r AS br, CAST(c AS BIGINT) AS bc FROM (
+                SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                FROM seg, LATERAL unnest(range(1, len(syms))) AS u(i)
+                GROUP BY 1, 2
+            ) ORDER BY c DESC, l, r LIMIT 1
+        ) best
+        WHERE step < {n_merges} AND best.bc >= 2
+    ), learned AS (
+        SELECT CAST(step AS INTEGER) AS rank, ml AS "left", mr AS "right",
+               ml || mr AS merged, mc AS pair_count
+        FROM (SELECT DISTINCT step, ml, mr, mc FROM seg WHERE step >= 1)
+    )"""
+
+
+@q(
+    "docs_bpe_vocab",
+    f"""
+    WITH RECURSIVE {_bpe_learn_ctes()}
+    SELECT rank, "left", "right", merged, pair_count
+    FROM learned ORDER BY rank
+    """,
+    "bench",
+)
 def docs_bpe_vocab(spark, sf_dir):
     """BPE tokenizer training over the corpus (dataops/bpe.learn_bpe):
     corpus-scale word counting in Spark, the textbook greedy merge loop
     over the bounded frequency table. Output: the merge table in merge
     order (the tokenizer artifact). Deterministic — total tie-breaks
-    throughout — but iterative, so not SQL-expressible: rows-only;
-    the algorithm is pinned against a hand-computed example and a
-    pure-Python reference in test_dataops.py."""
+    throughout — and since r7 ORACLE-BACKED: the DuckDB side replays the
+    greedy loop as a recursive CTE (per-step aggregate argmax + fold
+    rewrite); the entry contract trains on the top-{_BPE_TRAIN_VOCAB}
+    word table (scale-unbounded learning is scale_test's job). Also
+    pinned against a hand-computed example and a pure-Python reference
+    in test_dataops.py."""
     from pyspark.sql import types as T
 
     from .dataops.bpe import learn_bpe
 
-    merges = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=64)
+    merges = learn_bpe(
+        _t(spark, sf_dir, "documents"),
+        n_merges=_BPE_N_MERGES,
+        max_vocab=_BPE_TRAIN_VOCAB,
+    )
     # explicit schema: a degenerate corpus can yield ZERO merges (no
     # pair with count >= 2) and schema inference on [] raises (ADVICE r5)
     schema = T.StructType([
@@ -5174,20 +5026,83 @@ def docs_bpe_vocab(spark, sf_dir):
     return spark.createDataFrame(rows, schema).orderBy("rank")
 
 
-@q("docs_bpe_tokens", None, "bench")
+@q(
+    "docs_bpe_tokens",
+    f"""
+    WITH RECURSIVE {_bpe_learn_ctes()},
+    m AS (
+        SELECT map(coalesce(list("left" || '|' || "right" ORDER BY rank), []),
+                   coalesce(list(rank ORDER BY rank), [])) AS mm
+        FROM learned
+    ), tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t != '')) AS w
+        FROM documents
+    ), words AS (
+        SELECT DISTINCT w FROM tok
+    ), aseg(word, syms) AS (
+        SELECT w,
+               list_append(list_filter(string_split(w, ''), c -> c != ''),
+                           '</w>')
+        FROM words
+        UNION ALL
+        SELECT word,
+               syms[1 : best.i - 1]
+                 || [syms[best.i] || syms[best.i + 1]]
+                 || syms[best.i + 2 : len(syms)]
+        FROM (
+            SELECT word, syms,
+                   (list_sort(list_filter(list_transform(
+                        range(1, len(syms)),
+                        i -> struct_pack(
+                            r := map_extract(m.mm,
+                                             syms[i] || '|' || syms[i + 1])[1],
+                            i := i)),
+                        x -> x.r IS NOT NULL)))[1] AS best
+            FROM aseg, m
+        )
+        WHERE best IS NOT NULL
+    ), final AS (
+        SELECT word, len(syms) AS n_sub FROM aseg
+        QUALIFY row_number() OVER (PARTITION BY word
+                                   ORDER BY len(syms)) = 1
+    ), counts AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(f.n_sub) AS BIGINT) AS n_bpe
+        FROM tok t JOIN final f ON t.w = f.word
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_words, 0) AS n_words,
+           COALESCE(c.n_bpe, 0) AS n_bpe_tokens,
+           round(CAST(COALESCE(c.n_bpe, 0) AS DOUBLE)
+                 / CAST(greatest(COALESCE(c.n_words, 0), 1) AS BIGINT),
+                 6) AS bpe_ratio
+    FROM documents d LEFT JOIN counts c USING (doc_id)
+    """,
+    "bench",
+)
 def docs_bpe_tokens(spark, sf_dir):
     """Apply the corpus-learned BPE vocabulary back to the corpus
     (dataops/bpe.apply_bpe — Arrow-batched, per-distinct-word
     memoization): per-doc subword counts + compression ratio, the
-    diagnostic for whether a vocabulary fits a corpus. Rows-only
-    (merge learning is iterative); segmentation rule pinned by unit
-    tests."""
+    diagnostic for whether a vocabulary fits a corpus. Since r7 the
+    WHOLE chain is oracle-backed end to end: the recursive-CTE merge
+    loop learns the table, a map feeds the docs_bpe_apply_fixed
+    segmenter CTE, and the per-doc counts must agree exactly."""
     from .dataops.bpe import apply_bpe, learn_bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, n_merges=64)
+    merges = learn_bpe(
+        docs, n_merges=_BPE_N_MERGES, max_vocab=_BPE_TRAIN_VOCAB
+    )
     return apply_bpe(docs, merges).select(
-        "doc_id", "n_words", "n_bpe_tokens", F.round("bpe_ratio", 6).alias("bpe_ratio")
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round("bpe_ratio", 6).alias("bpe_ratio"),
     )
 
 
@@ -5836,17 +5751,33 @@ def events_kmv_distinct(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The
-# rotation policy (VERDICT r3 #3, refined per VERDICT r4 #1): each round,
-#   0. entries never driver-checked (new ops; plus this round the three
-#      rows-only entries that have never received even a row-count row),
+# rotation policy (VERDICT r3 #3, refined per VERDICT r4 #1 and r6 #1): each
+# round,
+#   0. entries never driver-checked (new ops),
 #   1. entries whose implementing code CHANGED since their last driver-signed
-#      CORRECTNESS row (_STALE_SIGNED — since r6 mechanically enforced by
-#      tests/test_rotation.py against impl_hashes_signed.json),
+#      CORRECTNESS row AND whose newest signature is already a round old
+#      (_STALE_SIGNED — mechanically enforced by tests/test_rotation.py
+#      against impl_hashes_signed.json),
 #   2. the core §2 pipeline surface (stays driver-verified every round),
-#   3+. entries by age of newest signature (r3-tail before r4 before r5).
+#   3. the mandatory tail: entries whose newest signature is three rounds
+#      old this round (they MUST be re-signed now or the freshness
+#      invariant breaks),
+#   4+. stale-but-freshly-signed, then by age of newest signature.
 # All entries stay covered by the local tests/test_oracle.py replay
-# regardless.  _R03_CHECKED / _R04_CHECKED / _R05_CHECKED are the key sets
-# of the corresponding CORRECTNESS_r0N.json files.
+# regardless.  _R0N_CHECKED are the exact key sets of the corresponding
+# CORRECTNESS_r0N.json files (historical records — they keep the names of
+# entries later consolidated out of the registry).
+# Registry consolidation (r7, VERDICT r6 #1): nine redundant entries were
+# demoted so that priorities 0-3 keep fitting the ~50-row budget —
+# anti_join_inactive_users (NOT-EXISTS surface lives in q21/q22),
+# approx_distinct_sketch (portable sketch: events_kmv_distinct; exact:
+# q16/docs_vocab_stats), approx_percentiles_by_type (exact percentile
+# surface: events_mad_anomalies/docs_quality_deciles/events_winsorize),
+# distinct_counts (q16_supplier_cardinality), ntile_price_quartiles
+# (docs_quality_deciles), percentiles_by_type (same as approx_*),
+# rollup_revenue (cube_order_stats — CUBE strictly generalizes ROLLUP),
+# running_totals_window (cumulative ROWS frame in docs_sequence_packing),
+# value_histogram (exact groupBy histogram in events_cms_calibration).
 # ---------------------------------------------------------------------------
 _R03_CHECKED = frozenset({
     "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
@@ -5911,39 +5842,59 @@ _R05_CHECKED = frozenset({
     "transform_scalars", "tumbling_window_agg", "validate_dlq_counts",
 })
 
+_R06_CHECKED = frozenset({
+    "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
+    "docs_boilerplate_ngrams", "docs_bpe_apply_fixed",
+    "docs_bpe_word_table", "docs_chunking", "docs_curation_v2",
+    "docs_curation_v4", "docs_decontamination", "docs_dedup_agreement",
+    "docs_domain_cap", "docs_dup_clusters", "docs_hash_embed_topk",
+    "docs_hash_embedding", "docs_incremental_dedup",
+    "docs_mixture_report", "docs_ngram_containment_pairs",
+    "docs_ngram_jaccard_pairs", "docs_normalize_text", "docs_pii_scrub",
+    "docs_pipeline_e2e", "docs_quality_topk", "docs_repetition_signals",
+    "docs_top_terms", "docs_vocab_stats", "emb_ivf_ann_topk",
+    "emb_ivf_pq_ann_topk", "emb_lsh_ann_topk", "emb_normalize",
+    "emb_pq_ann_topk", "emb_pq_index_ann_topk", "emb_quantize_int8",
+    "emb_semantic_dedup", "emb_semantic_dedup_lsh",
+    "events_cms_calibration", "events_kmv_distinct",
+    "events_mad_anomalies", "filter_project", "multimodal_decode_stub",
+    "multimodal_pipeline", "multimodal_video_embedding",
+    "otlp_flatten_logs", "otlp_flatten_metrics", "otlp_metric_rollup_5m",
+    "pipeline_canonical", "sink_mapping_casts", "temporal_join_enrich",
+    "transform_scalars", "validate_dlq_counts",
+})
+
+# Newest-signature round per entry, derived from the artifact key sets.
+# Newer rounds shadow older ones; entries in no set have never been
+# driver-checked (priority 0).
+_CHECKED_ROUNDS = (
+    (6, _R06_CHECKED),
+    (5, _R05_CHECKED),
+    (4, _R04_CHECKED),
+    (3, _R03_CHECKED),
+)
+_LATEST_ROUND = _CHECKED_ROUNDS[0][0]
+
+
+def _newest_signature(name: str) -> int:
+    for rnd, keys in _CHECKED_ROUNDS:
+        if name in keys:
+            return rnd
+    return 0
+
+
 # Entries whose implementing code changed after their newest driver-signed
-# CORRECTNESS row. Since r6 this set is MECHANICALLY ENFORCED:
-# tests/test_rotation.py compares each entry's transitive implementing-source
-# hash (impl_hash.py) against clickhouse_etl_spark/impl_hashes_signed.json
-# (snapshotted at the r5-signed commit via scripts/snapshot_impl_hashes.py)
-# and fails if a changed entry is missing from this set. Re-snapshot at the
-# start of each round, then add entries here as their code is touched.
+# CORRECTNESS row. MECHANICALLY ENFORCED: tests/test_rotation.py compares
+# each entry's transitive implementing-source hash (impl_hash.py) against
+# clickhouse_etl_spark/impl_hashes_signed.json (snapshotted at the r6-signed
+# commit via scripts/snapshot_impl_hashes.py) and fails if a changed entry
+# is missing from this set. Re-snapshot at the start of each round, then add
+# entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r6 edits after an r3/r4/r5 signature — EXACTLY the mechanical
-    # changed-set of impl_hash.changed_entries() vs the r5-signed
-    # snapshot (docstring-stripped source hashes; enforced by
-    # tests/test_rotation.py):
-    "docs_bpe_tokens",            # learn_bpe stats refactor
-    "docs_bpe_vocab",             # empty-merge schema + truncation stat
-    "docs_curation_v2",           # chains through dedup_against change
-    "docs_curation_v3",           # rank gate -> percentile broadcast
-    "docs_dedup_agreement",       # _shared_shingle_pairs refactor
-    "docs_dup_clusters",          # _shared_shingle_pairs refactor
-    "docs_incremental_dedup",     # dedup_against null-digest policy
-    "docs_ngram_jaccard_pairs",   # _shared_shingle_pairs refactor
-    "docs_pipeline_e2e",          # _shared_shingle_pairs refactor
-    "emb_ivf_ann_topk",           # sample-centroid injection -> oracle
-    "emb_ivf_pq_ann_topk",        # sample-artifact injection -> oracle
-    "emb_lsh_ann_topk",           # LCG-hyperplane oracle -> oracle
-    "emb_pq_ann_topk",            # fixed-point ADC oracle plumbing
-    "emb_pq_index_ann_topk",      # oracle + append duplicate-id guard
-    "emb_semantic_dedup_lsh",     # recursive-CTE closure -> oracle
-    "multimodal_decode_stub",     # byte-length arithmetic -> oracle
-    "multimodal_pipeline",        # byte-histogram oracle -> oracle
-    "multimodal_video_embedding", # frame-slice oracle -> oracle
-    "pipeline_canonical",         # compiler dataop-registry extension
-    "emb_semantic_dedup",         # connected_components local fast path
-    "otlp_flatten_metrics",       # payload builder extracted (shared w/ rollup)
+    # r7 edits after an r3..r6 signature — keep EXACTLY equal to the
+    # mechanical changed-set (tests/test_rotation.py):
+    "docs_bpe_vocab",   # merge loop under the oracle (bounded train table)
+    "docs_bpe_tokens",  # learn+apply chain under the oracle
 })
 
 
@@ -5954,25 +5905,28 @@ def _priority(name: str) -> int:
         "asof_join_clicks", "sink_mapping_casts", "validate_dlq_counts",
         "otlp_flatten_metrics",
     }
-    checked = name in _R03_CHECKED or name in _R04_CHECKED or name in _R05_CHECKED
-    if not checked:
+    newest = _newest_signature(name)
+    if newest == 0:
         # never driver-checked — every new-this-round op
         return 0
-    if name in _STALE_SIGNED and name not in _R05_CHECKED and name not in core:
+    if name in _STALE_SIGNED and newest < _LATEST_ROUND and name not in core:
         return 1  # stale AND its newest signature is already old — re-sign first
     if name in core:
         return 2  # keep the most-graded §2 rows driver-verified every round
-    if name not in _R04_CHECKED and name not in _R05_CHECKED:
-        return 3  # newest signature is r3 — the oldest tail, refresh next
+    if newest <= _LATEST_ROUND - 2:
+        # the mandatory tail: three rounds old by the end of THIS round —
+        # must be re-signed now (tests/test_rotation.py enforces it fits
+        # the ~50-row budget)
+        return 3
     if name in _STALE_SIGNED:
-        # stale but signed THIS past round (r5): the artifact-code gap is
+        # stale but signed in the latest round: the artifact-code gap is
         # one round old and its outputs stay pinned by the local oracle
         # replay — when the ~50-entry budget binds, these yield to the
-        # 3-round-old tail above rather than push it out
+        # mandatory tail above rather than push it out
         return 4
-    if name not in _R05_CHECKED:
-        return 5  # newest signature is r4
-    return 6  # signed in r5 itself — cheapest to defer
+    if newest == _LATEST_ROUND - 1:
+        return 5
+    return 6  # signed in the latest round itself — cheapest to defer
 
 
 QUERIES = {

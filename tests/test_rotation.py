@@ -40,13 +40,10 @@ def test_changed_entries_are_marked_stale():
     """Editing an implementing function without adding the entry to
     _STALE_SIGNED is the exact failure mode the judge flagged — catch it
     in the fast suite, not at judging time."""
-    ever_checked = (
-        queries._R03_CHECKED | queries._R04_CHECKED | queries._R05_CHECKED
-    )
     unmarked = [
         n
         for n in changed_entries()
-        if n in ever_checked and n not in queries._STALE_SIGNED
+        if queries._newest_signature(n) > 0 and n not in queries._STALE_SIGNED
     ]
     assert not unmarked, (
         "implementing source changed since the signed snapshot but entry is "
@@ -59,7 +56,7 @@ def test_stale_set_entries_exist():
     assert not unknown, f"_STALE_SIGNED names unknown entries: {sorted(unknown)}"
 
 
-@pytest.mark.parametrize("round_no", [3, 4, 5])
+@pytest.mark.parametrize("round_no", [3, 4, 5, 6])
 def test_checked_sets_match_driver_artifacts(round_no):
     artifact = REPO / f"CORRECTNESS_r{round_no:02d}.json"
     if not artifact.exists():
@@ -75,20 +72,45 @@ def test_checked_sets_match_driver_artifacts(round_no):
 
 def test_no_signature_older_than_two_rounds_in_budget():
     """The driver checks roughly the first 50 registry entries. Every
-    entry whose newest signature is r3 (three rounds old at r6) must sit
-    inside that window so it gets re-signed this round."""
+    entry whose newest signature would be three rounds old by the end of
+    THIS round must sit inside that window so it gets re-signed now —
+    the freshness invariant the judge audits (no signature older than
+    two rounds after each round's re-sign)."""
     order = list(queries.QUERIES)
     budget_front = set(order[:50])
-    r3_tail = {
+    mandatory_tail = {
         n
-        for n in queries._R03_CHECKED
-        if n not in queries._R04_CHECKED and n not in queries._R05_CHECKED
+        for n in order
+        if 0 < queries._newest_signature(n) <= queries._LATEST_ROUND - 2
     }
-    outside = sorted(r3_tail - budget_front)
-    assert not outside, f"r3-tail entries outside the ~50-entry budget: {outside}"
+    outside = sorted(mandatory_tail - budget_front)
+    assert not outside, (
+        f"mandatory-tail entries outside the ~50-entry budget: {outside}"
+    )
 
 
 def test_registry_hashes_are_stable_within_process():
     h1 = registry_hashes()
     h2 = registry_hashes()
     assert h1 == h2
+
+
+@pytest.mark.parametrize(
+    "entry,deps",
+    [
+        ("emb_ivf_pq_ann_topk", {"ivf_pq_topk", "sample_centroids", "sample_codebooks"}),
+        ("emb_pq_index_ann_topk", {"pq_index_build", "pq_index_query"}),
+        ("docs_curation_v4", {"normalize_text", "percentile_threshold_gate"}),
+    ],
+)
+def test_impl_hash_reaches_parenthesized_import_deps(entry, deps):
+    """ADVICE r6 (high): the import walker must resolve parenthesized
+    multi-line `from .x import (a, b)` statements — the r6 regex captured
+    only '(' and silently dropped every dep behind such imports, so edits
+    to those functions never flagged the entry stale."""
+    from clickhouse_etl_spark.impl_hash import _reachable
+
+    fn = queries.QUERIES[entry].fn
+    names = {k.rsplit(".", 1)[-1] for k in _reachable(fn)}
+    missing = deps - names
+    assert not missing, f"{entry} misses transitive deps: {sorted(missing)}"
