@@ -5895,6 +5895,8 @@ _STALE_SIGNED = frozenset({
     # mechanical changed-set (tests/test_rotation.py):
     "docs_bpe_vocab",   # merge loop under the oracle (bounded train table)
     "docs_bpe_tokens",  # learn+apply chain under the oracle
+    "docs_hash_embed_topk",  # Arrow-batched dense rebuild (bit-identical)
+    "pipeline_canonical",    # reaches hash_embedding via the dataop registry
 })
 
 

@@ -1366,6 +1366,26 @@ def test_hash_embedding_contract(spark, sf_dir):
     }
 
 
+def test_hash_embedding_engines_identical(spark, sf_dir):
+    """The Arrow-batched dense rebuild (default) and the pure-Catalyst
+    reference form must emit BIT-identical embeddings and norms — the
+    numpy path replays the same scatter, the same sequential square
+    fold, and the same single division per weight (pq_encode fix
+    pattern, VERDICT r6 #3)."""
+    from clickhouse_etl_spark.dataops.text import hash_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    pan = {
+        r["doc_id"]: (r["n_tokens"], r["embedding"], r["l2_norm"])
+        for r in hash_embedding(docs, dim=64, engine="pandas").collect()
+    }
+    cat = {
+        r["doc_id"]: (r["n_tokens"], r["embedding"], r["l2_norm"])
+        for r in hash_embedding(docs, dim=64, engine="catalyst").collect()
+    }
+    assert pan == cat
+
+
 def test_cms_overestimates_only_and_merges(spark, sf_dir):
     from clickhouse_etl_spark.dataops.sketches import (
         cms_estimate,
