@@ -895,7 +895,7 @@ def pq_topk(
     k: int = 10,
     m: int = 8,
     n_codes: int = 16,
-    shortlist_factor: int = 8,
+    shortlist_factor: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -1029,7 +1029,7 @@ def ivf_pq_topk(
     n_probe: int = 4,
     m: int = 8,
     n_codes: int = 16,
-    shortlist_factor: int = 8,
+    shortlist_factor: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -1289,7 +1289,7 @@ def pq_index_query(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
-    shortlist_factor: int = 8,
+    shortlist_factor: int = 32,
     query_id_col: str = "query_id",
     corpus: DataFrame | None = None,
     max_queries: "int | None" = 10_000,

@@ -2894,7 +2894,7 @@ _PQ_SQL = f"""
     ), short AS (
         SELECT query_id, vec_id, d FROM adc
         QUALIFY row_number() OVER (PARTITION BY query_id
-                                   ORDER BY d, vec_id) <= 80
+                                   ORDER BY d, vec_id) <= 320
     ), exact AS (
         SELECT s.query_id, s.vec_id, s.d,
                {_sql_cosine('q.qv', 'v.embedding', 64)} AS sim
@@ -2999,7 +2999,7 @@ _PQ_INDEX_SQL = f"""
     ), short AS (
         SELECT query_id, vec_id FROM adc
         QUALIFY row_number() OVER (PARTITION BY query_id
-                                   ORDER BY d, vec_id) <= 80
+                                   ORDER BY d, vec_id) <= 320
     ), exact AS (
         SELECT s.query_id, s.vec_id,
                {_sql_cosine('q.qv', 'v.embedding', 64)} AS sim
@@ -5897,6 +5897,9 @@ _STALE_SIGNED = frozenset({
     "docs_bpe_tokens",  # learn+apply chain under the oracle
     "docs_hash_embed_topk",  # Arrow-batched dense rebuild (bit-identical)
     "pipeline_canonical",    # reaches hash_embedding via the dataop registry
+    "emb_pq_ann_topk",       # shortlist_factor default 8 -> 32 (recall 0.9+)
+    "emb_ivf_pq_ann_topk",   # same default change (shared answer stage)
+    "emb_pq_index_ann_topk", # same default change (persisted path)
 })
 
 
