@@ -566,6 +566,14 @@ def dedup_against_path(
     than the corpus by construction; pass False for a digest table too
     large for cluster cache (it then degrades to per-batch reads,
     never to wrong results).
+
+    Cache LIFETIME (ADVICE r6): caches are registered per
+    ``seen_path`` — repeat calls for the same path REUSE the cached
+    frame instead of stacking a second copy, and a long session that
+    cycles through many waves should call
+    :func:`release_digest_cache` (one path or all) when a wave
+    completes; otherwise retired digest sets stay in executor storage
+    for the session's lifetime.
     """
     spark = df.sparkSession
     seen_raw = spark.read.parquet(seen_path)
@@ -575,7 +583,11 @@ def dedup_against_path(
         seen = seen_raw.select(_content_digest(text_col).alias("_h")).distinct()
     if df.isStreaming:
         if cache_static:
-            seen = seen.cache()
+            cached = _DIGEST_CACHES.get(seen_path)
+            if cached is None:
+                cached = seen.cache()
+                _DIGEST_CACHES[seen_path] = cached
+            seen = cached
         return (
             df.withColumn("_h", _content_digest(text_col))
             .join(seen, "_h", "left_anti")
@@ -587,6 +599,32 @@ def dedup_against_path(
         .drop("_h")
     )
     return exact_dedup_keep(survivors, text_col=text_col, id_col=id_col)
+
+
+#: streaming static-digest caches keyed by seen_path — see
+#: :func:`dedup_against_path` (cache lifetime) and
+#: :func:`release_digest_cache`
+_DIGEST_CACHES: dict = {}
+
+
+def release_digest_cache(seen_path: str | None = None) -> int:
+    """Unpersist the static digest cache for ``seen_path`` (or ALL
+    cached digest sets when None) — call when an ingest wave completes
+    so retired seen sets don't occupy executor storage for the session
+    lifetime. Returns the number of caches released. Safe to call for
+    a path that was never cached."""
+    paths = (
+        [seen_path]
+        if seen_path is not None
+        else list(_DIGEST_CACHES)
+    )
+    released = 0
+    for p in paths:
+        cached = _DIGEST_CACHES.pop(p, None)
+        if cached is not None:
+            cached.unpersist()
+            released += 1
+    return released
 
 
 def write_digest_table(

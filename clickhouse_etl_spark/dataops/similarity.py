@@ -756,6 +756,11 @@ def sample_codebooks(
         .limit(n_codes)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "sample_codebooks: corpus is empty — need at least one "
+            f"vector (n_codes={n_codes}) to derive codebooks"
+        )
     dim = len(rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
@@ -788,6 +793,11 @@ def sample_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "sample_centroids: corpus is empty — need at least one "
+            f"vector (n_centroids={n_centroids}) to derive centroids"
+        )
     return [[float(v) for v in r[vec_col]] for r in rows]
 
 

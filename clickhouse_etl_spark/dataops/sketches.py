@@ -30,6 +30,25 @@ def _cms_bucket(key: Column, d: int, width: int) -> Column:
     return ((key.cast("bigint") * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)) % F.lit(width)
 
 
+def _require_integral_key(df: DataFrame, key_col: str, op: str) -> None:
+    """Sketch hashes run on BIGINT keys; with ANSI off, a non-numeric
+    column silently casts to NULL and yields garbage buckets/estimates
+    with no error (ADVICE r6). Fail loudly instead; string keys should
+    be pre-hashed through ``hashing.char_fold_hash`` (which the oracle
+    can reproduce)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[key_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"{op}: key column {key_col!r} has type {dt.simpleString()}; "
+            "sketch hashing needs an integral key — pre-hash strings "
+            "with clickhouse_etl_spark.dataops.hashing.char_fold_hash"
+        )
+
+
 def cms_table(
     df: DataFrame,
     key_col: str,
@@ -47,6 +66,7 @@ def cms_table(
 
     Output: (d, bucket, cnt).
     """
+    _require_integral_key(df, key_col, "cms_table")
     rows = [
         df.select(
             F.lit(d).alias("d"),
@@ -83,6 +103,7 @@ def cms_estimate(
     """
     from pyspark.sql import Window
 
+    _require_integral_key(df, key_col, "cms_estimate")
     sketch = cms_table(df, key_col, width, depth)
     truth = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").cast("bigint").alias("true_cnt")
@@ -139,6 +160,7 @@ def kmv_distinct(
     """
     from pyspark.sql import Window
 
+    _require_integral_key(df, key_col, "kmv_distinct")
     a, b = MINHASH_COEFFS[0]
     h = ((F.col(key_col).cast("bigint") * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD))
     gcols = [group_col] if group_col else []

@@ -5900,6 +5900,9 @@ _STALE_SIGNED = frozenset({
     "emb_pq_ann_topk",       # shortlist_factor default 8 -> 32 (recall 0.9+)
     "emb_ivf_pq_ann_topk",   # same default change (shared answer stage)
     "emb_pq_index_ann_topk", # same default change (persisted path)
+    "emb_ivf_ann_topk",      # sample_centroids empty-corpus guard (ADVICE r6)
+    "events_cms_calibration",  # integral-key validation (ADVICE r6)
+    "events_kmv_distinct",     # integral-key validation (ADVICE r6)
 })
 
 

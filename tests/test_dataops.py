@@ -1487,3 +1487,68 @@ def test_connected_components_local_path_equals_distributed(spark):
     assert local == dist
     assert local[3] == 1 and local[8] == 7 and local[21] == 20
     assert local[0] == 0 and local[24] == 24  # isolated nodes label self
+
+
+def test_sketch_key_type_validated(spark):
+    """ADVICE r6: with ANSI off, a string key cast to bigint silently
+    becomes NULL and the sketch emits garbage — the ops must refuse
+    non-integral keys up front."""
+    import pytest
+
+    from clickhouse_etl_spark.dataops.sketches import (
+        cms_estimate,
+        cms_table,
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame([("abc", 1), ("def", 2)], ["digest", "n"])
+    for fn in (cms_table, cms_estimate, kmv_distinct):
+        with pytest.raises(TypeError, match="integral key"):
+            fn(df, "digest")
+    # integral keys still work
+    assert cms_table(df, "n", width=8, depth=2).count() <= 16
+
+
+def test_sample_artifacts_reject_empty_corpus(spark):
+    """ADVICE r6: an empty embeddings table must raise a descriptive
+    error, not a bare IndexError."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        sample_centroids,
+        sample_codebooks,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="corpus is empty"):
+        sample_codebooks(empty)
+    with pytest.raises(ValueError, match="corpus is empty"):
+        sample_centroids(empty)
+
+
+def test_release_digest_cache(spark, sf_dir, tmp_path):
+    """ADVICE r6: per-path digest caches are reusable within a wave and
+    releasable when the wave completes."""
+    from clickhouse_etl_spark.dataops import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = str(tmp_path / "digests")
+    dd.write_digest_table(docs.limit(50), seen)
+    # streaming path registers the cache once per path
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    out1 = dd.dedup_against_path(stream, seen)
+    out2 = dd.dedup_against_path(stream, seen)
+    assert out1.isStreaming and out2.isStreaming
+    assert len(dd._DIGEST_CACHES) == 1
+    assert dd.release_digest_cache(seen) == 1
+    assert dd.release_digest_cache(seen) == 0
+    assert not dd._DIGEST_CACHES
