@@ -220,3 +220,44 @@ def test_percentile_gate_has_no_unpartitioned_window(spark, sf_dir):
     assert "Window" not in plan
     # the only BNLJ is the bounded 1-row threshold broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_exchange_counts_match_signed_baseline(spark, sf_dir):
+    """Registry-wide shuffle audit (VERDICT r6 #8): every entry's
+    physical plan must carry exactly the shuffle/broadcast Exchange
+    counts frozen in exchange_counts_signed.json — an edit that
+    silently adds a shuffle fails here instead of surfacing as a perf
+    regression at scale. Intentional plan changes re-snapshot via
+    ``python scripts/snapshot_exchange_counts.py`` (review the printed
+    diff, commit the JSON with the causing change). Plan shapes are
+    size-estimate dependent, so the audit is pinned to the snapshot's
+    SF."""
+    import json
+    import os
+
+    if os.path.basename(os.path.normpath(sf_dir)) != "sf0.001":
+        pytest.skip("exchange baseline is signed at sf0.001")
+    base_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "clickhouse_etl_spark",
+        "exchange_counts_signed.json",
+    )
+    assert os.path.exists(base_path), (
+        "missing exchange_counts_signed.json; run "
+        "scripts/snapshot_exchange_counts.py"
+    )
+    baseline = json.load(open(base_path))
+    missing = sorted(set(QUERIES) - set(baseline))
+    assert not missing, f"entries missing from exchange baseline: {missing}"
+    drifted = {}
+    for name, qd in QUERIES.items():
+        plan = _plan(spark, sf_dir, name)
+        total = plan.count("Exchange")
+        bcast = plan.count("BroadcastExchange")
+        got = {"shuffle": total - bcast, "broadcast": bcast}
+        if got != baseline[name]:
+            drifted[name] = f"{baseline[name]} -> {got}"
+    assert not drifted, (
+        "plan Exchange counts drifted from the signed baseline "
+        f"(re-snapshot if intentional): {drifted}"
+    )
