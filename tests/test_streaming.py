@@ -457,3 +457,82 @@ def test_stream_stream_join_all_matches(spark, tmp_path):
     rows = {(r["id"], r["email"]) for r in spark.sql("SELECT * FROM ssj_out").collect()}
     # BOTH right rows match (multi-match semantics — documented contrast)
     assert rows == {("u1", "old@x.com"), ("u1", "new@x.com")}
+
+
+def test_streaming_otlp_metric_rollup(spark, tmp_path):
+    """VERDICT r6 #7: the flatten -> 5-minute tumbling rollup chain runs
+    as a STREAM (watermark + window agg under the state store) and its
+    closed windows agree exactly with the batch form of the same
+    aggregation on the same payloads."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.queries import _otlp_metrics_payload
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.sources.otlp import flatten_metrics
+    from clickhouse_etl_spark.streaming.rollup import metric_rollup_stream
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") % 37 == 0)
+    payloads = ev.select(_otlp_metrics_payload().alias("value"))
+
+    # batch truth: identical chain, batch execution (watermark no-ops)
+    truth = {
+        (r["host"], r["window_start_us"]): (
+            r["n_points"], r["sum_cents"], r["min_cents"], r["max_cents"],
+            r["points_per_sec"],
+        )
+        for r in metric_rollup_stream(flatten_metrics(payloads)).collect()
+    }
+    assert truth, "no gauge rollup rows in the batch truth"
+
+    # stream: real payload file first, then a far-future sentinel whose
+    # event time pushes the watermark past every real window so append
+    # mode emits them all (two files + maxFilesPerTrigger=1 => the
+    # sentinel lands in a later micro-batch)
+    src = str(tmp_path / "otlp_stream")
+    payloads.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # file-mtime order drives parquet-source batching
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame([(max_ts,)], ["ts"]).select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 86_400_000_000)
+        .alias("us")
+    ).select(
+        F.concat(
+            F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"host",'
+                  '"value":{"stringValue":"__sentinel__"}}]},"scopeMetrics":'
+                  '[{"scope":{"name":"meter","version":"1"},"metrics":'
+                  '[{"name":"g","unit":"1","gauge":{"dataPoints":'
+                  '[{"timeUnixNano":"'),
+            (F.col("us") * 1000).cast("string"),
+            F.lit('","asDouble":1.0}]}}]}]}]}'),
+        ).alias("value")
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rolled = metric_rollup_stream(flatten_metrics(stream))
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("otlp_rollup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["host"], r["window_start_us"]): (
+            r["n_points"], r["sum_cents"], r["min_cents"], r["max_cents"],
+            r["points_per_sec"],
+        )
+        for r in spark.sql("SELECT * FROM otlp_rollup_out").collect()
+        if r["host"] != "__sentinel__"
+    }
+    assert got == truth
