@@ -173,8 +173,6 @@ def digest_lifecycle_bench(spark) -> None:
     schema = docs.schema
     results = {}
     for label, with_anti in (("anti_on", True), ("anti_off", False)):
-        ckpt = f"{BASE}/digest_ckpt_{label}"
-        shutil.rmtree(ckpt, ignore_errors=True)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 8)
@@ -183,16 +181,24 @@ def digest_lifecycle_bench(spark) -> None:
         chain = stream.filter(F.length(F.col("text")) > 0)
         if with_anti:
             chain = dedup_against_path(chain, seen_path)
-        t0 = time.perf_counter()
-        q = (
-            chain.writeStream.format("noop")
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        results[label] = time.perf_counter() - t0
+        # best-of-2 with fresh checkpoints: single-run readings of this
+        # ~1-2s segment swung 104-145% overhead across r6/r7 purely on
+        # run position (the r6 A/B already showed rough parity)
+        best = float("inf")
+        for i in range(2):
+            ckpt = f"{BASE}/digest_ckpt_{label}_{i}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.perf_counter()
+            q = (
+                chain.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = min(best, time.perf_counter() - t0)
+        results[label] = best
     print(
         json.dumps(
             {
