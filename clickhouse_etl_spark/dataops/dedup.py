@@ -456,6 +456,61 @@ def dup_clusters(
     )
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Quality-aware canonical selection: one row per near-dup CLUSTER
+    naming the highest-quality member as the survivor — what a
+    production curation pipeline actually keeps (min-id canonicals are
+    arbitrary; near-dup groups usually contain one clean copy and N
+    truncated/boilerplated variants, and the point of clustering is to
+    keep the clean one).
+
+    Composition: :func:`dup_clusters` (n-gram Jaccard pairs →
+    connected components) × ``text.quality_score``; the ranking key is
+    the FIXED-POINT quality ``floor(quality · 2^20)`` (the
+    percentile-gate convention — integer comparisons, so the argmax is
+    oracle-exact), tie-broken by lowest doc id. The per-cluster pick is
+    a constant-K ``row_number() = 1`` (WindowGroupLimit partial top-1,
+    keyed by cluster — never a global sort).
+
+    Output: (cluster_id, keep_id, cluster_size, best_quality_fp,
+    n_dropped), one row per cluster including singletons
+    (n_dropped = 0 there).
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    clusters = dup_clusters(
+        df, text_col, id_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    q = quality_score(df, text_col).select(
+        F.col(id_col),
+        F.floor(F.col("quality") * F.lit(1048576.0)).cast("bigint").alias("_qfp"),
+    )
+    joined = clusters.join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_qfp").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("_qfp").alias("best_quality_fp"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -1582,6 +1582,44 @@ def docs_ngram_containment_pairs(spark, sf_dir):
     )
 
 
+#: n-gram-Jaccard pair generation + transitive closure as a reusable
+#: WITH-RECURSIVE CTE chain ending in ``cc(doc_id, cluster_id)`` —
+#: used by the keep-best canonical entry. docs_dup_clusters keeps its
+#: original INLINE literal of the same chain: the decorator SQL is part
+#: of the wrapper's hashed source, and rebuilding a signed entry's SQL
+#: from this constant would flip its impl hash (and its downstream
+#: composers') for a pure refactor. Keep the two texts in sync.
+_DUP_CC_CTES = """g AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM g GROUP BY id
+    ), keep AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) > 1 AND count(*) <= 100
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+        WHERE a.g IN (SELECT g FROM keep)
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE shared / (sa.sz + sb.sz - shared) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON r.id = e.a
+    ), cc AS (
+        SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    )"""
+
+
 @q(
     "docs_dup_clusters",
     """
@@ -1790,6 +1828,49 @@ def docs_quality_score(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars_q", "n_tokens_q", "punct_ratio", "stop_ratio",
         "mean_token_len", "quality",
+    )
+
+
+@q(
+    "docs_dup_keep_best",
+    f"""
+    WITH RECURSIVE {_DUP_CC_CTES}, clus AS (
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc
+    ), qual AS (
+        SELECT doc_id,
+               CAST(floor(quality * 1048576.0) AS BIGINT) AS qfp
+        FROM ({_QUALITY_SQL})
+    )
+    SELECT cluster_id, doc_id AS keep_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           qfp AS best_quality_fp,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM (
+        SELECT c.doc_id, c.cluster_id, c.cluster_size, q.qfp,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.qfp DESC, c.doc_id) AS rn
+        FROM clus c JOIN qual q USING (doc_id)
+    )
+    WHERE rn = 1
+    """,
+    "bench",
+)
+def docs_dup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection (dataops/dedup.
+    keep_best_per_cluster): one survivor per near-dup cluster — the
+    HIGHEST-quality member, not the arbitrary min-id — which is what a
+    production curation pipeline actually keeps from each duplicate
+    group. Composes the closure engine (n-gram pairs → connected
+    components) with the quality scorer; the argmax runs on fixed-point
+    ``floor(quality·2^20)`` integers (tie → lowest doc id), so the
+    oracle replays the pick exactly, and the per-cluster top-1 is a
+    constant-K WindowGroupLimit keyed by cluster."""
+    from .dataops.dedup import keep_best_per_cluster
+
+    return keep_best_per_cluster(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.5
     )
 
 

@@ -1552,3 +1552,29 @@ def test_release_digest_cache(spark, sf_dir, tmp_path):
     assert dd.release_digest_cache(seen) == 1
     assert dd.release_digest_cache(seen) == 0
     assert not dd._DIGEST_CACHES
+
+
+def test_keep_best_per_cluster_semantics(spark):
+    """The survivor of each near-dup cluster must be its highest-quality
+    member (fixed-point argmax, doc-id tie-break), and singletons keep
+    themselves with n_dropped = 0."""
+    from clickhouse_etl_spark.dataops.dedup import keep_best_per_cluster
+
+    # 40 DISTINCT words -> 36 distinct 5-gram shingles; a one-token
+    # suffix keeps pairwise Jaccard ~0.9 (well over the 0.5 threshold)
+    base = " ".join(f"word{i:02d}" for i in range(40)) + " "
+    rows = [
+        (1, base + "!!!!!"),      # punctuation-mangled copy
+        (2, base + "the"),        # clean copy with a stopword: highest quality
+        (3, base + "zzzzz"),      # neutral variant
+        # singleton
+        (9, "completely different content with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["cluster_id"]: r for r in keep_best_per_cluster(docs).collect()}
+    big = out[1]
+    assert big["keep_id"] == 2, big  # the clean copy wins, not min-id 1
+    assert big["cluster_size"] == 3 and big["n_dropped"] == 2
+    single = out[9]
+    assert single["keep_id"] == 9
+    assert single["cluster_size"] == 1 and single["n_dropped"] == 0
