@@ -67,12 +67,78 @@ def _word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def _shingle_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    engine: str = "pandas",
+) -> DataFrame:
+    """The distinct-shingle stream (id, sz, g) — one row per distinct
+    n-gram per document, with sz = the document's distinct-shingle
+    count. Row-local (no shuffle) in both engines.
+
+    ``engine="pandas"`` (default) generates shingles in ONE Arrow
+    ``mapInPandas`` pass: the Catalyst form's nested higher-order
+    functions (transform/slice/array_join over the token array) are
+    CodegenFallback — interpreted per element — and profiling at sf0.1
+    put that projection at ~80% of the whole pair-engine runtime
+    (2.6 s of 3.2 s for 5k docs). The Python generator replays the
+    exact same semantics (split on single space keeping empties,
+    space-joined n-word windows, first-occurrence-distinct) so the
+    stream is row-identical; ``engine="catalyst"`` keeps the
+    expression form as the equality-pinned reference
+    (tests/test_dataops.py)."""
+    if engine == "catalyst":
+        return df.select(
+            F.col(id_col).alias("id"),
+            _word_ngrams(F.col(text_col), n).alias("_grams"),
+        ).select(
+            "id",
+            F.size("_grams").cast("bigint").alias("sz"),
+            F.explode("_grams").alias("g"),
+        )
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            szs: list = []
+            gs: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # split(NULL) -> NULL, explode drops the row
+                w = text.split(" ")
+                if len(w) < n:
+                    continue  # _word_ngrams guards short docs to []
+                # dict.fromkeys == array_distinct (first-occurrence order)
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                    )
+                )
+                ids.extend([did] * len(grams))
+                szs.extend([len(grams)] * len(grams))
+                gs.extend(grams)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "sz": pd.Series(szs, dtype="int64"),
+                    "g": pd.Series(gs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, "id long, sz long, g string")
+
+
 def _shared_shingle_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int,
     max_doc_freq: int,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Inverted-index candidate pairs with shingle-overlap counts —
     the shared engine of :func:`ngram_jaccard_pairs` (symmetric
@@ -81,7 +147,8 @@ def _shared_shingle_pairs(
     id_a < id_b; see ngram_jaccard_pairs for the plan-shape and
     doc-frequency-cap rationale.
     """
-    # single-pass inverted index: build the gram arrays ONCE, group the
+    # single-pass inverted index: build the gram stream ONCE (Arrow
+    # mapInPandas by default — see _shingle_stream), group the
     # postings per shingle, emit pair combinations array-side (a
     # self-join would re-derive the shingling for both branches). The
     # doc-frequency cap runs as a window count BEFORE collect_list: the
@@ -92,11 +159,7 @@ def _shared_shingle_pairs(
     from pyspark.sql import Window
 
     df = scale_out(df)
-    grams = df.select(
-        F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("_grams")
-    ).select(
-        "id", F.size("_grams").cast("bigint").alias("sz"), F.explode("_grams").alias("g")
-    )
+    grams = _shingle_stream(df, text_col, id_col, n, engine=engine)
     capped = grams.withColumn("_df", F.count("*").over(Window.partitionBy("g"))).filter(
         (F.col("_df") > 1) & (F.col("_df") <= max_doc_freq)
     )
@@ -134,6 +197,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.4,
     max_doc_freq: int = 100,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram-set Jaccard, with an
     inverted-index candidate join (pairs must share >= 1 shingle).
@@ -154,7 +218,7 @@ def ngram_jaccard_pairs(
     ``exact_dedup``; texts dominated by boilerplate are what the cap is
     *supposed* to ignore).
     """
-    shared = _shared_shingle_pairs(df, text_col, id_col, n, max_doc_freq)
+    shared = _shared_shingle_pairs(df, text_col, id_col, n, max_doc_freq, engine=engine)
     return (
         shared.withColumn(
             "jaccard",
@@ -172,6 +236,7 @@ def ngram_containment_pairs(
     n: int = 5,
     threshold: float = 0.6,
     max_doc_freq: int = 100,
+    engine: str = "pandas",
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by n-gram-set containment:
     ``containment = shared / min(size_a, size_b)`` — the smaller
@@ -188,7 +253,7 @@ def ngram_containment_pairs(
     division — oracle-exact. Output: (id_a, id_b, shared, size_a,
     size_b, containment), id_a < id_b.
     """
-    shared = _shared_shingle_pairs(df, text_col, id_col, n, max_doc_freq)
+    shared = _shared_shingle_pairs(df, text_col, id_col, n, max_doc_freq, engine=engine)
     return (
         shared.withColumn(
             "containment",

@@ -3642,76 +3642,6 @@ def docs_bm25(spark, sf_dir):
 
 
 @q(
-    "events_zscore_anomalies",
-    """
-    WITH c AS (
-        SELECT event_id, user_id,
-               CAST(round(value * 100) AS BIGINT) AS cents
-        FROM events
-    ), st AS (
-        SELECT event_id, user_id, cents,
-               CAST(count(*) OVER w AS BIGINT) AS n,
-               CAST(sum(cents) OVER w AS BIGINT) AS s,
-               CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
-        FROM c WINDOW w AS (PARTITION BY user_id)
-    ), z AS (
-        SELECT event_id, user_id, cents,
-               n,
-               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
-                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
-        FROM st
-    )
-    SELECT event_id, user_id, cents,
-           round((CAST(cents AS DOUBLE) - mean) / sqrt(var), 6) AS z
-    FROM z
-    WHERE n >= 5 AND var > 0
-      AND abs((CAST(cents AS DOUBLE) - mean) / sqrt(var)) >= 2.5
-    """,
-    "bench",
-)
-def events_zscore_anomalies(spark, sf_dir):
-    """Per-user z-score outliers over event values — the anomaly /
-    outlier-filter primitive of a telemetry or data-quality pipeline.
-    Mean and variance come from exact BIGINT window sums of integer
-    cents (count, sum, sum-of-squares), so the double arithmetic is
-    order-identical on both engines; sqrt is IEEE correctly rounded.
-    One hash-shuffle on user_id; no sort, no collect."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    w = Window.partitionBy("user_id")
-    c = ev.select("event_id", "user_id", cents.alias("cents"))
-    st = c.select(
-        "event_id", "user_id", "cents",
-        F.count("*").over(w).cast("bigint").alias("n"),
-        F.sum("cents").over(w).cast("bigint").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint").alias("s2"),
-    )
-    mean = F.col("s").cast("double") / F.col("n").cast("double")
-    var = (
-        F.col("s2").cast("double") / F.col("n").cast("double")
-        - (F.col("s").cast("double") / F.col("n").cast("double"))
-        * (F.col("s").cast("double") / F.col("n").cast("double"))
-    )
-    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
-    return (
-        st.withColumn("_mean", mean)
-        .withColumn("_var", var)
-        .filter((F.col("n") >= 5) & (F.col("_var") > 0))
-        .filter(F.abs((F.col("cents").cast("double") - F.col("_mean")) / F.sqrt(F.col("_var"))) >= 2.5)
-        .select(
-            "event_id", "user_id", "cents",
-            F.round(
-                (F.col("cents").cast("double") - F.col("_mean")) / F.sqrt(F.col("_var")), 6
-            ).alias("z"),
-        )
-    )
-
-
-@q(
     "events_mad_anomalies",
     """
     WITH e AS (
@@ -5864,6 +5794,12 @@ def events_kmv_distinct(spark, sf_dir):
 # rollup_revenue (cube_order_stats — CUBE strictly generalizes ROLLUP),
 # running_totals_window (cumulative ROWS frame in docs_sequence_packing),
 # value_histogram (exact groupBy histogram in events_cms_calibration).
+# Late-r7 (one more slot for the shingle-engine staleness wave):
+# events_zscore_anomalies — the robust anomaly surface is
+# events_mad_anomalies (median/MAD, driver-signed r6; strictly the
+# production-preferred detector for heavy-tailed telemetry), and the
+# exact-BIGINT window moment-sum technique it demonstrated lives on in
+# events_moving_sum_1h / sliding_window_agg.
 # ---------------------------------------------------------------------------
 _R03_CHECKED = frozenset({
     "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
@@ -5990,6 +5926,16 @@ _STALE_SIGNED = frozenset({
     "events_cms_calibration",  # integral-key validation (ADVICE r6)
     "events_kmv_distinct",     # integral-key validation (ADVICE r6)
     "q15_top_supplier",      # global window -> 1-row max broadcast (r6 nit)
+    # the shingle-engine Arrow pass (_shingle_stream: interpreted-HOF
+    # gram projection -> mapInPandas, row-identical, equality-pinned in
+    # tests/test_dataops.py) flips every pair-engine entry's hash:
+    "docs_ngram_jaccard_pairs",
+    "docs_ngram_containment_pairs",
+    "docs_dup_clusters",
+    "docs_pipeline_e2e",
+    "docs_dedup_agreement",
+    "docs_curation_v3",
+    "docs_curation_v4",
 })
 
 
