@@ -869,6 +869,68 @@ def span_dedup(
     )
 
 
+def _simhash_sigs_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int,
+) -> DataFrame:
+    """Per-document SimHash signatures in ONE Arrow ``mapInPandas``
+    pass — numerically identical to :func:`simhash` (equality-pinned in
+    tests/test_dataops.py), which keeps the expression form as the
+    oracle-visible reference.
+
+    Why: the expression form char-fold-hashes every word through an
+    interpreted HOF chain (split-per-char → transform(ascii) →
+    aggregate fold — CodegenFallback, per-character cost), the
+    dominant stage of the banded pair generator at sf0.1. Here the
+    fold runs in Python with a per-distinct-word memo (the
+    hash_embedding pattern) and the 32 bit-votes vectorize in numpy.
+    Scale shape: row-local (no shuffle); callers ``scale_out`` first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .hashing import HASH_BASE, HASH_MOD
+
+    jidx = np.arange(bits, dtype=np.int64)
+
+    def gen(batches):
+        memo: dict = {}
+
+        def h(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = 0
+                for ch in w:
+                    v = (v * HASH_BASE + ord(ch)) % HASH_MOD
+                memo[w] = v
+            return v
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = [w for w in text.split(" ") if w]
+                if not words:
+                    continue  # explode emits no row -> doc absent, as in simhash()
+                hs = np.array([h(w) for w in words], dtype=np.int64)
+                # votes_j = sum over words of ((hash >> j) & 1 ? +1 : -1)
+                votes = (2 * ((hs[:, None] >> jidx) & 1) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.int64) << jidx).sum())
+                ids.append(did)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, simhash long")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -876,6 +938,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Near-dup pairs by banded SimHash — the third pair generator next
     to MinHash-LSH and the n-gram inverted index.
@@ -901,7 +964,10 @@ def simhash_near_dup_pairs(
         raise ValueError("pigeonhole recall needs max_hamming < bands")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    if engine == "catalyst":
+        sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    else:
+        sigs = _simhash_sigs_arrow(scale_out(df), text_col, id_col, bits)
     g = sigs.select(F.col("simhash").alias("_s"), F.col(id_col).alias("_i"))
     within = (
         g.alias("x")

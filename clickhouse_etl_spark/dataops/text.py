@@ -143,14 +143,18 @@ def decontaminate(
     shingle projection and the join — no corpus shuffle before the
     per-doc aggregation.
     """
-    from .dedup import _word_ngrams
+    from .dedup import _shingle_stream
+    from .util import scale_out
 
-    bg = benchmark.select(
-        F.col(bench_id_col).alias("_bid"),
-        F.explode(_word_ngrams(F.col(bench_text_col), n)).alias("_g"),
+    # Arrow shingle stream on both sides (the Catalyst HOF gram
+    # projection is interpreted — see _shingle_stream; row-identical,
+    # equality-pinned). The corpus side is the hot path: scale_out
+    # first so single-file parquet inputs don't serialize the pass.
+    bg = _shingle_stream(benchmark, bench_text_col, bench_id_col, n).select(
+        F.col("id").alias("_bid"), F.col("g").alias("_g")
     )
-    dg = docs.select(
-        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("_g")
+    dg = _shingle_stream(scale_out(docs), text_col, id_col, n).select(
+        F.col("id").alias(id_col), F.col("g").alias("_g")
     )
     return (
         dg.join(F.broadcast(bg), "_g")

@@ -5936,6 +5936,10 @@ _STALE_SIGNED = frozenset({
     "docs_dedup_agreement",
     "docs_curation_v3",
     "docs_curation_v4",
+    # Arrow simhash signature stage (pair generator only; docs_simhash
+    # keeps the untouched expression form) + Arrow decontaminate grams:
+    "docs_simhash_pairs",
+    "docs_decontamination",
 })
 
 

@@ -1430,6 +1430,26 @@ def test_shingle_stream_null_and_short_docs(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, cat))
 
 
+def test_simhash_arrow_sigs_identical(spark, sf_dir):
+    """The Arrow SimHash signature stage (pair-generator default) must
+    equal the expression-form simhash() bit for bit — same char-fold
+    hash per word (memoized), same ±1 bit votes, same bit packing —
+    and the banded pair output must be identical end to end."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        _simhash_sigs_arrow,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrow = sorted(map(tuple, _simhash_sigs_arrow(docs, "text", "doc_id", 32).collect()))
+    expr = sorted(map(tuple, simhash(docs).collect()))
+    assert arrow == expr
+    pa = sorted(map(tuple, simhash_near_dup_pairs(docs).collect()))
+    pc = sorted(map(tuple, simhash_near_dup_pairs(docs, engine="catalyst").collect()))
+    assert pa == pc
+
+
 def test_cms_overestimates_only_and_merges(spark, sf_dir):
     from clickhouse_etl_spark.dataops.sketches import (
         cms_estimate,
