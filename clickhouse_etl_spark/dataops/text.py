@@ -585,9 +585,22 @@ def normalize_text(
             F.regexp_replace(lowered, "[^a-z0-9 ]", " "), " +", " "
         )
     )
-    n_raw = F.size(F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0))
-    n_norm = F.size(
-        F.filter(F.split(cleaned, " "), lambda t: F.length(t) > 0)
+    # Token counts stay in whole-stage codegen: counting nonempty
+    # space-split tokens == counting non-space runs (regexp_count), and
+    # on the already-collapsed canonical form it's just spaces + 1.
+    # The previous size(filter(split(...))) HOFs were CodegenFallback
+    # (interpreted per token). coalesce(-1) preserves the legacy
+    # size(NULL) = -1 contract for null text.
+    n_raw = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit("[^ ]+")), F.lit(-1)
+    )
+    n_norm = F.coalesce(
+        F.when(cleaned == "", F.lit(0)).otherwise(
+            F.length(cleaned)
+            - F.length(F.replace(cleaned, F.lit(" "), F.lit("")))
+            + 1
+        ),
+        F.lit(-1),
     )
     return df.withColumn("text_norm", cleaned).withColumn(
         "n_tokens_raw", n_raw.cast("bigint")

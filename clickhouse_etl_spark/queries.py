@@ -5940,6 +5940,10 @@ _STALE_SIGNED = frozenset({
     # keeps the untouched expression form) + Arrow decontaminate grams:
     "docs_simhash_pairs",
     "docs_decontamination",
+    # normalize_text token counts: interpreted HOF filters -> codegen
+    # regexp_count / spaces+1 (value-identical incl. the size(NULL)=-1
+    # legacy contract; curation_v4 reaches normalize_text):
+    "docs_normalize_text",
 })
 
 

@@ -1512,6 +1512,35 @@ def test_normalize_text_canonicalizes_variants(spark):
     assert out[1]["n_tokens_raw"] == 3 and out[1]["n_tokens_norm"] == 3
     assert out[2]["n_tokens_raw"] == 3
     assert out[3]["text_norm"] is None
+    # legacy size(NULL) = -1 contract, kept across the codegen rewrite
+    assert out[3]["n_tokens_raw"] == -1 and out[3]["n_tokens_norm"] == -1
+
+
+def test_normalize_text_token_count_edges(spark):
+    """The regexp_count/spaces+1 token counts must agree with the
+    split-filter definition on empty, all-space, all-punct, and
+    tab-bearing inputs (split is on literal space only)."""
+    from clickhouse_etl_spark.dataops.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "!!! ???"),
+            (4, "a  b\tc"),
+            (5, " x "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["n_tokens_raw"] == 0 and out[1]["n_tokens_norm"] == 0
+    assert out[2]["n_tokens_raw"] == 0 and out[2]["n_tokens_norm"] == 0
+    # punct-only: raw has 2 space-split tokens, canonical form is empty
+    assert out[3]["n_tokens_raw"] == 2 and out[3]["n_tokens_norm"] == 0
+    assert out[3]["text_norm"] == ""
+    # tab is NOT a split char: "b\tc" is one raw token
+    assert out[4]["n_tokens_raw"] == 2 and out[4]["n_tokens_norm"] == 3
+    assert out[5]["n_tokens_raw"] == 1 and out[5]["n_tokens_norm"] == 1
 
 
 def test_kmv_distinct_accuracy_and_small_set_exactness(spark, sf_dir):
