@@ -665,6 +665,64 @@ def balanced_sample(
     )
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    cap: int = 20,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic-diversity downsample: assign every vector to its
+    nearest centroid cell, then keep at most ``cap`` deterministically
+    hash-chosen rows per cell. Where :func:`balanced_sample` rebalances
+    over GIVEN labels, this balances over LEARNED semantic clusters —
+    the diversity-preserving corpus selection step (cluster-then-cap)
+    that keeps a trimmed corpus from collapsing onto its densest
+    regions.
+
+    Scale shape: the Arrow-batched cell assignment
+    (:func:`_cells_batched`) is shuffle-free; the per-cell pre-cap size
+    and the cap rank ride ONE hash shuffle on the cell key (two window
+    expressions over the same partitioning), and the constant-K
+    ``row_number <= cap`` gate engages WindowGroupLimit's partial
+    top-k, so oversized cells never fully sort. Centroid count bounds
+    the skew: a cell is at most the corpus, and the partial top-k stops
+    each task after ``cap`` rows per cell.
+
+    Output: (cell, n_total, id, sample_rank), sample_rank in [1, cap];
+    ``n_total`` is the pre-cap cell population (the attrition
+    diagnostic).
+    """
+    from .hashing import affine_hash
+
+    cents = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(corpus, n_centroids, vec_col, id_col)
+    )
+    assigned = _cells_batched(
+        corpus.select(id_col, vec_col), cents, 1, id_col, vec_col
+    ).select(F.col(id_col), F.col("_cells")[0].alias("cell"))
+    # SAMPLE_A/SAMPLE_B from the fixed permutation family (text.py) —
+    # a different member than balanced_sample's so composed pipelines
+    # don't correlate their samples
+    pri = affine_hash(F.col(id_col).cast("bigint"), 12613, 56857)
+    w_rank = Window.partitionBy("cell").orderBy(pri.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy("cell")
+    return (
+        assigned.withColumn("n_total", F.count("*").over(w_all).cast("bigint"))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= cap)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_total",
+            F.col(id_col),
+            F.col("_rk").cast("int").alias("sample_rank"),
+        )
+    )
+
+
 def _pq_codebooks(
     corpus: DataFrame,
     m: int,

@@ -784,6 +784,163 @@ def hash_embedding(
     )
 
 
+def hash_feature_classifier(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    train_col: str = "is_train",
+) -> DataFrame:
+    """Linear text classifier over hashed bag-of-words features — the
+    fastText/CCNet corpus-curation pattern (Joulin et al. 2016;
+    Wenzek et al. 2019 train exactly this shape to distill a
+    wiki-vs-crawl quality signal): train cheap per-bucket weights on a
+    labeled split, score every document, emit a calibrated prediction.
+    Here the whole train→calibrate→apply chain is ONE Spark job in
+    exact integer arithmetic, so a DuckDB oracle replays it
+    bit-for-bit:
+
+    - features: length-normalized fixed-point term frequencies per
+      char-fold hash bucket, ``f_b = tf_b·2^20 div n_tokens`` (BIGINT;
+      normalization removes the doc-length confound);
+    - weights: the log-free Naive-Bayes-style class-frequency
+      difference ``w_b = (pos_b·2^20 div N_pos) − (neg_b·2^20 div
+      N_neg)`` over the train split — a 64-row table;
+    - score: ``Σ_b f_b·w_b`` (BIGINT, exact);
+    - decision threshold: the train-score MEAN via integer
+      cross-multiplication ``score·n_train > Σ train scores`` — no
+      global sort, no unpartitioned window, just one 1-row broadcast
+      (an order-statistic threshold would need a full rank; the mean
+      matches its apply accuracy on the test corpora within 1 doc).
+
+    Scale shape: one explode + (doc, bucket) count shuffle; the weight
+    table and both scalar aggregates are broadcast back, so the corpus
+    never re-shuffles after the feature stage. Integer products stay
+    under 2^53 through multi-million-doc train splits; beyond that,
+    widen the two scalar sums to DECIMAL(38,0) (the comparisons are
+    unchanged).
+
+    Input must carry ``label_col`` (0/1) and ``train_col`` (0/1).
+    Output: one row per document with ≥1 token — (id, is_train,
+    label, score, pred).
+    """
+    from .hashing import char_fold_hash
+
+    fp = F.lit(1048576).cast("bigint")  # 2^20 fixed-point scale
+
+    def idiv(a: Column, b: Column) -> Column:
+        # exact floor division for non-negative BIGINTs that keeps the
+        # plan in codegen: (a - a % b) is divisible by b, so the double
+        # division is exact (both operands < 2^53)
+        return ((a - a % b) / b).cast("bigint")
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
+    base = scale_out(df).select(
+        F.col(id_col),
+        F.col(train_col).cast("bigint").alias("_tr"),
+        F.col(label_col).cast("bigint").alias("_y"),
+        n_tok.alias("_n"),
+        F.explode(toks).alias("_tok"),
+    )
+    # char-fold hash once per DISTINCT token (the hash_bucket_counts
+    # vocabulary-dictionary trick — Zipf head makes this cheap)
+    tok_dict = base.select("_tok").distinct().select(
+        "_tok", (char_fold_hash(F.col("_tok")) % dim).alias("_b")
+    )
+    feats = (
+        base.join(F.broadcast(tok_dict), "_tok")
+        .groupBy(id_col, "_tr", "_y", "_n", "_b")
+        .agg(F.count("*").cast("bigint").alias("_c"))
+        .withColumn("_f", idiv(F.col("_c") * fp, F.col("_n")))
+    )
+    # feats feeds THREE consumers (weights, scoring, and the threshold
+    # via scored) — without a checkpoint each one re-derives the whole
+    # explode/distinct/agg chain (the q15/curation two-consumer lesson)
+    feats = scale_out(feats).localCheckpoint()
+    cls = (
+        feats.filter(F.col("_tr") == 1)
+        .groupBy("_b")
+        .agg(
+            F.sum(F.col("_y") * F.col("_f")).cast("bigint").alias("_pos"),
+            F.sum((F.lit(1) - F.col("_y")) * F.col("_f")).cast("bigint").alias("_neg"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("_pos").cast("bigint").alias("_np"),
+        F.sum("_neg").cast("bigint").alias("_nn"),
+    )
+    w = cls.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.when(F.col("_np") > 0, idiv(F.col("_pos") * fp, F.col("_np")))
+            .otherwise(F.lit(0))
+            - F.when(F.col("_nn") > 0, idiv(F.col("_neg") * fp, F.col("_nn")))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("_wt"),
+    )
+    scored = (
+        feats.join(F.broadcast(w), "_b")
+        .groupBy(id_col, "_tr", "_y")
+        .agg(F.sum(F.col("_f") * F.col("_wt")).cast("bigint").alias("score"))
+    )
+    # scored feeds the threshold aggregate AND the final projection
+    scored = scale_out(scored).localCheckpoint()
+    thr = scored.filter(F.col("_tr") == 1).agg(
+        F.sum("score").cast("bigint").alias("_ss"),
+        F.count("*").cast("bigint").alias("_nt"),
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        F.col(id_col),
+        F.col("_tr").cast("int").alias("is_train"),
+        F.col("_y").cast("int").alias("label"),
+        F.col("score"),
+        (F.col("score") * F.col("_nt") > F.col("_ss")).cast("int").alias("pred"),
+    )
+
+
+def trained_quality_classifier(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    train_col: str = "is_train",
+) -> DataFrame:
+    """Spec-surface form of :func:`hash_feature_classifier`: when the
+    input stream carries no label/split columns (the raw documents
+    stream), derive the self-supervised distillation defaults — the
+    Gopher-style stopword-density rule ``16·stop_hits ≥ n_tokens`` as
+    the label and the 80% affine-hash split — so a plan declaring the
+    op with no params works on raw documents (the ADVICE r4
+    parse-time-validity principle). Pipelines with real labels point
+    ``label_col``/``train_col`` at their own columns."""
+    if label_col not in df.columns or train_col not in df.columns:
+        toks = _tokens(F.col(text_col))
+        n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
+        df = df.select(
+            F.col(id_col),
+            F.col(text_col),
+            (
+                affine_hash(F.col(id_col).cast("bigint"), SPLIT_A, SPLIT_B)
+                % 100
+                < 80
+            ).cast("int").alias(train_col),
+            (
+                16 * _stop_hits(toks, STOPWORDS["en"]).cast("bigint") >= n_tok
+            ).cast("int").alias(label_col),
+        )
+    return hash_feature_classifier(
+        df,
+        dim=dim,
+        text_col=text_col,
+        id_col=id_col,
+        label_col=label_col,
+        train_col=train_col,
+    )
+
+
 def rare_token_ratio(
     df: DataFrame,
     k_rare: int = 8,

@@ -112,6 +112,7 @@ DATAOPS = frozenset({
     "scrub_pii", "chunk_documents", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
     "dedup_against", "normalize_text", "hash_embedding",
+    "trained_classifier", "cluster_sample",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -132,11 +133,13 @@ REQUIRED_DATAOP_PARAMS = {"dedup_against": ("seen_path",)}
 # (dropDuplicatesWithinWatermark).
 # normalize_text is row-local (regex canonicalization) — stream-safe;
 # hash_embedding needs the corpus vocabulary dictionary and a per-doc
-# aggregation — batch-only.
+# aggregation — batch-only. trained_classifier (corpus-global weight
+# table + train-mean threshold) and cluster_sample (corpus-global
+# centroid assignment + per-cell rank) are batch-only too.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
-    "hash_embedding",
+    "hash_embedding", "trained_classifier", "cluster_sample",
 }
 
 
@@ -156,7 +159,7 @@ def resolve_dataop(op: str):
         simhash,
         span_dedup,
     )
-    from ..dataops.similarity import balanced_sample
+    from ..dataops.similarity import balanced_sample, cluster_balanced_sample
     from ..dataops.text import (
         doc_fingerprint,
         hash_embedding,
@@ -169,6 +172,7 @@ def resolve_dataop(op: str):
         repetition_signals,
         split_assign,
         token_stats,
+        trained_quality_classifier,
         upsample_mixture,
     )
 
@@ -178,6 +182,27 @@ def resolve_dataop(op: str):
         # label embedding-side defaults) — ADVICE r4: a plan declaring
         # the op without params must not fail only at runtime
         return balanced_sample(df, label_col=label_col, id_col=id_col, **kw)
+
+    def cluster_sample_docs(
+        df, cap=20, n_centroids=16, id_col="doc_id", vec_col="embedding", **kw
+    ):
+        # documents-stream default: when the stream has no vector
+        # column, hash-embed the text first (the docs_hash_embed_topk
+        # composition) so cluster-then-cap works on raw documents; a
+        # stream that already carries embeddings is used as-is
+        from pyspark.sql import functions as F
+
+        if vec_col not in df.columns:
+            src = hash_embedding(df, id_col=id_col).select(
+                id_col, F.col("embedding").alias(vec_col)
+            )
+        else:
+            src = df.select(id_col, vec_col)
+        sel = cluster_balanced_sample(
+            src, cap=cap, n_centroids=n_centroids,
+            id_col=id_col, vec_col=vec_col, **kw
+        )
+        return df.join(sel.drop(vec_col) if vec_col in sel.columns else sel, id_col)
 
     registry = {
         "exact_dedup": exact_dedup_keep,
@@ -200,6 +225,8 @@ def resolve_dataop(op: str):
         "chunk_documents": chunk_documents,
         "normalize_text": normalize_text,
         "hash_embedding": hash_embedding,
+        "trained_classifier": trained_quality_classifier,
+        "cluster_sample": cluster_sample_docs,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dataops.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
-from .dataops.hashing import HASH_MOD, MINHASH_COEFFS, affine_hash_sql, char_fold_hash_sql
+from .dataops.hashing import (
+    HASH_MOD,
+    MINHASH_COEFFS,
+    affine_hash,
+    affine_hash_sql,
+    char_fold_hash_sql,
+)
 from .dataops.multimodal import decode_assets
 from .dataops.similarity import cosine_topk, embedding_near_dup_pairs, lsh_bucket_topk
 from .dataops.text import (
@@ -731,49 +737,6 @@ def tumbling_window_agg(spark, sf_dir):
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     return (
         ev.groupBy("user_id", F.window("ts", "1 hour"))
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.sum(cents) / F.lit(100.0)).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("window.start")).alias("window_start_us"),
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-@q(
-    "sliding_window_agg",
-    """
-    WITH e AS (
-        SELECT user_id, epoch_us(ts) AS us,
-               CAST(round(value * 100) AS BIGINT) AS v_cents
-        FROM events
-    ), assigned AS (
-        SELECT user_id, v_cents,
-               unnest([
-                   ((us // 1800000000) - 1) * 1800000000,
-                   (us // 1800000000) * 1800000000
-               ]) AS window_start_us,
-               us
-        FROM e
-    )
-    SELECT user_id, window_start_us, count(*) AS n_events,
-           CAST(sum(v_cents) AS BIGINT) / 100.0 AS total_value
-    FROM assigned
-    WHERE us >= window_start_us AND us < window_start_us + 3600000000
-    GROUP BY user_id, window_start_us
-    """,
-)
-def sliding_window_agg(spark, sf_dir):
-    """Sliding event-time windows (1h size, 30m slide): each event lands
-    in two windows; oracle materializes the window assignment."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    return (
-        ev.groupBy("user_id", F.window("ts", "1 hour", "30 minutes"))
         .agg(
             F.count("*").alias("n_events"),
             (F.sum(cents) / F.lit(100.0)).alias("total_value"),
@@ -3560,9 +3523,11 @@ def docs_vocab_stats(spark, sf_dir):
     )
 
 
-@q(
-    "docs_simhash_pairs",
-    f"""
+# Banded-SimHash pair SQL — formerly the docs_simhash_pairs entry
+# (demoted in the late-r7 consolidation: the pair surface is exercised
+# inside docs_dedup_agreement below, the signature op stays as
+# docs_simhash, and the generator itself keeps its scale_test section).
+_SIMHASH_PAIRS_SQL = f"""
     WITH sigs AS ({_simhash_sql()}),
     banded AS (
         SELECT doc_id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
@@ -3576,17 +3541,7 @@ def docs_vocab_stats(spark, sf_dir):
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-    """,
-    "bench",
-)
-def docs_simhash_pairs(spark, sf_dir):
-    """Banded-SimHash near-dup pairs (dataops/dedup.simhash_near_dup_
-    pairs): 4 bands x 8 bits, Hamming <= 3 — pigeonhole makes band
-    sharing a recall-1.0 candidate filter, so the oracle's theta join
-    and the engine's bucketed equi-join agree exactly."""
-    from .dataops.dedup import simhash_near_dup_pairs
-
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+"""
 
 
 BM25_QUERY_TERMS = ["spark", "join", "window", "query"]
@@ -3786,33 +3741,6 @@ def docs_rare_token_ratio(spark, sf_dir):
     from .dataops.text import rare_token_ratio
 
     return rare_token_ratio(_t(spark, sf_dir, "documents"), k_rare=8)
-
-
-@q(
-    "emb_balanced_sample",
-    f"""
-    WITH ranked AS (
-        SELECT vec_id, label,
-               row_number() OVER (PARTITION BY label
-                   ORDER BY {affine_hash_sql('vec_id', 1103, 12289)}, vec_id) AS rk
-        FROM embeddings
-    ), n AS (
-        SELECT min(cnt) AS n_keep FROM (
-            SELECT count(*) AS cnt FROM embeddings GROUP BY label)
-    )
-    SELECT vec_id, label, CAST(rk AS INTEGER) AS sample_rank
-    FROM ranked, n WHERE rk <= n.n_keep
-    """,
-    "bench",
-)
-def emb_balanced_sample(spark, sf_dir):
-    """Class-balanced deterministic downsample (dataops/similarity.
-    balanced_sample): min-class-count rows per label chosen by affine-
-    hash order — RNG-free rebalancing before training. The min class
-    size is a 1-row broadcast (bounded BNLJ, allowlisted)."""
-    from .dataops.similarity import balanced_sample
-
-    return balanced_sample(_t(spark, sf_dir, "embeddings"))
 
 
 @q(
@@ -4102,7 +4030,7 @@ def docs_curation_v2(spark, sf_dir):
 def _agreement_sql() -> str:
     ng = QUERIES["docs_ngram_jaccard_pairs"].sql
     mh = QUERIES["docs_minhash_lsh_pairs"].sql
-    sh = QUERIES["docs_simhash_pairs"].sql
+    sh = _SIMHASH_PAIRS_SQL
     return f"""
     WITH ng AS (SELECT id_a, id_b FROM ({ng})),
          mh AS (SELECT id_a, id_b FROM ({mh})),
@@ -5764,6 +5692,141 @@ def events_kmv_distinct(spark, sf_dir):
     ).orderBy("event_type")
 
 
+_STOP_EN_SQL = "['the','a','is','of','and','to','in','that','it','for']"
+
+
+@q(
+    "docs_trained_classifier",
+    f"""
+    WITH lab AS (
+        SELECT doc_id, text,
+               CASE WHEN {affine_hash_sql('doc_id', SPLIT_A, SPLIT_B)} % 100 < 80
+                    THEN 1 ELSE 0 END AS is_train,
+               CASE WHEN 16 * len(list_filter(string_split(lower(text), ' '),
+                                  t -> list_contains({_STOP_EN_SQL}, t)))
+                         >= len(list_filter(string_split(lower(text), ' '),
+                                            t -> t != ''))
+                    THEN 1 ELSE 0 END AS y,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t != '')) AS BIGINT) AS n
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, is_train, y, n,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t != '')) AS tok
+        FROM lab
+    ), b AS (
+        SELECT doc_id, is_train, y, n,
+               ({char_fold_hash_sql('tok')}) % 64 AS bucket
+        FROM toks
+    ), feats AS (
+        SELECT doc_id, is_train, y, bucket,
+               (CAST(count(*) AS BIGINT) * 1048576) // n AS f
+        FROM b GROUP BY doc_id, is_train, y, n, bucket
+    ), cls AS (
+        SELECT bucket, CAST(sum(y * f) AS BIGINT) AS pos_b,
+               CAST(sum((1 - y) * f) AS BIGINT) AS neg_b
+        FROM feats WHERE is_train = 1 GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(sum(pos_b) AS BIGINT) AS n_pos,
+               CAST(sum(neg_b) AS BIGINT) AS n_neg
+        FROM cls
+    ), w AS (
+        SELECT bucket,
+               (CASE WHEN n_pos > 0 THEN (pos_b * 1048576) // n_pos ELSE 0 END)
+               - (CASE WHEN n_neg > 0 THEN (neg_b * 1048576) // n_neg ELSE 0 END)
+                   AS wt
+        FROM cls, tot
+    ), scored AS (
+        SELECT fe.doc_id, fe.is_train, fe.y,
+               CAST(sum(fe.f * w.wt) AS BIGINT) AS score
+        FROM feats fe JOIN w USING (bucket)
+        GROUP BY fe.doc_id, fe.is_train, fe.y
+    ), thr AS (
+        SELECT CAST(sum(score) AS BIGINT) AS s_sum,
+               CAST(count(*) AS BIGINT) AS n_tr
+        FROM scored WHERE is_train = 1
+    )
+    SELECT doc_id, CAST(is_train AS INTEGER) AS is_train,
+           CAST(y AS INTEGER) AS label, score,
+           CAST(CASE WHEN score * n_tr > s_sum THEN 1 ELSE 0 END AS INTEGER)
+               AS pred
+    FROM scored, thr
+    ORDER BY doc_id
+    """,
+    "bench",
+)
+def docs_trained_classifier(spark, sf_dir):
+    """Trained hash-feature quality classifier (dataops/text.
+    hash_feature_classifier) — the fastText/CCNet curation pattern:
+    distill a Gopher-style stopword-density rule (16·stop_hits ≥
+    n_tokens, integer-exact) into a linear model over char-fold hashed
+    bag-of-words features, trained on the 80% affine-hash split and
+    applied to every document. Weights are log-free NB class-frequency
+    differences in 2^20 fixed point; the decision threshold is the
+    train-score mean via integer cross-multiplication (1-row
+    broadcast — no global sort). The full train→calibrate→apply chain
+    is exact BIGINT arithmetic, so the oracle replays every score and
+    prediction. Apply-split accuracy beats the majority class by
+    10-20 pts (tests/test_dataops.py) — bounded by the one-pass NB
+    weights, which is the documented fastText trade."""
+    from .dataops.text import trained_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return trained_quality_classifier(docs, dim=64).orderBy("doc_id")
+
+
+_CLUSTER_SAMPLE_SQL = f"""
+    WITH smp AS (
+        SELECT rn - 1 AS c,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM (SELECT embedding, vec_id,
+                     row_number() OVER (ORDER BY {_ANN_AFF}, vec_id) AS rn
+              FROM embeddings)
+        WHERE rn <= 16
+    ), sims AS (
+        SELECT v.vec_id, ct.c,
+               {_sql_dot('v.embedding[i]', 'ct.cent[i]', 64)}
+                 / (sqrt({_sql_norm2('v.embedding')})
+                    * sqrt({_sql_norm2('ct.cent')})) AS sim
+        FROM embeddings v, smp ct
+    ), vcell AS (
+        SELECT vec_id, c AS cell FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c) = 1
+    ), ranked AS (
+        SELECT cell, vec_id,
+               CAST(row_number() OVER (PARTITION BY cell
+                   ORDER BY {affine_hash_sql('vec_id', SAMPLE_A, SAMPLE_B)},
+                            vec_id) AS INTEGER) AS sample_rank,
+               CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_total
+        FROM vcell
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, n_total, vec_id, sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    ORDER BY cell, sample_rank
+"""
+
+
+@q("emb_cluster_sample", _CLUSTER_SAMPLE_SQL, "bench")
+def emb_cluster_sample(spark, sf_dir):
+    """Cluster-balanced semantic-diversity downsample (dataops/
+    similarity.cluster_balanced_sample): nearest-centroid assignment
+    (injectable SQL-derivable sample centroids — the emb_ivf_ann_topk
+    machinery), then at most 20 affine-hash-chosen rows per cell with
+    the pre-cap cell population as the attrition diagnostic. The
+    diversity-preserving selection step that keeps a trimmed corpus
+    from collapsing onto its densest semantic regions; constant-K rank
+    per cell, one cell-key shuffle. The production path swaps in the
+    Lloyd-refined k-means centroids."""
+    from .dataops.similarity import cluster_balanced_sample, sample_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, cap=20, centroids=sample_centroids(emb, n_centroids=16)
+    ).orderBy("cell", "sample_rank")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The
@@ -5799,7 +5862,19 @@ def events_kmv_distinct(spark, sf_dir):
 # events_mad_anomalies (median/MAD, driver-signed r6; strictly the
 # production-preferred detector for heavy-tailed telemetry), and the
 # exact-BIGINT window moment-sum technique it demonstrated lives on in
-# events_moving_sum_1h / sliding_window_agg.
+# events_moving_sum_1h.
+# Late-r7 wave 2 (funding docs_trained_classifier + emb_cluster_sample
+# while keeping priorities 0-3 under the budget WITH headroom):
+# docs_simhash_pairs (the banded pair surface is composed inside
+# docs_dedup_agreement via _SIMHASH_PAIRS_SQL, the signature op stays
+# as docs_simhash, and the generator keeps its scale_test section),
+# sliding_window_agg (the F.window API surface is tumbling_window_agg
+# — slide is a parameter — and the general sliding aggregate is
+# events_moving_sum_1h's RANGE frame; the streaming windowed form is
+# otlp_metric_rollup_5m), emb_balanced_sample (the per-group
+# constant-K cap surface is docs_domain_cap; the learned-group variant
+# is the new emb_cluster_sample; dataops/similarity.balanced_sample
+# stays unit-tested).
 # ---------------------------------------------------------------------------
 _R03_CHECKED = frozenset({
     "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
@@ -5936,9 +6011,9 @@ _STALE_SIGNED = frozenset({
     "docs_dedup_agreement",
     "docs_curation_v3",
     "docs_curation_v4",
-    # Arrow simhash signature stage (pair generator only; docs_simhash
-    # keeps the untouched expression form) + Arrow decontaminate grams:
-    "docs_simhash_pairs",
+    # Arrow decontaminate grams (the Arrow simhash signature stage's
+    # entry, docs_simhash_pairs, was demoted late-r7 — see the
+    # consolidation note above):
     "docs_decontamination",
     # normalize_text token counts: interpreted HOF filters -> codegen
     # regexp_count / spaces+1 (value-identical incl. the size(NULL)=-1

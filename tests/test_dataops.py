@@ -1671,3 +1671,62 @@ def test_keep_best_per_cluster_semantics(spark):
     single = out[9]
     assert single["keep_id"] == 9
     assert single["cluster_size"] == 1 and single["n_dropped"] == 0
+
+
+def test_hash_feature_classifier_learns_and_calibrates(spark):
+    """The fastText-pattern classifier must recover a clean class
+    signal end-to-end: disjoint positive/negative vocabularies are
+    linearly separable, so the NB-difference weights + mean threshold
+    classify a held-out split perfectly; the output contract is one
+    row per tokenized document with exact integer scores."""
+    from clickhouse_etl_spark.dataops.text import hash_feature_classifier
+
+    rows = []
+    for i in range(200):
+        y = i % 2
+        text = ("spam junk offer " if y else "ham news report ") * 3
+        rows.append((i, text.strip(), y, 1 if i % 5 != 0 else 0))
+    rows.append((999, "", 0, 1))  # token-less doc: must drop, not crash
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label", "is_train"])
+    out = hash_feature_classifier(df, dim=64).collect()
+    assert len(out) == 200  # the empty doc dropped
+    apply_rows = [r for r in out if r["is_train"] == 0]
+    assert apply_rows, "apply split must be non-empty"
+    acc = sum(1 for r in apply_rows if r["pred"] == r["label"]) / len(apply_rows)
+    assert acc == 1.0, f"separable corpus must classify perfectly, got {acc}"
+    # deterministic: identical scores on a second run
+    again = hash_feature_classifier(df, dim=64).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in out) == sorted(
+        (r["doc_id"], r["score"]) for r in again
+    )
+
+
+def test_cluster_balanced_sample_cap_and_coverage(spark):
+    from clickhouse_etl_spark.dataops.similarity import cluster_balanced_sample
+
+    # three orthogonal directions with slight deterministic jitter:
+    # cluster membership is unambiguous
+    rows = []
+    for i in range(90):
+        c = i % 3
+        vec = [0.0] * 6
+        vec[c] = 1.0
+        vec[(c + 3) % 6] = 0.01 * (i % 7)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0, 0, 0, 0, 0], [0, 1.0, 0, 0, 0, 0], [0, 0, 1.0, 0, 0, 0]]
+    out = cluster_balanced_sample(df, cap=10, centroids=cents).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert set(by_cell) == {0, 1, 2}
+    for cell, members in by_cell.items():
+        assert len(members) == 10  # 30 per cell capped to 10
+        assert all(m["n_total"] == 30 for m in members)
+        assert sorted(m["sample_rank"] for m in members) == list(range(1, 11))
+        # every kept vector genuinely belongs to its cell
+        assert all(m["vec_id"] % 3 == cell for m in members)
+    again = cluster_balanced_sample(df, cap=10, centroids=cents).collect()
+    assert sorted((r["cell"], r["vec_id"]) for r in out) == sorted(
+        (r["cell"], r["vec_id"]) for r in again
+    )

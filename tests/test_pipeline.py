@@ -409,3 +409,59 @@ def test_r6_dataops_on_spec_surface(spark, tmp_path):
     )
     with _pytest.raises(SpecError, match="batch-only"):
         streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
+
+
+def test_r7_dataops_on_spec_surface(spark, tmp_path):
+    """Late-r7 ops as declarable dataops: trained_classifier and
+    cluster_sample work on the raw documents stream with no params
+    (self-supervised label/split derivation; hash-embed-then-cluster),
+    and both are batch-only (corpus-global weights / centroid
+    assignment) — the streaming chain rejects them at assembly time."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert {"trained_classifier", "cluster_sample"} <= DATAOPS
+    assert not ({"trained_classifier", "cluster_sample"} & STREAM_SAFE_DATAOPS)
+
+    docs = spark.createDataFrame(
+        [(i, "the a quick brown fox " * (1 + i % 3)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    clf = resolve_dataop("trained_classifier")(docs)
+    rows = clf.collect()
+    assert len(rows) == 20
+    assert set(clf.columns) == {"doc_id", "is_train", "label", "score", "pred"}
+    sampled = resolve_dataop("cluster_sample")(docs, cap=5, n_centroids=4)
+    srows = sampled.collect()
+    assert 0 < len(srows) <= 20
+    assert {"cell", "n_total", "sample_rank", "text"} <= set(sampled.columns)
+    per_cell = {}
+    for r in srows:
+        per_cell.setdefault(r["cell"], 0)
+        per_cell[r["cell"]] += 1
+    assert all(v <= 5 for v in per_cell.values())
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "docs_clf_in")
+    spark.createDataFrame(
+        [(1, "some text", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    for op in ("trained_classifier", "cluster_sample"):
+        cfg = SourceConfig(source_id="documents", dataops=(DataopConfig(op=op),))
+        with _pytest.raises(SpecError, match="batch-only"):
+            streaming_source_chain(cfg, "ts", value_is_json=False)(stream)

@@ -135,8 +135,9 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
       registry entry uses the exact form as the oracle contract);
     - docs_bm25: crossJoin of the SINGLE-ROW corpus-stats aggregate
       (N, total_len) — a 1×n broadcast stream, not a quadratic;
-    - emb_balanced_sample: crossJoin of the SINGLE-ROW min-class-count
-      aggregate — same bounded 1×n pattern as docs_bm25;
+    - docs_trained_classifier: two SINGLE-ROW scalar broadcasts (the
+      class-total pair onto the 64-row weight table, the train-score
+      mean onto the scored corpus) — the percentile-gate 1×n pattern;
     - docs_quality_deciles: crossJoin of the SINGLE-ROW decile-
       threshold aggregate — same bounded 1×n pattern;
     - emb_pq_ann_topk: bounded query set × encoded-corpus ADC scan —
@@ -149,7 +150,7 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
     - emb_matryoshka_ann_topk: bounded query set × corpus PREFIX scan —
       the cosine_topk pattern, reading a quarter of the vector bytes.
     """
-    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "emb_balanced_sample", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2", "docs_bigram_pmi", "emb_mean_center", "emb_matryoshka_ann_topk",
+    allowed_bnlj = {"q22_global_sales_opportunity", "emb_cosine_topk", "emb_near_dup_pairs", "emb_semantic_dedup", "docs_bm25", "docs_trained_classifier", "docs_quality_deciles", "emb_pq_ann_topk", "docs_curation_v2", "docs_bigram_pmi", "emb_mean_center", "emb_matryoshka_ann_topk",
                     # docs_hash_embed_topk: cosine_topk's bounded 3-query
                     # broadcast against the hash-embedded corpus — the
                     # emb_cosine_topk pattern on text-derived vectors
