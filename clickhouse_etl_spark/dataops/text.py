@@ -791,6 +791,7 @@ def hash_feature_classifier(
     id_col: str = "doc_id",
     label_col: str = "label",
     train_col: str = "is_train",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Linear text classifier over hashed bag-of-words features — the
     fastText/CCNet corpus-curation pattern (Joulin et al. 2016;
@@ -824,6 +825,13 @@ def hash_feature_classifier(
     Input must carry ``label_col`` (0/1) and ``train_col`` (0/1).
     Output: one row per document with ≥1 token — (id, is_train,
     label, score, pred).
+
+    ``engine="pandas"`` (default) computes the sparse per-doc bucket
+    counts in ONE Arrow ``mapInPandas`` pass (tokenize + memoized
+    char-fold hash + bincount scatter, the documented hash_embedding
+    fix pattern) — row-local, zero shuffles for the feature stage, and
+    integer-identical to the ``"catalyst"`` explode/dictionary-join
+    reference form (equality-pinned in tests/test_dataops.py).
     """
     from .hashing import char_fold_hash
 
@@ -835,26 +843,101 @@ def hash_feature_classifier(
         # division is exact (both operands < 2^53)
         return ((a - a % b) / b).cast("bigint")
 
-    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
-    base = scale_out(df).select(
-        F.col(id_col),
-        F.col(train_col).cast("bigint").alias("_tr"),
-        F.col(label_col).cast("bigint").alias("_y"),
-        n_tok.alias("_n"),
-        F.explode(toks).alias("_tok"),
-    )
-    # char-fold hash once per DISTINCT token (the hash_bucket_counts
-    # vocabulary-dictionary trick — Zipf head makes this cheap)
-    tok_dict = base.select("_tok").distinct().select(
-        "_tok", (char_fold_hash(F.col("_tok")) % dim).alias("_b")
-    )
-    feats = (
-        base.join(F.broadcast(tok_dict), "_tok")
-        .groupBy(id_col, "_tr", "_y", "_n", "_b")
-        .agg(F.count("*").cast("bigint").alias("_c"))
-        .withColumn("_f", idiv(F.col("_c") * fp, F.col("_n")))
-    )
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        from .hashing import HASH_BASE, HASH_MOD
+
+        src = scale_out(df.select(id_col, train_col, label_col, text_col))
+        id_field = [f for f in src.schema.fields if f.name == id_col][0]
+        feat_schema = T.StructType([
+            id_field,
+            T.StructField("_tr", T.LongType(), True),
+            T.StructField("_y", T.LongType(), True),
+            T.StructField("_n", T.LongType(), True),
+            T.StructField("_b", T.LongType(), True),
+            T.StructField("_c", T.LongType(), True),
+        ])
+
+        def featurize(batches):
+            bucket: dict[str, int] = {}
+
+            def tok_bucket(w: str) -> int:
+                b = bucket.get(w)
+                if b is None:
+                    h = 0
+                    for ch in w:
+                        h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+                    b = h % dim
+                    bucket[w] = b
+                return b
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tok_lists = [
+                    [t for t in (x or "").lower().split(" ") if t]
+                    for x in pdf[text_col]
+                ]
+                keep = [i for i, tl in enumerate(tok_lists) if tl]
+                if not keep:
+                    continue
+                lens = np.fromiter(
+                    (len(tok_lists[i]) for i in keep), dtype=np.int64,
+                    count=len(keep),
+                )
+                total = int(lens.sum())
+                rows = np.repeat(np.arange(len(keep)), lens)
+                flat = np.fromiter(
+                    (tok_bucket(t) for i in keep for t in tok_lists[i]),
+                    dtype=np.int64, count=total,
+                )
+                mat = np.bincount(
+                    rows * dim + flat, minlength=len(keep) * dim
+                ).reshape(len(keep), dim)
+                di, bi = mat.nonzero()
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].iloc[keep].values.take(di),
+                    "_tr": pd.Series(
+                        pdf[train_col].iloc[keep].values.take(di),
+                        dtype="int64",
+                    ),
+                    "_y": pd.Series(
+                        pdf[label_col].iloc[keep].values.take(di),
+                        dtype="int64",
+                    ),
+                    "_n": pd.Series(lens.take(di), dtype="int64"),
+                    "_b": pd.Series(bi, dtype="int64"),
+                    "_c": pd.Series(mat[di, bi], dtype="int64"),
+                })
+
+        feats = src.mapInPandas(featurize, feat_schema).withColumn(
+            "_f", idiv(F.col("_c") * fp, F.col("_n"))
+        )
+    else:
+        toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+        n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
+        base = scale_out(df).select(
+            F.col(id_col),
+            F.col(train_col).cast("bigint").alias("_tr"),
+            F.col(label_col).cast("bigint").alias("_y"),
+            n_tok.alias("_n"),
+            F.explode(toks).alias("_tok"),
+        )
+        # char-fold hash once per DISTINCT token (the hash_bucket_counts
+        # vocabulary-dictionary trick — Zipf head makes this cheap)
+        tok_dict = base.select("_tok").distinct().select(
+            "_tok", (char_fold_hash(F.col("_tok")) % dim).alias("_b")
+        )
+        feats = (
+            base.join(F.broadcast(tok_dict), "_tok")
+            .groupBy(id_col, "_tr", "_y", "_n", "_b")
+            .agg(F.count("*").cast("bigint").alias("_c"))
+            .withColumn("_f", idiv(F.col("_c") * fp, F.col("_n")))
+        )
     # feats feeds THREE consumers (weights, scoring, and the threshold
     # via scored) — without a checkpoint each one re-derives the whole
     # explode/distinct/agg chain (the q15/curation two-consumer lesson)
@@ -907,6 +990,7 @@ def trained_quality_classifier(
     id_col: str = "doc_id",
     label_col: str = "label",
     train_col: str = "is_train",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Spec-surface form of :func:`hash_feature_classifier`: when the
     input stream carries no label/split columns (the raw documents
@@ -938,6 +1022,7 @@ def trained_quality_classifier(
         id_col=id_col,
         label_col=label_col,
         train_col=train_col,
+        engine=engine,
     )
 
 

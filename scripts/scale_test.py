@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b"]
 
 
 def materialize(spark) -> None:
@@ -621,6 +621,39 @@ def section_r7(spark) -> None:
     )
 
 
+def section_r7b(spark) -> None:
+    """Late-r7 ops at 100k docs: the trained hash-feature classifier
+    (Arrow featurizer vs the Catalyst explode/dictionary reference
+    form) and the cluster-then-cap sampler through the declarable
+    dataop surface (hash-embed → k-means assign → per-cell cap). The
+    classifier's localCheckpoints run at frame-construction time, so
+    each timed run REBUILDS the frame — construction and execution
+    both sit inside the clock."""
+    from clickhouse_etl_spark.dataops.text import trained_quality_classifier
+    from clickhouse_etl_spark.plans.compiler import resolve_dataop
+
+    bd = spark.read.parquet(f"{BASE}/docs")
+    nd = bd.count()
+
+    def _best2_build(fn) -> float:
+        fn().limit(1000).write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for eng in ("pandas", "catalyst"):
+        dt = _best2_build(lambda: trained_quality_classifier(bd, engine=eng))
+        print(f"trained_classifier[{eng}]: {dt:.1f}s ({nd/dt/1000:.0f}k docs/s)")
+
+    dt = _best2_build(
+        lambda: resolve_dataop("cluster_sample")(bd, cap=2000, n_centroids=16)
+    )
+    print(f"cluster_sample_dataop: {dt:.1f}s ({nd/dt/1000:.0f}k docs/s)")
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -632,7 +665,7 @@ def main() -> None:
         {"ops": section_ops, "text": section_text,
          "multimodal": section_multimodal, "new": section_new,
          "r4": section_r4, "r5": section_r5, "r6": section_r6,
-         "r7": section_r7}[section](spark)
+         "r7": section_r7, "r7b": section_r7b}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

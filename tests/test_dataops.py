@@ -1730,3 +1730,42 @@ def test_cluster_balanced_sample_cap_and_coverage(spark):
     assert sorted((r["cell"], r["vec_id"]) for r in out) == sorted(
         (r["cell"], r["vec_id"]) for r in again
     )
+
+
+def test_hash_feature_classifier_engines_identical(spark, sf_dir):
+    """The Arrow-batched feature stage must replay the explode/
+    dictionary-join reference form exactly — integer counts, so
+    equality is bitwise across the whole output."""
+    from clickhouse_etl_spark.dataops.text import trained_quality_classifier
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows_a = sorted(
+        tuple(r) for r in trained_quality_classifier(docs).collect()
+    )  # engine defaults to pandas
+    # catalyst reference: the same label/split derivation, engine pinned
+    from pyspark.sql import functions as F
+    from clickhouse_etl_spark.dataops.hashing import affine_hash
+    from clickhouse_etl_spark.dataops.text import (
+        STOPWORDS,
+        SPLIT_A,
+        SPLIT_B,
+        _stop_hits,
+        _tokens,
+        hash_feature_classifier,
+    )
+
+    toks = _tokens(F.col("text"))
+    n_tok = F.regexp_count(F.col("text"), F.lit("[^ ]+")).cast("bigint")
+    labeled = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        (
+            affine_hash(F.col("doc_id").cast("bigint"), SPLIT_A, SPLIT_B) % 100 < 80
+        ).cast("int").alias("is_train"),
+        (16 * _stop_hits(toks, STOPWORDS["en"]).cast("bigint") >= n_tok)
+        .cast("int").alias("label"),
+    )
+    ref = hash_feature_classifier(labeled, engine="catalyst")
+    rows_b = sorted(tuple(r) for r in ref.collect())
+    assert rows_a == rows_b
