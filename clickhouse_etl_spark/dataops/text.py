@@ -833,15 +833,46 @@ def hash_feature_classifier(
     integer-identical to the ``"catalyst"`` explode/dictionary-join
     reference form (equality-pinned in tests/test_dataops.py).
     """
+    feats = _classifier_feats(
+        df, dim, text_col, id_col, label_col, train_col, engine
+    )
+    w, scored, thr = _classifier_model(feats, id_col)
+    return scored.crossJoin(F.broadcast(thr)).select(
+        F.col(id_col),
+        F.col("_tr").cast("int").alias("is_train"),
+        F.col("_y").cast("int").alias("label"),
+        F.col("score"),
+        (F.col("score") * F.col("_nt") > F.col("_ss")).cast("int").alias("pred"),
+    )
+
+
+_CLF_FP = 1048576  # 2^20 fixed-point scale shared by the classifier family
+
+
+def _clf_idiv(a: Column, b: Column) -> Column:
+    # exact floor division for non-negative BIGINTs that keeps the
+    # plan in codegen: (a - a % b) is divisible by b, so the double
+    # division is exact (both operands < 2^53)
+    return ((a - a % b) / b).cast("bigint")
+
+
+def _classifier_feats(
+    df: DataFrame,
+    dim: int,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    train_col: str,
+    engine: str,
+) -> DataFrame:
+    """Sparse labeled fixed-point features (id, _tr, _y, _n, _b, _c,
+    _f), localCheckpointed — the shared corpus stage of
+    :func:`hash_feature_classifier` and
+    :func:`write_classifier_table`."""
     from .hashing import char_fold_hash
 
-    fp = F.lit(1048576).cast("bigint")  # 2^20 fixed-point scale
-
-    def idiv(a: Column, b: Column) -> Column:
-        # exact floor division for non-negative BIGINTs that keeps the
-        # plan in codegen: (a - a % b) is divisible by b, so the double
-        # division is exact (both operands < 2^53)
-        return ((a - a % b) / b).cast("bigint")
+    fp = F.lit(_CLF_FP).cast("bigint")
+    idiv = _clf_idiv
 
     if engine == "pandas":
         import numpy as np
@@ -941,7 +972,14 @@ def hash_feature_classifier(
     # feats feeds THREE consumers (weights, scoring, and the threshold
     # via scored) — without a checkpoint each one re-derives the whole
     # explode/distinct/agg chain (the q15/curation two-consumer lesson)
-    feats = scale_out(feats).localCheckpoint()
+    return scale_out(feats).localCheckpoint()
+
+
+def _classifier_model(feats: DataFrame, id_col: str):
+    """Weight table (64 rows), per-doc scores, and the 1-row
+    train-mean threshold from checkpointed labeled features."""
+    fp = F.lit(_CLF_FP).cast("bigint")
+    idiv = _clf_idiv
     cls = (
         feats.filter(F.col("_tr") == 1)
         .groupBy("_b")
@@ -974,13 +1012,7 @@ def hash_feature_classifier(
         F.sum("score").cast("bigint").alias("_ss"),
         F.count("*").cast("bigint").alias("_nt"),
     )
-    return scored.crossJoin(F.broadcast(thr)).select(
-        F.col(id_col),
-        F.col("_tr").cast("int").alias("is_train"),
-        F.col("_y").cast("int").alias("label"),
-        F.col("score"),
-        (F.col("score") * F.col("_nt") > F.col("_ss")).cast("int").alias("pred"),
-    )
+    return w, scored, thr
 
 
 def trained_quality_classifier(
@@ -1000,21 +1032,7 @@ def trained_quality_classifier(
     op with no params works on raw documents (the ADVICE r4
     parse-time-validity principle). Pipelines with real labels point
     ``label_col``/``train_col`` at their own columns."""
-    if label_col not in df.columns or train_col not in df.columns:
-        toks = _tokens(F.col(text_col))
-        n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
-        df = df.select(
-            F.col(id_col),
-            F.col(text_col),
-            (
-                affine_hash(F.col(id_col).cast("bigint"), SPLIT_A, SPLIT_B)
-                % 100
-                < 80
-            ).cast("int").alias(train_col),
-            (
-                16 * _stop_hits(toks, STOPWORDS["en"]).cast("bigint") >= n_tok
-            ).cast("int").alias(label_col),
-        )
+    df = _derive_stop_labels(df, text_col, id_col, label_col, train_col)
     return hash_feature_classifier(
         df,
         dim=dim,
@@ -1024,6 +1042,172 @@ def trained_quality_classifier(
         train_col=train_col,
         engine=engine,
     )
+
+
+def _derive_stop_labels(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    train_col: str,
+) -> DataFrame:
+    """Self-supervised distillation defaults for a raw documents
+    stream: the Gopher-style stopword-density rule as the label and
+    the 80% affine-hash split. A no-op when the frame already carries
+    both columns."""
+    if label_col in df.columns and train_col in df.columns:
+        return df
+    toks = _tokens(F.col(text_col))
+    n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        (
+            affine_hash(F.col(id_col).cast("bigint"), SPLIT_A, SPLIT_B) % 100
+            < 80
+        ).cast("int").alias(train_col),
+        (
+            16 * _stop_hits(toks, STOPWORDS["en"]).cast("bigint") >= n_tok
+        ).cast("int").alias(label_col),
+    )
+
+
+def write_classifier_table(
+    df: DataFrame,
+    path: str,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    train_col: str = "is_train",
+    engine: str = "pandas",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the trained classifier as a tiny parquet artifact — the
+    OFFLINE half of train-offline/score-online (the fastText
+    deployment pattern; the model IS a weight table). One row per
+    trained bucket: (bucket, wt) plus the constant threshold columns
+    (s_sum, n_tr — the train-score mean as an exact integer rational)
+    and dim. At most ``dim`` rows regardless of corpus size — between
+    waves you ship the model, not the corpus, exactly like
+    :func:`~clickhouse_etl_spark.dataops.dedup.write_digest_table`
+    ships digests. Labels/split derive via the stopword-distillation
+    defaults when absent (:func:`_derive_stop_labels`)."""
+    df = _derive_stop_labels(df, text_col, id_col, label_col, train_col)
+    feats = _classifier_feats(
+        df, dim, text_col, id_col, label_col, train_col, engine
+    )
+    w, _scored, thr = _classifier_model(feats, id_col)
+    (
+        w.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("_b").cast("bigint").alias("bucket"),
+            F.col("_wt").cast("bigint").alias("wt"),
+            F.col("_ss").cast("bigint").alias("s_sum"),
+            F.col("_nt").cast("bigint").alias("n_tr"),
+            F.lit(dim).cast("int").alias("dim"),
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def classify_against_path(
+    df: DataFrame,
+    weights_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a persisted classifier
+    (:func:`write_classifier_table`) — the ONLINE half: one row-local
+    Arrow ``mapInPandas`` pass (tokenize → memoized char-fold bucket →
+    fixed-point tf → dot with the broadcast weight dict → calibrated
+    pred), so it is stream-safe under append mode and runs per
+    micro-batch with NO shuffle and NO state. The weight table is
+    ``dim``-bounded — collected once at plan build (driver-side, a few
+    KB) and shipped in the task closure.
+
+    Replays :func:`hash_feature_classifier`'s scoring exactly,
+    including the inner-join semantics: per-bucket contributions
+    default to 0 for buckets unseen in training, and a document whose
+    EVERY bucket is unseen drops from the output (the batch op's
+    feats⋈weights join drops it too — equality-pinned in
+    tests/test_pipeline.py).
+
+    Output: input columns + (score BIGINT, pred INT); token-less
+    documents drop (as in the batch op).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .hashing import HASH_BASE, HASH_MOD
+
+    spark = df.sparkSession
+    rows = spark.read.parquet(weights_path).collect()
+    if not rows:
+        raise ValueError(
+            f"classifier table at {weights_path!r} is empty — write it "
+            "with write_classifier_table first"
+        )
+    dim = int(rows[0]["dim"])
+    s_sum = int(rows[0]["s_sum"])
+    n_tr = int(rows[0]["n_tr"])
+    wt = {int(r["bucket"]): int(r["wt"]) for r in rows}
+    fp = _CLF_FP
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("score", T.LongType(), True),
+            T.StructField("pred", T.IntegerType(), True),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def score_batches(batches):
+        bucket: dict[str, int] = {}
+
+        def tok_bucket(w: str) -> int:
+            b = bucket.get(w)
+            if b is None:
+                h = 0
+                for ch in w:
+                    h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+                b = h % dim
+                bucket[w] = b
+            return b
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scores, keep = [], []
+            for i, x in enumerate(pdf[text_col]):
+                toks = [t for t in (x or "").lower().split(" ") if t]
+                if not toks:
+                    continue  # token-less docs drop, as in the batch op
+                n = len(toks)
+                counts: dict[int, int] = {}
+                for t in toks:
+                    b = tok_bucket(t)
+                    counts[b] = counts.get(b, 0) + 1
+                hit = [b for b in counts if b in wt]
+                if not hit:
+                    continue  # all-unseen doc: the batch inner join drops it
+                s = sum(((counts[b] * fp) // n) * wt[b] for b in hit)
+                scores.append(s)
+                keep.append(i)
+            if not keep:
+                continue
+            out = pdf.iloc[keep][in_cols].copy()
+            out["score"] = pd.Series(scores, dtype="int64").values
+            out["pred"] = pd.Series(
+                [1 if s * n_tr > s_sum else 0 for s in scores], dtype="int32"
+            ).values
+            yield out
+
+    return df.mapInPandas(score_batches, schema)
 
 
 def rare_token_ratio(

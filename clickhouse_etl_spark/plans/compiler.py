@@ -112,11 +112,14 @@ DATAOPS = frozenset({
     "scrub_pii", "chunk_documents", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
     "dedup_against", "normalize_text", "hash_embedding",
-    "trained_classifier", "cluster_sample",
+    "trained_classifier", "cluster_sample", "classify_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
-REQUIRED_DATAOP_PARAMS = {"dedup_against": ("seen_path",)}
+REQUIRED_DATAOP_PARAMS = {
+    "dedup_against": ("seen_path",),
+    "classify_against": ("weights_path",),
+}
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
 # append mode (upsample_mixture is a row-local hash-gated explode, so
@@ -135,7 +138,11 @@ REQUIRED_DATAOP_PARAMS = {"dedup_against": ("seen_path",)}
 # hash_embedding needs the corpus vocabulary dictionary and a per-doc
 # aggregation — batch-only. trained_classifier (corpus-global weight
 # table + train-mean threshold) and cluster_sample (corpus-global
-# centroid assignment + per-cell rank) are batch-only too.
+# centroid assignment + per-cell rank) are batch-only too;
+# classify_against — scoring a stream against a PERSISTED model
+# (write_classifier_table) — is one row-local Arrow pass with the
+# dim-bounded weight table in the task closure, so it joins
+# dedup_against as a train-offline/score-online streaming op.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -161,6 +168,7 @@ def resolve_dataop(op: str):
     )
     from ..dataops.similarity import balanced_sample, cluster_balanced_sample
     from ..dataops.text import (
+        classify_against_path,
         doc_fingerprint,
         hash_embedding,
         language_id,
@@ -227,6 +235,7 @@ def resolve_dataop(op: str):
         "hash_embedding": hash_embedding,
         "trained_classifier": trained_quality_classifier,
         "cluster_sample": cluster_sample_docs,
+        "classify_against": classify_against_path,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

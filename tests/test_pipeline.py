@@ -465,3 +465,113 @@ def test_r7_dataops_on_spec_surface(spark, tmp_path):
         cfg = SourceConfig(source_id="documents", dataops=(DataopConfig(op=op),))
         with _pytest.raises(SpecError, match="batch-only"):
             streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+
+
+def test_classify_against_streaming_parity_with_batch(spark, tmp_path):
+    """Train-offline/score-online: write_classifier_table persists the
+    weight table + threshold; classify_against scores a STREAM against
+    it per micro-batch (one row-local Arrow pass, no state) and must
+    reproduce the batch classifier's scores and predictions exactly on
+    the apply split — including dropping token-less docs and docs whose
+    every bucket is unseen in training (the batch inner-join rule)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.text import (
+        classify_against_path,
+        trained_quality_classifier,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.plans.compiler import STREAM_SAFE_DATAOPS
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "classify_against" in STREAM_SAFE_DATAOPS
+
+    corpus = spark.createDataFrame(
+        [(i, "the a quick brown fox jumps " * (1 + i % 4)) for i in range(60)]
+        + [(60, "he said the a the a"), (61, "brown fox brown fox brown")],
+        ["doc_id", "text"],
+    )
+    weights_dir = str(tmp_path / "clf_model")
+    write_classifier_table(corpus, weights_dir)
+
+    # batch reference on a fresh wave (labels derive identically)
+    wave = [
+        (200, "the a quick brown fox", dt.datetime(2024, 1, 1, 10)),
+        (201, "fox jumps he said", dt.datetime(2024, 1, 1, 10, 1)),
+        (202, "", dt.datetime(2024, 1, 1, 10, 2)),           # token-less: drops
+        (203, "the the the a a", dt.datetime(2024, 1, 1, 10, 3)),
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    wave_dir = str(tmp_path / "clf_wave")
+    spark.createDataFrame(wave, schema).write.parquet(wave_dir)
+
+    batch_scored = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in classify_against_path(
+            spark.read.parquet(wave_dir), weights_dir
+        ).collect()
+    }
+    assert set(batch_scored) == {200, 201, 203}
+
+    stream = spark.readStream.schema(schema).parquet(wave_dir)
+    src = SourceConfig(
+        source_id="documents",
+        dataops=(
+            DataopConfig(op="classify_against", params={"weights_path": weights_dir}),
+        ),
+    )
+    out = streaming_source_chain(src, "ts", value_is_json=False)(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("classify_against_parity")
+        .option("checkpointLocation", str(tmp_path / "clf_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_scored = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in spark.sql("SELECT * FROM classify_against_parity").collect()
+    }
+    assert stream_scored == batch_scored
+
+    # and the stream scoring replays the full batch classifier's scores
+    # for apply-split docs of the training corpus itself
+    full = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in trained_quality_classifier(corpus).collect()
+        if r["is_train"] == 0
+    }
+    rescored = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in classify_against_path(corpus, weights_dir).collect()
+        if r["doc_id"] in full
+    }
+    assert rescored == full
+
+
+def test_classify_against_requires_weights_path_at_parse_time(spark):
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+    from clickhouse_etl_spark.spec.model import SpecError
+
+    doc = {
+        "version": "v3", "pipeline_id": "p", "name": "p",
+        "sources": [{
+            "type": "kafka", "source_id": "documents", "topic": "documents",
+            "schema_fields": [{"name": "doc_id", "type": "int64"},
+                               {"name": "text", "type": "string"}],
+        }],
+        "transforms": [{"type": "dataop", "source_id": "documents",
+                        "config": {"op": "classify_against"}}],
+    }
+    with _pytest.raises(SpecError, match="weights_path"):
+        parse_pipeline_json(doc)
