@@ -93,6 +93,64 @@ def main() -> None:
     stateful_join_bench(spark)
     digest_lifecycle_bench(spark)
     otlp_rollup_bench(spark)
+    classifier_inference_bench(spark)
+
+
+def classifier_inference_bench(spark) -> None:
+    """Online classifier scoring in the live chain (late r7):
+    train-offline (write_classifier_table on the corpus — one-time,
+    reported separately), then stream the 100k-doc corpus through
+    ``classify_against`` — one row-local Arrow pass per micro-batch
+    with the dim-bounded weight dict in the task closure, no state, no
+    shuffle. Best-of-2 with fresh checkpoints (host-steal discipline).
+    """
+    from clickhouse_etl_spark.dataops.text import (
+        classify_against_path,
+        write_classifier_table,
+    )
+
+    docs_dir = f"{BASE}/docs"
+    model_path = f"{BASE}/clf_model"
+    if not os.path.isdir(docs_dir):
+        raise SystemExit("run scripts/scale_test.py first (materializes docs)")
+    docs = spark.read.parquet(docs_dir)
+    n_in = docs.count()
+    t0 = time.perf_counter()
+    write_classifier_table(docs, model_path, mode="overwrite")
+    train_s = time.perf_counter() - t0
+
+    schema = docs.schema
+    best = float("inf")
+    for i in range(2):
+        ckpt = f"{BASE}/clf_ckpt_{i}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_dir)
+        )
+        scored = classify_against_path(stream, model_path)
+        t0 = time.perf_counter()
+        q = (
+            scored.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "classifier_inference_throughput",
+                "rows_in": n_in,
+                "train_once_seconds": round(train_s, 2),
+                "seconds": round(best, 2),
+                "rows_in_per_sec": int(n_in / best),
+            }
+        )
+    )
 
 
 def otlp_rollup_bench(spark) -> None:
