@@ -661,6 +661,7 @@ def dedup_against_path(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_static: bool = True,
+    seen_format: str = "digests",
 ) -> DataFrame:
     """Spec-surface / stream-safe form of :func:`dedup_against`: the
     seen corpus comes from a parquet path (JSON-declarable), either a
@@ -694,8 +695,23 @@ def dedup_against_path(
     :func:`release_digest_cache` (one path or all) when a wave
     completes; otherwise retired digest sets stay in executor storage
     for the session's lifetime.
+
+    ``seen_format="bloom"`` points ``seen_path`` at a
+    :func:`write_bloom_table` artifact instead: the probe becomes one
+    row-local Arrow pass against the closure-shipped bitmap (no join
+    at all — the 100-TB tier where even the digest table is too big to
+    ship), followed by the same within-batch first-wins half on the
+    batch path. Seen documents still always drop; ~FPR of fresh
+    documents drop with them (declared bits/key trade).
     """
     spark = df.sparkSession
+    if seen_format == "bloom":
+        survivors = dedup_against_bloom_path(df, seen_path, text_col, id_col)
+        if df.isStreaming:
+            return survivors
+        return exact_dedup_keep(survivors, text_col=text_col, id_col=id_col)
+    if seen_format != "digests":
+        raise ValueError(f"unknown seen_format {seen_format!r}: digests|bloom")
     seen_raw = spark.read.parquet(seen_path)
     if "digest" in seen_raw.columns:
         seen = seen_raw.select(F.col("digest").alias("_h")).distinct()
@@ -768,6 +784,176 @@ def write_digest_table(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+#: bits per bitmap word in the portable Bloom filter — 32 keeps every
+#: mask and word a small positive BIGINT in any engine
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_params(capacity: int, bits_per_key: int, n_hashes: int):
+    if capacity <= 0:
+        raise ValueError("bloom capacity must be positive")
+    if not 1 <= n_hashes <= len(MINHASH_COEFFS):
+        raise ValueError(f"n_hashes must be in [1, {len(MINHASH_COEFFS)}]")
+    return capacity * bits_per_key, MINHASH_COEFFS[:n_hashes]
+
+
+def write_bloom_table(
+    df: DataFrame,
+    path: str,
+    capacity: int,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the ingest wave's seen-set as a PORTABLE Bloom filter —
+    the 100-TB tier of the digest lifecycle: where
+    :func:`write_digest_table` ships 32 chars per seen document, the
+    Bloom bitmap ships ``bits_per_key`` BITS per document (~25× smaller
+    than hex digests at the default 10), at the standard price of a
+    small false-positive rate among FRESH documents (k=7, 10 bits/key
+    → ~0.8% of new docs sacrificed). No false negatives ever: a seen
+    document always probes positive, so duplicates can never leak —
+    the safe direction for dedup.
+
+    Everything is the repo's fixed portable hash family, so the filter
+    is deterministic and engine-independent: key = char-fold hash of
+    the ``md5(coalesce(text, ''))`` digest; bit positions are the
+    MINHASH_COEFFS affine permutations mod ``m = capacity *
+    bits_per_key``. The bitmap is built DISTRIBUTED as sparse
+    (word_idx, bit_or(mask)) rows — one explode + one bounded
+    aggregation (≤ m/32 rows regardless of corpus size) — and is
+    cell-wise mergeable across waves (:func:`merge_bloom_tables`),
+    like every other sketch in the family.
+
+    Sizing is declared, not inferred: ``capacity`` under-sized below
+    the true distinct-key count degrades the false-positive rate
+    (never correctness of the no-false-negative guarantee).
+    """
+    m, coeffs = _bloom_params(capacity, bits_per_key, n_hashes)
+    h = char_fold_hash(_content_digest(text_col))
+    pos = F.explode(
+        F.array(*[affine_hash(h, a, b) % F.lit(m) for a, b in coeffs])
+    ).alias("_pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("_pos") / F.lit(_BLOOM_WORD_BITS)).cast("bigint").alias("word_idx"),
+            # F.shiftleft takes a Python int for the bit count; the SQL
+            # form accepts a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(_pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+        .select(
+            "word_idx",
+            "word",
+            F.lit(m).cast("bigint").alias("m"),
+            F.lit(len(coeffs)).cast("int").alias("n_hashes"),
+            F.lit(capacity).cast("bigint").alias("capacity"),
+        )
+    )
+    words.write.mode(mode).parquet(path)
+
+
+def merge_bloom_tables(spark, paths: list[str], out_path: str, mode: str = "overwrite") -> None:
+    """Cell-wise OR-merge of Bloom tables built with IDENTICAL (m,
+    n_hashes) — the cross-wave accumulation step. Merging equals
+    rebuilding on the union corpus exactly (bitmap equality is pinned
+    by test), because the build is deterministic."""
+    frames = [spark.read.parquet(p) for p in paths]
+    metas = {
+        (r["m"], r["n_hashes"])
+        for f in frames
+        for r in f.select("m", "n_hashes").distinct().collect()
+    }
+    if len(metas) != 1:
+        raise ValueError(f"bloom tables disagree on (m, n_hashes): {sorted(metas)}")
+    allw = frames[0]
+    for f in frames[1:]:
+        allw = allw.unionByName(f)
+    (
+        allw.groupBy("word_idx")
+        .agg(
+            F.bit_or("word").alias("word"),
+            F.max("m").alias("m"),
+            F.max("n_hashes").alias("n_hashes"),
+            F.sum("capacity").alias("capacity"),
+        )
+        .select("word_idx", "word", "m", "n_hashes", "capacity")
+        .write.mode(mode)
+        .parquet(out_path)
+    )
+
+
+def dedup_against_bloom_path(
+    df: DataFrame,
+    seen_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a Bloom-filter probe against a
+    :func:`write_bloom_table` artifact — the row-local half of the
+    100-TB digest lifecycle: the bitmap loads ONCE at plan build
+    (bounded by the DECLARED capacity: m/32 words ≈ 40 KB per 100k
+    keys) and ships in the task closure, so probing is one Arrow
+    ``mapInPandas`` pass with no join, no shuffle, and no state —
+    stream-safe under append mode.
+
+    Guarantees: every previously-seen document drops (no false
+    negatives — dup leaks are impossible); ~FPR of genuinely fresh
+    documents drop with it (the declared bits/key trade). The Python
+    md5/char-fold replay is bit-identical to the Catalyst build
+    expressions (pinned by test)."""
+    import hashlib
+
+    import numpy as np
+
+    from .hashing import HASH_MOD
+
+    spark = df.sparkSession
+    rows = spark.read.parquet(seen_path).collect()
+    if not rows:
+        raise ValueError(
+            f"bloom table at {seen_path!r} is empty — write it with "
+            "write_bloom_table first"
+        )
+    m = int(rows[0]["m"])
+    coeffs = MINHASH_COEFFS[: int(rows[0]["n_hashes"])]
+    words = np.zeros(m // _BLOOM_WORD_BITS + 1, dtype=np.int64)
+    for r in rows:
+        words[int(r["word_idx"])] = int(r["word"])
+
+    in_cols = [f.name for f in df.schema.fields]
+    tcol = text_col
+
+    def survivors(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = []
+            for i, x in enumerate(pdf[tcol]):
+                digest = hashlib.md5(((x if x is not None else "")).encode("utf-8")).hexdigest()
+                h = 0
+                for ch in digest:
+                    h = (h * 31 + ord(ch)) % HASH_MOD
+                hit_all = True
+                for a, b in coeffs:
+                    p = ((h * a + b) % HASH_MOD) % m
+                    if not (int(words[p // _BLOOM_WORD_BITS]) >> (p % _BLOOM_WORD_BITS)) & 1:
+                        hit_all = False
+                        break
+                if not hit_all:
+                    keep.append(i)
+            if keep:
+                yield pdf.iloc[keep][in_cols]
+
+    return df.mapInPandas(survivors, df.schema)
 
 
 def snapshot_diff(

@@ -1769,3 +1769,75 @@ def test_hash_feature_classifier_engines_identical(spark, sf_dir):
     ref = hash_feature_classifier(labeled, engine="catalyst")
     rows_b = sorted(tuple(r) for r in ref.collect())
     assert rows_a == rows_b
+
+
+def test_bloom_table_no_false_negatives_and_fpr(spark, tmp_path):
+    """The portable Bloom seen-set: every previously-seen document must
+    probe positive (dup leaks impossible), and the false-positive rate
+    on genuinely fresh keys stays near the k=7 / 10-bits-per-key
+    theory (~0.8%; asserted under 3%). Deterministic build → the same
+    filter bit-for-bit on a rebuild."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        write_bloom_table,
+    )
+
+    seen = spark.createDataFrame(
+        [(i, f"seen document number {i}") for i in range(2000)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "bloom_seen")
+    write_bloom_table(seen, path, capacity=2000)
+
+    # replay the seen wave (plus within-wave dup ids): NOTHING survives
+    replay = spark.createDataFrame(
+        [(10_000 + i, f"seen document number {i}") for i in range(2000)],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_path(replay, path, seen_format="bloom")
+    assert out.count() == 0
+
+    fresh = spark.createDataFrame(
+        [(20_000 + i, f"fresh document number {i}") for i in range(2000)],
+        ["doc_id", "text"],
+    )
+    kept = dedup_against_path(fresh, path, seen_format="bloom").count()
+    fpr = 1.0 - kept / 2000.0
+    assert fpr < 0.03, f"bloom FPR {fpr} exceeds 3% at 10 bits/key, k=7"
+
+    # deterministic: a rebuild produces the identical bitmap
+    path2 = str(tmp_path / "bloom_seen2")
+    write_bloom_table(seen, path2, capacity=2000)
+    w1 = sorted((r["word_idx"], r["word"]) for r in spark.read.parquet(path).collect())
+    w2 = sorted((r["word_idx"], r["word"]) for r in spark.read.parquet(path2).collect())
+    assert w1 == w2
+
+
+def test_bloom_merge_equals_rebuild_on_union(spark, tmp_path):
+    from clickhouse_etl_spark.dataops.dedup import (
+        merge_bloom_tables,
+        write_bloom_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(i, f"wave one doc {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    wave2 = spark.createDataFrame(
+        [(i, f"wave two doc {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    p1, p2, pm, pu = (str(tmp_path / n) for n in ("b1", "b2", "bm", "bu"))
+    # same DECLARED capacity -> same m -> mergeable
+    write_bloom_table(wave1, p1, capacity=1000)
+    write_bloom_table(wave2, p2, capacity=1000)
+    merge_bloom_tables(spark, [p1, p2], pm)
+    write_bloom_table(wave1.unionByName(wave2), pu, capacity=1000)
+    merged = sorted((r["word_idx"], r["word"]) for r in spark.read.parquet(pm).collect())
+    union = sorted((r["word_idx"], r["word"]) for r in spark.read.parquet(pu).collect())
+    assert merged == union
+
+    # mismatched geometry refuses to merge
+    import pytest as _pytest
+    p3 = str(tmp_path / "b3")
+    write_bloom_table(wave1, p3, capacity=2000)
+    with _pytest.raises(ValueError, match="disagree"):
+        merge_bloom_tables(spark, [p1, p3], str(tmp_path / "bx"))
