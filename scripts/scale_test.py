@@ -653,6 +653,38 @@ def section_r7b(spark) -> None:
     )
     print(f"cluster_sample_dataop: {dt:.1f}s ({nd/dt/1000:.0f}k docs/s)")
 
+    # Bloom seen-set at 100k docs: one-time build (distributed sparse
+    # bitmap), then the row-local probe; artifact size vs the digest
+    # table is the 100-TB shipping argument
+    import glob
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        write_bloom_table,
+        write_digest_table,
+    )
+
+    bloom_path = f"{BASE}/bloom_seen_100k"
+    digest_path = f"{BASE}/digest_seen_100k"
+    # size the filter to the TRUE distinct-key count (the replicated
+    # 100k-doc corpus holds ~5k distinct texts) so the artifact ratio
+    # compares equal key counts — the honest shipping argument
+    n_keys = bd.select(F.md5(F.coalesce("text", F.lit("")))).distinct().count()
+    t0 = time.perf_counter()
+    write_bloom_table(bd, bloom_path, capacity=n_keys, mode="overwrite")
+    t_build = time.perf_counter() - t0
+    write_digest_table(bd, digest_path, mode="overwrite")
+    b_sz = sum(os.path.getsize(p) for p in glob.glob(f"{bloom_path}/*.parquet"))
+    d_sz = sum(os.path.getsize(p) for p in glob.glob(f"{digest_path}/*.parquet"))
+    dt = _best2_build(
+        lambda: dedup_against_path(bd, bloom_path, seen_format="bloom")
+    )
+    print(
+        f"bloom_seen_set: {n_keys} keys, build {t_build:.1f}s, probe "
+        f"{dt:.1f}s ({nd/dt/1000:.0f}k docs/s), artifact {b_sz//1024}KB "
+        f"vs digest table {d_sz//1024}KB"
+    )
+
 
 def main() -> None:
     if len(sys.argv) > 1:
