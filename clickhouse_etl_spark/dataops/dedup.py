@@ -792,11 +792,25 @@ _BLOOM_WORD_BITS = 32
 
 
 def _bloom_params(capacity: int, bits_per_key: int, n_hashes: int):
+    from .hashing import HASH_MOD
+
     if capacity <= 0:
         raise ValueError("bloom capacity must be positive")
     if not 1 <= n_hashes <= len(MINHASH_COEFFS):
         raise ValueError(f"n_hashes must be in [1, {len(MINHASH_COEFFS)}]")
-    return capacity * bits_per_key, MINHASH_COEFFS[:n_hashes]
+    m = capacity * bits_per_key
+    if m > HASH_MOD:
+        # the affine positions are < HASH_MOD = 2^31-1; a larger bitmap
+        # would silently never set its upper bits and the effective
+        # bits/key would collapse (FPR explodes with no error). Shard
+        # the seen-set into multiple filters past ~214M keys at the
+        # default 10 bits/key (hash-partition the digests, one filter
+        # per shard — they OR-merge per shard like any other wave).
+        raise ValueError(
+            f"m = capacity*bits_per_key = {m} exceeds the hash range "
+            f"({HASH_MOD}); shard the seen-set into multiple filters"
+        )
+    return m, MINHASH_COEFFS[:n_hashes]
 
 
 def write_bloom_table(
@@ -877,15 +891,24 @@ def merge_bloom_tables(spark, paths: list[str], out_path: str, mode: str = "over
     allw = frames[0]
     for f in frames[1:]:
         allw = allw.unionByName(f)
+    # the union's declared capacity is the sum of the per-TABLE
+    # capacities (each table's rows carry one constant) — computing it
+    # per word_idx group would leave row-dependent values in the
+    # merged artifact
+    total_capacity = sum(
+        int(f.select("capacity").first()["capacity"]) for f in frames
+    )
+    m, k = next(iter(metas))
     (
         allw.groupBy("word_idx")
-        .agg(
-            F.bit_or("word").alias("word"),
-            F.max("m").alias("m"),
-            F.max("n_hashes").alias("n_hashes"),
-            F.sum("capacity").alias("capacity"),
+        .agg(F.bit_or("word").alias("word"))
+        .select(
+            "word_idx",
+            "word",
+            F.lit(int(m)).cast("bigint").alias("m"),
+            F.lit(int(k)).cast("int").alias("n_hashes"),
+            F.lit(total_capacity).cast("bigint").alias("capacity"),
         )
-        .select("word_idx", "word", "m", "n_hashes", "capacity")
         .write.mode(mode)
         .parquet(out_path)
     )
@@ -914,7 +937,7 @@ def dedup_against_bloom_path(
 
     import numpy as np
 
-    from .hashing import HASH_MOD
+    from .hashing import HASH_MOD, char_fold_hash_py
 
     spark = df.sparkSession
     rows = spark.read.parquet(seen_path).collect()
@@ -928,24 +951,29 @@ def dedup_against_bloom_path(
     words = np.zeros(m // _BLOOM_WORD_BITS + 1, dtype=np.int64)
     for r in rows:
         words[int(r["word_idx"])] = int(r["word"])
+    # ship the bitmap ONCE per executor, not once per task closure —
+    # at the m <= 2^31 cap the dense array can reach ~0.5 GB
+    bc_words = spark.sparkContext.broadcast(words)
 
     in_cols = [f.name for f in df.schema.fields]
     tcol = text_col
+    wbits = _BLOOM_WORD_BITS
 
     def survivors(batches):
+        wd = bc_words.value
         for pdf in batches:
             if not len(pdf):
                 continue
             keep = []
             for i, x in enumerate(pdf[tcol]):
-                digest = hashlib.md5(((x if x is not None else "")).encode("utf-8")).hexdigest()
-                h = 0
-                for ch in digest:
-                    h = (h * 31 + ord(ch)) % HASH_MOD
+                digest = hashlib.md5(
+                    (x if x is not None else "").encode("utf-8")
+                ).hexdigest()
+                h = char_fold_hash_py(digest)
                 hit_all = True
                 for a, b in coeffs:
                     p = ((h * a + b) % HASH_MOD) % m
-                    if not (int(words[p // _BLOOM_WORD_BITS]) >> (p % _BLOOM_WORD_BITS)) & 1:
+                    if not (int(wd[p // wbits]) >> (p % wbits)) & 1:
                         hit_all = False
                         break
                 if not hit_all:

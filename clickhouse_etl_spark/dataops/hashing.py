@@ -52,6 +52,18 @@ def affine_hash(x: Column, a: int, b: int) -> Column:
     return (x * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
 
 
+def char_fold_hash_py(s: str) -> int:
+    """Python replay of :func:`char_fold_hash`, bit-identical for BMP
+    strings (``ord`` == Spark ``ascii`` there). The ONE definition the
+    Arrow-batched ops (classifier featurizer, bloom probe, online
+    scoring) share, so the fold constants cannot silently diverge from
+    the Catalyst build expressions."""
+    h = 0
+    for ch in s:
+        h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+    return h
+
+
 def char_fold_hash_sql(expr: str) -> str:
     """DuckDB SQL mirroring :func:`char_fold_hash` exactly.
 

@@ -695,6 +695,7 @@ def cluster_balanced_sample(
     diagnostic).
     """
     from .hashing import affine_hash
+    from .text import SAMPLE_A, SAMPLE_B
 
     cents = (
         centroids
@@ -704,10 +705,12 @@ def cluster_balanced_sample(
     assigned = _cells_batched(
         corpus.select(id_col, vec_col), cents, 1, id_col, vec_col
     ).select(F.col(id_col), F.col("_cells")[0].alias("cell"))
-    # SAMPLE_A/SAMPLE_B from the fixed permutation family (text.py) —
-    # a different member than balanced_sample's so composed pipelines
-    # don't correlate their samples
-    pri = affine_hash(F.col(id_col).cast("bigint"), 12613, 56857)
+    # SAMPLE_A/SAMPLE_B imported, not copied: the oracle SQL
+    # interpolates the same names, so rotating the constants cannot
+    # desynchronize the engine from the oracle. A different family
+    # member than balanced_sample's, so composed pipelines don't
+    # correlate their samples.
+    pri = affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B)
     w_rank = Window.partitionBy("cell").orderBy(pri.asc(), F.col(id_col).asc())
     w_all = Window.partitionBy("cell")
     return (

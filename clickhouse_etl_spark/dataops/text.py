@@ -817,10 +817,13 @@ def hash_feature_classifier(
 
     Scale shape: one explode + (doc, bucket) count shuffle; the weight
     table and both scalar aggregates are broadcast back, so the corpus
-    never re-shuffles after the feature stage. Integer products stay
-    under 2^53 through multi-million-doc train splits; beyond that,
-    widen the two scalar sums to DECIMAL(38,0) (the comparisons are
-    unchanged).
+    never re-shuffles after the feature stage. The fixed-point
+    divisions are exact across the full int64 range (decimal-exact
+    floor div Catalyst-side, numpy int64 `//` in the Arrow path); the
+    remaining int64 ceilings are the two threshold terms — ``Σ train
+    scores`` and ``score·n_train`` — which stay exact through ~4M
+    worst-case-score train docs and should widen to DECIMAL(38,0)
+    beyond that (the comparison is unchanged).
 
     Input must carry ``label_col`` (0/1) and ``train_col`` (0/1).
     Output: one row per document with ≥1 token — (id, is_train,
@@ -850,10 +853,18 @@ _CLF_FP = 1048576  # 2^20 fixed-point scale shared by the classifier family
 
 
 def _clf_idiv(a: Column, b: Column) -> Column:
-    # exact floor division for non-negative BIGINTs that keeps the
-    # plan in codegen: (a - a % b) is divisible by b, so the double
-    # division is exact (both operands < 2^53)
-    return ((a - a % b) / b).cast("bigint")
+    # exact floor division for non-negative BIGINTs across the FULL
+    # int64 range: (a - a % b) is exactly divisible by b, and dividing
+    # the two as DECIMAL(38,0) yields that integer quotient with a zero
+    # remainder — no rounding can occur, so the result matches DuckDB's
+    # integer `//` even when a >= 2^53 (the previous double-division
+    # form lost exactness there: the weight numerators pos_b*2^20 cross
+    # 2^53 on large train splits). A bare decimal division + floor
+    # would be WRONG: Spark rounds the quotient HALF_UP at scale 6, and
+    # a true fractional part above 1 - 5e-7 rounds across the integer
+    # boundary before floor sees it.
+    exact = (a - a % b).cast("decimal(38,0)")
+    return (exact / b.cast("decimal(38,0)")).cast("bigint")
 
 
 def _classifier_feats(
@@ -880,7 +891,7 @@ def _classifier_feats(
 
         from pyspark.sql import types as T
 
-        from .hashing import HASH_BASE, HASH_MOD
+        from .hashing import char_fold_hash_py
 
         src = scale_out(df.select(id_col, train_col, label_col, text_col))
         id_field = [f for f in src.schema.fields if f.name == id_col][0]
@@ -891,6 +902,7 @@ def _classifier_feats(
             T.StructField("_n", T.LongType(), True),
             T.StructField("_b", T.LongType(), True),
             T.StructField("_c", T.LongType(), True),
+            T.StructField("_f", T.LongType(), True),
         ])
 
         def featurize(batches):
@@ -899,10 +911,7 @@ def _classifier_feats(
             def tok_bucket(w: str) -> int:
                 b = bucket.get(w)
                 if b is None:
-                    h = 0
-                    for ch in w:
-                        h = (h * HASH_BASE + ord(ch)) % HASH_MOD
-                    b = h % dim
+                    b = char_fold_hash_py(w) % dim
                     bucket[w] = b
                 return b
 
@@ -930,6 +939,8 @@ def _classifier_feats(
                     rows * dim + flat, minlength=len(keep) * dim
                 ).reshape(len(keep), dim)
                 di, bi = mat.nonzero()
+                n_di = lens.take(di)
+                c_di = mat[di, bi]
                 yield pd.DataFrame({
                     id_col: pdf[id_col].iloc[keep].values.take(di),
                     "_tr": pd.Series(
@@ -940,14 +951,18 @@ def _classifier_feats(
                         pdf[label_col].iloc[keep].values.take(di),
                         dtype="int64",
                     ),
-                    "_n": pd.Series(lens.take(di), dtype="int64"),
+                    "_n": pd.Series(n_di, dtype="int64"),
                     "_b": pd.Series(bi, dtype="int64"),
-                    "_c": pd.Series(mat[di, bi], dtype="int64"),
+                    "_c": pd.Series(c_di, dtype="int64"),
+                    # numpy int64 floor division — exact, and c*2^20
+                    # stays far under 2^63 (c <= per-doc token count)
+                    "_f": pd.Series(
+                        (c_di.astype(np.int64) * _CLF_FP) // n_di,
+                        dtype="int64",
+                    ),
                 })
 
-        feats = src.mapInPandas(featurize, feat_schema).withColumn(
-            "_f", idiv(F.col("_c") * fp, F.col("_n"))
-        )
+        feats = src.mapInPandas(featurize, feat_schema)
     else:
         toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
         n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
@@ -1054,9 +1069,21 @@ def _derive_stop_labels(
     """Self-supervised distillation defaults for a raw documents
     stream: the Gopher-style stopword-density rule as the label and
     the 80% affine-hash split. A no-op when the frame already carries
-    both columns."""
-    if label_col in df.columns and train_col in df.columns:
+    both columns; a frame with exactly ONE of them is an error —
+    silently re-deriving both would overwrite real user labels with
+    the heuristic."""
+    has_label = label_col in df.columns
+    has_train = train_col in df.columns
+    if has_label and has_train:
         return df
+    if has_label != has_train:
+        present = label_col if has_label else train_col
+        missing = train_col if has_label else label_col
+        raise ValueError(
+            f"frame carries {present!r} but not {missing!r}: supply both "
+            "label/split columns or neither (both then derive from the "
+            "stopword-distillation defaults)"
+        )
     toks = _tokens(F.col(text_col))
     n_tok = F.regexp_count(F.col(text_col), F.lit("[^ ]+")).cast("bigint")
     return df.select(
@@ -1142,8 +1169,14 @@ def classify_against_path(
 
     from pyspark.sql import types as T
 
-    from .hashing import HASH_BASE, HASH_MOD
+    from .hashing import char_fold_hash_py
 
+    clash = {"score", "pred"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries {sorted(clash)} — rename those "
+            "columns before scoring (the op appends score/pred)"
+        )
     spark = df.sparkSession
     rows = spark.read.parquet(weights_path).collect()
     if not rows:
@@ -1172,10 +1205,7 @@ def classify_against_path(
         def tok_bucket(w: str) -> int:
             b = bucket.get(w)
             if b is None:
-                h = 0
-                for ch in w:
-                    h = (h * HASH_BASE + ord(ch)) % HASH_MOD
-                b = h % dim
+                b = char_fold_hash_py(w) % dim
                 bucket[w] = b
             return b
 

@@ -210,7 +210,8 @@ def resolve_dataop(op: str):
             src, cap=cap, n_centroids=n_centroids,
             id_col=id_col, vec_col=vec_col, **kw
         )
-        return df.join(sel.drop(vec_col) if vec_col in sel.columns else sel, id_col)
+        # sel is (cell, n_total, id, sample_rank) — no vector column
+        return df.join(sel, id_col)
 
     registry = {
         "exact_dedup": exact_dedup_keep,

@@ -29,7 +29,6 @@ from .dataops.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, 
 from .dataops.hashing import (
     HASH_MOD,
     MINHASH_COEFFS,
-    affine_hash,
     affine_hash_sql,
     char_fold_hash_sql,
 )
@@ -5818,7 +5817,13 @@ def emb_cluster_sample(spark, sf_dir):
     diversity-preserving selection step that keeps a trimmed corpus
     from collapsing onto its densest semantic regions; constant-K rank
     per cell, one cell-key shuffle. The production path swaps in the
-    Lloyd-refined k-means centroids."""
+    Lloyd-refined k-means centroids. Oracle precondition (shared with
+    the IVF entries): on EXACT sim ties the engine's desc-(sim, index)
+    struct order prefers the higher centroid index while the SQL's
+    ORDER BY sim DESC, c prefers the lower — identical assignments on
+    corpora without duplicate sample centroids or zero-norm vectors
+    (the testdata has neither; degenerate vectors land by tie rule —
+    see _cells_batched)."""
     from .dataops.similarity import cluster_balanced_sample, sample_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
