@@ -791,24 +791,27 @@ def write_digest_table(
 _BLOOM_WORD_BITS = 32
 
 
-def _bloom_params(capacity: int, bits_per_key: int, n_hashes: int):
+def _bloom_params(capacity: int, bits_per_key: int, n_hashes: int, n_shards: int):
     from .hashing import HASH_MOD
 
     if capacity <= 0:
         raise ValueError("bloom capacity must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
     if not 1 <= n_hashes <= len(MINHASH_COEFFS):
         raise ValueError(f"n_hashes must be in [1, {len(MINHASH_COEFFS)}]")
-    m = capacity * bits_per_key
+    # per-shard bitmap: keys hash-partition across shards, so each
+    # shard sizes for its share of the declared capacity
+    m = max((capacity * bits_per_key) // n_shards, _BLOOM_WORD_BITS)
     if m > HASH_MOD:
         # the affine positions are < HASH_MOD = 2^31-1; a larger bitmap
         # would silently never set its upper bits and the effective
-        # bits/key would collapse (FPR explodes with no error). Shard
-        # the seen-set into multiple filters past ~214M keys at the
-        # default 10 bits/key (hash-partition the digests, one filter
-        # per shard — they OR-merge per shard like any other wave).
+        # bits/key would collapse (FPR explodes with no error) — raise
+        # n_shards instead (each shard carries its own bitmap; ~214M
+        # keys per shard at the default 10 bits/key).
         raise ValueError(
-            f"m = capacity*bits_per_key = {m} exceeds the hash range "
-            f"({HASH_MOD}); shard the seen-set into multiple filters"
+            f"per-shard m = {m} exceeds the hash range ({HASH_MOD}); "
+            f"raise n_shards above {capacity * bits_per_key // HASH_MOD}"
         )
     return m, MINHASH_COEFFS[:n_hashes]
 
@@ -821,6 +824,7 @@ def write_bloom_table(
     n_hashes: int = 7,
     text_col: str = "text",
     mode: str = "overwrite",
+    n_shards: int = 1,
 ) -> None:
     """Persist the ingest wave's seen-set as a PORTABLE Bloom filter —
     the 100-TB tier of the digest lifecycle: where
@@ -845,15 +849,26 @@ def write_bloom_table(
     Sizing is declared, not inferred: ``capacity`` under-sized below
     the true distinct-key count degrades the false-positive rate
     (never correctness of the no-false-negative guarantee).
+
+    ``n_shards`` hash-partitions the keys across independent per-shard
+    bitmaps (``shard = key % n_shards``). The affine bit positions are
+    bounded by the 2^31-1 hash modulus, so a SINGLE bitmap caps out
+    near ~214M keys at 10 bits/key; sharding is how the artifact keeps
+    its declared bits/key past that — each shard is its own filter,
+    the table just gains a shard column, and merges require identical
+    sharding.
     """
-    m, coeffs = _bloom_params(capacity, bits_per_key, n_hashes)
+    m, coeffs = _bloom_params(capacity, bits_per_key, n_hashes, n_shards)
     h = char_fold_hash(_content_digest(text_col))
-    pos = F.explode(
-        F.array(*[affine_hash(h, a, b) % F.lit(m) for a, b in coeffs])
-    ).alias("_pos")
+    keyed = df.select(
+        (h % F.lit(n_shards)).alias("_shard"),
+        F.explode(
+            F.array(*[affine_hash(h, a, b) % F.lit(m) for a, b in coeffs])
+        ).alias("_pos"),
+    )
     words = (
-        df.select(pos)
-        .select(
+        keyed.select(
+            "_shard",
             (F.col("_pos") / F.lit(_BLOOM_WORD_BITS)).cast("bigint").alias("word_idx"),
             # F.shiftleft takes a Python int for the bit count; the SQL
             # form accepts a column
@@ -862,14 +877,16 @@ def write_bloom_table(
                 f"CAST(_pos % {_BLOOM_WORD_BITS} AS INT))"
             ).alias("_mask"),
         )
-        .groupBy("word_idx")
+        .groupBy("_shard", "word_idx")
         .agg(F.bit_or("_mask").alias("word"))
         .select(
+            F.col("_shard").cast("int").alias("shard"),
             "word_idx",
             "word",
             F.lit(m).cast("bigint").alias("m"),
             F.lit(len(coeffs)).cast("int").alias("n_hashes"),
             F.lit(capacity).cast("bigint").alias("capacity"),
+            F.lit(n_shards).cast("int").alias("n_shards"),
         )
     )
     words.write.mode(mode).parquet(path)
@@ -882,12 +899,14 @@ def merge_bloom_tables(spark, paths: list[str], out_path: str, mode: str = "over
     by test), because the build is deterministic."""
     frames = [spark.read.parquet(p) for p in paths]
     metas = {
-        (r["m"], r["n_hashes"])
+        (r["m"], r["n_hashes"], r["n_shards"])
         for f in frames
-        for r in f.select("m", "n_hashes").distinct().collect()
+        for r in f.select("m", "n_hashes", "n_shards").distinct().collect()
     }
     if len(metas) != 1:
-        raise ValueError(f"bloom tables disagree on (m, n_hashes): {sorted(metas)}")
+        raise ValueError(
+            f"bloom tables disagree on (m, n_hashes, n_shards): {sorted(metas)}"
+        )
     allw = frames[0]
     for f in frames[1:]:
         allw = allw.unionByName(f)
@@ -898,16 +917,18 @@ def merge_bloom_tables(spark, paths: list[str], out_path: str, mode: str = "over
     total_capacity = sum(
         int(f.select("capacity").first()["capacity"]) for f in frames
     )
-    m, k = next(iter(metas))
+    m, k, n_shards = next(iter(metas))
     (
-        allw.groupBy("word_idx")
+        allw.groupBy("shard", "word_idx")
         .agg(F.bit_or("word").alias("word"))
         .select(
+            "shard",
             "word_idx",
             "word",
             F.lit(int(m)).cast("bigint").alias("m"),
             F.lit(int(k)).cast("int").alias("n_hashes"),
             F.lit(total_capacity).cast("bigint").alias("capacity"),
+            F.lit(int(n_shards)).cast("int").alias("n_shards"),
         )
         .write.mode(mode)
         .parquet(out_path)
@@ -948,11 +969,14 @@ def dedup_against_bloom_path(
         )
     m = int(rows[0]["m"])
     coeffs = MINHASH_COEFFS[: int(rows[0]["n_hashes"])]
-    words = np.zeros(m // _BLOOM_WORD_BITS + 1, dtype=np.int64)
+    n_shards = int(rows[0]["n_shards"])
+    words_per_shard = m // _BLOOM_WORD_BITS + 1
+    words = np.zeros((n_shards, words_per_shard), dtype=np.int64)
     for r in rows:
-        words[int(r["word_idx"])] = int(r["word"])
+        words[int(r["shard"]), int(r["word_idx"])] = int(r["word"])
     # ship the bitmap ONCE per executor, not once per task closure —
-    # at the m <= 2^31 cap the dense array can reach ~0.5 GB
+    # at the per-shard m <= 2^31 cap the dense array can reach
+    # ~0.5 GB per shard
     bc_words = spark.sparkContext.broadcast(words)
 
     in_cols = [f.name for f in df.schema.fields]
@@ -970,10 +994,11 @@ def dedup_against_bloom_path(
                     (x if x is not None else "").encode("utf-8")
                 ).hexdigest()
                 h = char_fold_hash_py(digest)
+                shard_words = wd[h % n_shards]
                 hit_all = True
                 for a, b in coeffs:
                     p = ((h * a + b) % HASH_MOD) % m
-                    if not (int(wd[p // wbits]) >> (p % wbits)) & 1:
+                    if not (int(shard_words[p // wbits]) >> (p % wbits)) & 1:
                         hit_all = False
                         break
                 if not hit_all:

@@ -1812,6 +1812,18 @@ def test_bloom_table_no_false_negatives_and_fpr(spark, tmp_path):
     w2 = sorted((r["word_idx"], r["word"]) for r in spark.read.parquet(path2).collect())
     assert w1 == w2
 
+    # sharded build (the >214M-key tier mechanism): same guarantees
+    path4 = str(tmp_path / "bloom_seen_sharded")
+    write_bloom_table(seen, path4, capacity=2000, n_shards=4)
+    assert dedup_against_path(replay, path4, seen_format="bloom").count() == 0
+    kept4 = dedup_against_path(fresh, path4, seen_format="bloom").count()
+    assert 1.0 - kept4 / 2000.0 < 0.03
+
+    # per-shard bitmap range guard points at the sharding fix
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        write_bloom_table(seen, str(tmp_path / "bx"), capacity=300_000_000)
+
 
 def test_bloom_merge_equals_rebuild_on_union(spark, tmp_path):
     from clickhouse_etl_spark.dataops.dedup import (
