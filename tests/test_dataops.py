@@ -1853,3 +1853,32 @@ def test_bloom_merge_equals_rebuild_on_union(spark, tmp_path):
     write_bloom_table(wave1, p3, capacity=2000)
     with _pytest.raises(ValueError, match="disagree"):
         merge_bloom_tables(spark, [p1, p3], str(tmp_path / "bx"))
+
+
+def test_normalize_text_engines_identical(spark, sf_dir):
+    """The Arrow normalize pass must replay the Catalyst regex chain
+    value-for-value, including the NULL-text (NULL, -1, -1) contract
+    and messy whitespace/punctuation edges."""
+    from clickhouse_etl_spark.dataops.text import normalize_text
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "   "),
+            (9004, "Tabs\tand\nnewlines!  MIXED?? 42"),
+            (9005, "---"),
+            (9006, "  Leading and trailing  "),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("source", F.lit("edge")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    corpus = docs.unionByName(edge.select(*docs.columns))
+    a = sorted(tuple(r) for r in normalize_text(corpus).collect())
+    b = sorted(
+        tuple(r) for r in normalize_text(corpus, engine="catalyst").collect()
+    )
+    assert a == b
