@@ -5174,7 +5174,12 @@ def docs_curation_v4(spark, sf_dir):
     from .dataops.util import scale_out
 
     docs = _t(spark, sf_dir, "documents")
-    norm = normalize_text(docs).select(
+    # in-chain the fused Catalyst regex form measures ~0.3s faster at
+    # bench corpus sizes (codegen fusion beats the Arrow boundary below
+    # ~20k docs; interleaved ABBA, CLAUDE.md) — past the crossover a
+    # production chain flips to the default engine="pandas" (4.8x per
+    # doc at 100k)
+    norm = normalize_text(docs, engine="catalyst").select(
         "doc_id", "source", F.col("text_norm").alias("text")
     )
     w1 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
