@@ -1882,3 +1882,36 @@ def test_normalize_text_engines_identical(spark, sf_dir):
         tuple(r) for r in normalize_text(corpus, engine="catalyst").collect()
     )
     assert a == b
+
+
+def test_clf_idiv_exact_across_int64_range(spark):
+    """The classifier's floor division must equal Python's exact `//`
+    for non-negative int64 operands INCLUDING values past 2^53, where
+    the old double-division form silently rounded (and where a naive
+    decimal quotient would HALF_UP across integer boundaries)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.text import _clf_idiv
+
+    rng = random.Random(20260815)
+    rows = []
+    for _ in range(300):
+        a = rng.randrange(0, 2**62)
+        b = rng.randrange(1, 2**40)
+        rows.append((a, b))
+    # adversarial: quotients just below an integer (fractional part
+    # near 1 — the decimal HALF_UP trap), and exact multiples
+    for q in (1, 7, 2**30, 2**52, 2**61):
+        for b in (3, 10**6, 2**31 - 1):
+            if q * b < 2**62:
+                rows.append((q * b, b))          # exact multiple
+                rows.append((q * b + b - 1, b))  # frac part (b-1)/b
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = (
+        df.select("a", "b", _clf_idiv(F.col("a"), F.col("b")).alias("q"))
+        .collect()
+    )
+    for r in got:
+        assert r["q"] == r["a"] // r["b"], (r["a"], r["b"], r["q"])
