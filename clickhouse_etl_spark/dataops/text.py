@@ -168,7 +168,8 @@ def decontaminate(
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate
     token fraction and the character fraction covered by the most
@@ -178,12 +179,87 @@ def repetition_signals(
     Output: id, n_tokens, n_distinct_tokens, dup_token_ratio,
     top_bigram, top_bigram_count, top_bigram_char_frac.
 
-    Scale notes: one explode (corpus token count rows), one partial-agg
-    shuffle on (doc, gram), then a min(struct) argmax per doc — no
-    window sort. Determinism: argmax resolves ties by smallest gram
-    (min over struct(-count, gram)); all ratios are int/int divisions
-    evaluated in the same order as the DuckDB oracle.
+    The signal is entirely ROW-LOCAL — the bigram argmax only ever
+    compares grams of one document — so ``engine="pandas"`` (default)
+    computes it in one Arrow pass with a per-doc Counter: no explode,
+    ZERO shuffles, value-identical to the expression form
+    (equality-pinned; Python tuple-min over (-count, gram) matches the
+    struct min because UTF-8 byte order preserves code-point order,
+    and each ratio is the same single int/int IEEE division).
+
+    ``engine="catalyst"`` keeps the expression reference form: one
+    explode, one partial-agg shuffle on (doc, gram), then a
+    min(struct) argmax per doc — no window sort. Determinism: argmax
+    resolves ties by smallest gram (min over struct(-count, gram)).
     """
+    if engine == "pandas":
+        from collections import Counter
+
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            [f for f in df.schema.fields if f.name == id_col][0],
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("n_distinct_tokens", T.LongType(), True),
+            T.StructField("dup_token_ratio", T.DoubleType(), True),
+            T.StructField("top_bigram", T.StringType(), True),
+            T.StructField("top_bigram_count", T.LongType(), True),
+            T.StructField("top_bigram_char_frac", T.DoubleType(), True),
+        ])
+        src = scale_out(df.select(id_col, text_col))
+        tcol = text_col
+
+        def signals(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                n_t, n_d, ratio, grams, cnts, fracs = [], [], [], [], [], []
+                for x in pdf[tcol]:
+                    if x is None:
+                        # size(NULL) = -1 legacy contract; the left
+                        # join yields the coalesced defaults
+                        n_t.append(-1)
+                        n_d.append(-1)
+                        ratio.append(0.0)
+                        grams.append("")
+                        cnts.append(0)
+                        fracs.append(0.0)
+                        continue
+                    toks = [t for t in x.split(" ") if t]
+                    n = len(toks)
+                    d = len(set(toks))
+                    n_t.append(n)
+                    n_d.append(d)
+                    ratio.append((n - d) / n if n > 0 else 0.0)
+                    if n >= 2:
+                        cnt = Counter(
+                            toks[i] + " " + toks[i + 1] for i in range(n - 1)
+                        )
+                        neg_c, g = min((-c, g) for g, c in cnt.items())
+                        c = -neg_c
+                        grams.append(g)
+                        cnts.append(c)
+                        fracs.append(
+                            (c * len(g)) / len(x) if len(x) > 0 else 0.0
+                        )
+                    else:
+                        grams.append("")
+                        cnts.append(0)
+                        fracs.append(0.0)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].values,
+                    "n_tokens": pd.Series(n_t, dtype="int64"),
+                    "n_distinct_tokens": pd.Series(n_d, dtype="int64"),
+                    "dup_token_ratio": pd.Series(ratio, dtype="float64"),
+                    "top_bigram": grams,
+                    "top_bigram_count": pd.Series(cnts, dtype="int64"),
+                    "top_bigram_char_frac": pd.Series(fracs, dtype="float64"),
+                })
+
+        return src.mapInPandas(signals, schema)
+
     text = F.col(text_col)
     toks = F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
     base = (

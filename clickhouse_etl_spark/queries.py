@@ -6025,6 +6025,13 @@ _STALE_SIGNED = frozenset({
     # entry, docs_simhash_pairs, was demoted late-r7 — see the
     # consolidation note above):
     "docs_decontamination",
+    # repetition_signals: row-local Arrow default engine (late r7,
+    # equality-pinned vs the expression form):
+    "docs_repetition_signals",
+    # normalize_text Arrow default engine reaches docs_normalize_text
+    # (already listed above via the token-count change) and the
+    # curation chains (already listed); trained-classifier family and
+    # the late-r7 bloom/cluster ops are priority-0 (never signed).
     # normalize_text token counts: interpreted HOF filters -> codegen
     # regexp_count / spaces+1 (value-identical incl. the size(NULL)=-1
     # legacy contract; curation_v4 reaches normalize_text):

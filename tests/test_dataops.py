@@ -1915,3 +1915,33 @@ def test_clf_idiv_exact_across_int64_range(spark):
     )
     for r in got:
         assert r["q"] == r["a"] // r["b"], (r["a"], r["b"], r["q"])
+
+
+def test_repetition_signals_engines_identical(spark, sf_dir):
+    """The Arrow per-doc Counter pass must replay the explode/agg
+    expression form value-for-value — including the NULL (-1, -1)
+    contract, single-token docs, tie-broken argmax, and the exact
+    IEEE ratio divisions."""
+    from clickhouse_etl_spark.dataops.text import repetition_signals
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "one"),
+            (9004, "a b a b a b"),      # clear top bigram
+            (9005, "x y y x x y"),      # ties: 'x y' vs 'y x' vs 'y y' ... min gram wins
+            (9006, "  spaced   out  "),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("source", F.lit("edge")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    corpus = docs.unionByName(edge.select(*docs.columns))
+    a = sorted(tuple(r) for r in repetition_signals(corpus).collect())
+    b = sorted(
+        tuple(r) for r in repetition_signals(corpus, engine="catalyst").collect()
+    )
+    assert a == b
