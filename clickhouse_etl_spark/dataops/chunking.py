@@ -62,12 +62,69 @@ def top_terms(
     id_col: str = "doc_id",
     k: int = 5,
     min_len: int = 2,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Top-k terms per document by term frequency (ties: term asc).
 
-    Integer counts only (no idf/log — engine libm rounding differs);
-    the shuffle key is (doc, term): high-cardinality, skew-free.
+    Integer counts only (no idf/log — engine libm rounding differs).
+    The ranking is ROW-LOCAL (each document's terms compete only with
+    each other), so ``engine="pandas"`` (default) computes it in one
+    Arrow pass with a per-doc Counter — no explode, no (doc, term)
+    shuffle, no rank window — value-identical to the expression form
+    (equality-pinned; Python sort on (-tf, term) matches the window's
+    tf desc/term asc because UTF-8 byte order preserves code-point
+    order). ``engine="catalyst"`` keeps the reference form: explode +
+    (doc, term) agg (high-cardinality, skew-free key) + constant-K
+    WindowGroupLimit rank.
     """
+    if engine == "pandas":
+        from collections import Counter
+
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            [f for f in df.schema.fields if f.name == id_col][0],
+            T.StructField("term", T.StringType(), True),
+            T.StructField("tf", T.LongType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ])
+        src = scale_out(df.select(id_col, text_col))
+        tcol = text_col
+
+        def topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, terms, tfs, ranks = [], [], [], []
+                for did, x in zip(pdf[id_col], pdf[tcol]):
+                    if x is None:
+                        continue
+                    cnt = Counter(
+                        t for t in x.lower().split(" ") if len(t) >= min_len
+                    )
+                    if not cnt:
+                        continue
+                    best = sorted(
+                        cnt.items(), key=lambda it: (-it[1], it[0])
+                    )[:k]
+                    for r, (term, tf) in enumerate(best, start=1):
+                        ids.append(did)
+                        terms.append(term)
+                        tfs.append(tf)
+                        ranks.append(r)
+                if not ids:
+                    continue
+                yield pd.DataFrame({
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "term": terms,
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "rank": pd.Series(ranks, dtype="int32"),
+                })
+
+        return src.mapInPandas(topk, schema)
+
     df = scale_out(df)
     words = df.select(
         F.col(id_col).alias("id"),

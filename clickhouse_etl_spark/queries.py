@@ -6025,9 +6025,10 @@ _STALE_SIGNED = frozenset({
     # entry, docs_simhash_pairs, was demoted late-r7 — see the
     # consolidation note above):
     "docs_decontamination",
-    # repetition_signals: row-local Arrow default engine (late r7,
-    # equality-pinned vs the expression form):
+    # repetition_signals / top_terms: row-local Arrow default engines
+    # (late r7, equality-pinned vs the expression forms):
     "docs_repetition_signals",
+    "docs_top_terms",
     # normalize_text Arrow default engine reaches docs_normalize_text
     # (already listed above via the token-count change) and the
     # curation chains (already listed); trained-classifier family and

@@ -1945,3 +1945,31 @@ def test_repetition_signals_engines_identical(spark, sf_dir):
         tuple(r) for r in repetition_signals(corpus, engine="catalyst").collect()
     )
     assert a == b
+
+
+def test_top_terms_engines_identical(spark, sf_dir):
+    """Per-doc Counter top-k must replay the explode/agg/rank window
+    form exactly — argmax ties (tf desc, term asc), min_len filter,
+    and NULL/empty docs dropping."""
+    from clickhouse_etl_spark.dataops.chunking import top_terms
+    from clickhouse_etl_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "a b c"),                   # all below min_len -> drops
+            (9004, "zz aa zz aa bb bb cc"),    # ties everywhere
+            (9005, "solo solo solo"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("source", F.lit("edge")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    corpus = docs.unionByName(edge.select(*docs.columns))
+    a = sorted(tuple(r) for r in top_terms(corpus, k=3).collect())
+    b = sorted(
+        tuple(r) for r in top_terms(corpus, k=3, engine="catalyst").collect()
+    )
+    assert a == b
