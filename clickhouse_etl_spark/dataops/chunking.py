@@ -73,9 +73,12 @@ def top_terms(
     shuffle, no rank window — value-identical to the expression form
     (equality-pinned; Python sort on (-tf, term) matches the window's
     tf desc/term asc because UTF-8 byte order preserves code-point
-    order). ``engine="catalyst"`` keeps the reference form: explode +
-    (doc, term) agg (high-cardinality, skew-free key) + constant-K
-    WindowGroupLimit rank.
+    order). Engines agree when ``id_col`` is unique (the
+    documents-table contract): on duplicate ids the expression form
+    pools term frequencies across rows while the row-local pass ranks
+    each row independently. ``engine="catalyst"`` keeps the reference
+    form: explode + (doc, term) agg (high-cardinality, skew-free key)
+    + constant-K WindowGroupLimit rank.
     """
     if engine == "pandas":
         from collections import Counter

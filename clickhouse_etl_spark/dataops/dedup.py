@@ -786,9 +786,11 @@ def write_digest_table(
     )
 
 
-#: bits per bitmap word in the portable Bloom filter — 32 keeps every
-#: mask and word a small positive BIGINT in any engine
-_BLOOM_WORD_BITS = 32
+#: payload bits per bitmap word in the portable Bloom filter — 63 is
+#: the densest packing that keeps every mask and word a POSITIVE
+#: BIGINT in any engine (bit 63 would flip the sign); the probe's
+#: in-memory footprint is then 64/63 of optimal instead of 2x at 32
+_BLOOM_WORD_BITS = 63
 
 
 def _bloom_params(capacity: int, bits_per_key: int, n_hashes: int, n_shards: int):
@@ -859,8 +861,14 @@ def write_bloom_table(
     sharding.
     """
     m, coeffs = _bloom_params(capacity, bits_per_key, n_hashes, n_shards)
-    h = char_fold_hash(_content_digest(text_col))
-    keyed = df.select(
+    # materialize the key hash ONCE per row before fanning out — the
+    # char fold is an interpreted HOF over the md5 digest and would
+    # otherwise be re-evaluated per affine copy (n_hashes+1 times)
+    hashed = df.select(
+        char_fold_hash(_content_digest(text_col)).alias("_h")
+    )
+    h = F.col("_h")
+    keyed = hashed.select(
         (h % F.lit(n_shards)).alias("_shard"),
         F.explode(
             F.array(*[affine_hash(h, a, b) % F.lit(m) for a, b in coeffs])
@@ -898,6 +906,14 @@ def merge_bloom_tables(spark, paths: list[str], out_path: str, mode: str = "over
     rebuilding on the union corpus exactly (bitmap equality is pinned
     by test), because the build is deterministic."""
     frames = [spark.read.parquet(p) for p in paths]
+    # pre-sharding artifacts merge as n_shards=1 / shard=0
+    frames = [
+        f if "n_shards" in f.columns
+        else f.withColumn("n_shards", F.lit(1).cast("int")).withColumn(
+            "shard", F.lit(0).cast("int")
+        )
+        for f in frames
+    ]
     metas = {
         (r["m"], r["n_hashes"], r["n_shards"])
         for f in frames
@@ -967,13 +983,17 @@ def dedup_against_bloom_path(
             f"bloom table at {seen_path!r} is empty — write it with "
             "write_bloom_table first"
         )
-    m = int(rows[0]["m"])
-    coeffs = MINHASH_COEFFS[: int(rows[0]["n_hashes"])]
-    n_shards = int(rows[0]["n_shards"])
+    first = rows[0].asDict()
+    m = int(first["m"])
+    coeffs = MINHASH_COEFFS[: int(first["n_hashes"])]
+    # pre-sharding artifacts (no shard/n_shards columns) read as one
+    # unsharded filter — persisted seen-sets outlive code revisions
+    n_shards = int(first.get("n_shards", 1))
+    sharded = "shard" in first
     words_per_shard = m // _BLOOM_WORD_BITS + 1
     words = np.zeros((n_shards, words_per_shard), dtype=np.int64)
     for r in rows:
-        words[int(r["shard"]), int(r["word_idx"])] = int(r["word"])
+        words[int(r["shard"]) if sharded else 0, int(r["word_idx"])] = int(r["word"])
     # ship the bitmap ONCE per executor, not once per task closure —
     # at the per-shard m <= 2^31 cap the dense array can reach
     # ~0.5 GB per shard

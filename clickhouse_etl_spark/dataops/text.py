@@ -185,7 +185,14 @@ def repetition_signals(
     ZERO shuffles, value-identical to the expression form
     (equality-pinned; Python tuple-min over (-count, gram) matches the
     struct min because UTF-8 byte order preserves code-point order,
-    and each ratio is the same single int/int IEEE division).
+    and each ratio is the same single int/int IEEE division). The
+    row-local pass is also what makes the op genuinely STREAM-SAFE
+    (the expression form's (doc, gram) aggregation would be rejected
+    in append mode). Engines agree when ``id_col`` is unique (the
+    documents-table contract): on duplicate ids the expression form
+    pools grams across rows while the row-local pass scores each row
+    independently — the per-row semantic is the only one a stream can
+    have.
 
     ``engine="catalyst"`` keeps the expression reference form: one
     explode, one partial-agg shuffle on (doc, gram), then a
@@ -686,6 +693,11 @@ def normalize_text(
         )
         in_cols = [f.name for f in df.schema.fields]
         tcol = text_col
+        # single-file parquet reads as ONE partition — without an
+        # explicit repartition the whole Python regex pass runs on one
+        # core (the CLAUDE.md compute-heavy-dataop rule); scale_out is
+        # a no-op on streams
+        df = scale_out(df)
 
         def normalize(batches):
             for pdf in batches:

@@ -637,3 +637,48 @@ def test_dedup_against_bloom_on_streaming_chain(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM bloom_dedup_parity").collect()
     )
     assert ids == [2, 4]
+
+
+def test_repetition_signals_streaming_chain_runs(spark, tmp_path):
+    """repetition_signals has always been DECLARED stream-safe, but its
+    old expression form carried a (doc, gram) aggregation that append
+    mode would reject at runtime — the row-local Arrow engine makes
+    the declaration true. Pin that the declared chain actually RUNS on
+    a stream and emits the per-row signals."""
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "rep_stream")
+    spark.createDataFrame(
+        [
+            (1, "a b a b a b", dt.datetime(2024, 1, 1, 10)),
+            (2, "all distinct words here", dt.datetime(2024, 1, 1, 10, 1)),
+        ],
+        schema,
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    src = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(op="repetition_signals"),),
+    )
+    out = streaming_source_chain(src, "ts", value_is_json=False)(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rep_signals_stream")
+        .option("checkpointLocation", str(tmp_path / "rep_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM rep_signals_stream").collect()}
+    assert rows[1]["top_bigram"] in ("a b", "b a") and rows[1]["dup_token_ratio"] > 0.5
+    assert rows[2]["dup_token_ratio"] == 0.0
