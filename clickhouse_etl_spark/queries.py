@@ -5971,10 +5971,33 @@ _R06_CHECKED = frozenset({
     "transform_scalars", "validate_dlq_counts",
 })
 
+_R07_CHECKED = frozenset({
+    "asof_join_clicks", "cube_order_stats", "dedup_first_wins",
+    "dedup_windowed", "docs_bm25", "docs_bpe_tokens", "docs_bpe_vocab",
+    "docs_curation_v3", "docs_dup_keep_best", "docs_epoch_shuffle",
+    "docs_ngram_jaccard_pairs", "docs_quality_deciles",
+    "docs_rare_token_ratio", "docs_span_dedup", "docs_trained_classifier",
+    "docs_upsample_mixture", "emb_cluster_sample", "events_moving_sum_1h",
+    "events_winsorize", "filter_project", "funnel_conversion",
+    "otlp_flatten_metrics", "pipeline_canonical",
+    "pivot_user_event_counts", "q10_returned_revenue",
+    "q12_priority_buckets", "q13_customer_distribution",
+    "q14_conditional_agg", "q15_top_supplier", "q16_supplier_cardinality",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q3_top_revenue", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "range_join_attribution",
+    "retention_cohorts", "sink_mapping_casts", "temporal_join_enrich",
+    "transform_scalars", "validate_dlq_counts",
+})
+
 # Newest-signature round per entry, derived from the artifact key sets.
 # Newer rounds shadow older ones; entries in no set have never been
 # driver-checked (priority 0).
 _CHECKED_ROUNDS = (
+    (7, _R07_CHECKED),
     (6, _R06_CHECKED),
     (5, _R05_CHECKED),
     (4, _R04_CHECKED),
@@ -5998,45 +6021,10 @@ def _newest_signature(name: str) -> int:
 # is missing from this set. Re-snapshot at the start of each round, then add
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r7 edits after an r3..r6 signature — keep EXACTLY equal to the
-    # mechanical changed-set (tests/test_rotation.py):
-    "docs_bpe_vocab",   # merge loop under the oracle (bounded train table)
-    "docs_bpe_tokens",  # learn+apply chain under the oracle
-    "docs_hash_embed_topk",  # Arrow-batched dense rebuild (bit-identical)
-    "pipeline_canonical",    # reaches hash_embedding via the dataop registry
-    "emb_pq_ann_topk",       # shortlist_factor default 8 -> 32 (recall 0.9+)
-    "emb_ivf_pq_ann_topk",   # same default change (shared answer stage)
-    "emb_pq_index_ann_topk", # same default change (persisted path)
-    "emb_ivf_ann_topk",      # sample_centroids empty-corpus guard (ADVICE r6)
-    "events_cms_calibration",  # integral-key validation (ADVICE r6)
-    "events_kmv_distinct",     # integral-key validation (ADVICE r6)
-    "q15_top_supplier",      # global window -> 1-row max broadcast (r6 nit)
-    # the shingle-engine Arrow pass (_shingle_stream: interpreted-HOF
-    # gram projection -> mapInPandas, row-identical, equality-pinned in
-    # tests/test_dataops.py) flips every pair-engine entry's hash:
-    "docs_ngram_jaccard_pairs",
-    "docs_ngram_containment_pairs",
-    "docs_dup_clusters",
-    "docs_pipeline_e2e",
-    "docs_dedup_agreement",
-    "docs_curation_v3",
-    "docs_curation_v4",
-    # Arrow decontaminate grams (the Arrow simhash signature stage's
-    # entry, docs_simhash_pairs, was demoted late-r7 — see the
-    # consolidation note above):
-    "docs_decontamination",
-    # repetition_signals / top_terms: row-local Arrow default engines
-    # (late r7, equality-pinned vs the expression forms):
-    "docs_repetition_signals",
-    "docs_top_terms",
-    # normalize_text Arrow default engine reaches docs_normalize_text
-    # (already listed above via the token-count change) and the
-    # curation chains (already listed); trained-classifier family and
-    # the late-r7 bloom/cluster ops are priority-0 (never signed).
-    # normalize_text token counts: interpreted HOF filters -> codegen
-    # regexp_count / spaces+1 (value-identical incl. the size(NULL)=-1
-    # legacy contract; curation_v4 reaches normalize_text):
-    "docs_normalize_text",
+    # r8 edits after an r3..r7 signature — keep EXACTLY equal to the
+    # mechanical changed-set (tests/test_rotation.py). Empty at round
+    # start: impl_hashes_signed.json was re-snapshotted at the r7-signed
+    # commit aa2d0e8 (whose source tree is identical to the r8 start).
 })
 
 
