@@ -100,6 +100,22 @@ def _shingle_stream(
         )
 
     import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    # preserve the input id column's actual type (ADVICE r7: hardcoding
+    # 'id long' made the engines diverge for int32/string doc ids)
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("sz", LongType(), False),
+            StructField("g", StringType(), True),
+        ]
+    )
+    id_dtype = {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8",
+    }.get(id_field.dataType.simpleString(), "object")
 
     def gen(batches):
         for pdf in batches:
@@ -123,13 +139,13 @@ def _shingle_stream(
                 gs.extend(grams)
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(ids, dtype="int64"),
+                    "id": pd.Series(ids, dtype=id_dtype),
                     "sz": pd.Series(szs, dtype="int64"),
                     "g": pd.Series(gs, dtype="object"),
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, "id long, sz long, g string")
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def _shared_shingle_pairs(
@@ -719,11 +735,20 @@ def dedup_against_path(
         seen = seen_raw.select(_content_digest(text_col).alias("_h")).distinct()
     if df.isStreaming:
         if cache_static:
-            cached = _DIGEST_CACHES.get(seen_path)
-            if cached is None:
-                cached = seen.cache()
-                _DIGEST_CACHES[seen_path] = cached
-            seen = cached
+            # keyed by (path, file listing): a wave that REWRITES the
+            # digest table at the same path produces new part files
+            # (overwrite and append both change the listing), so a
+            # stale cached seen-set is detected and dropped instead of
+            # silently anti-joining against old digests (ADVICE r7)
+            sig = tuple(sorted(seen_raw.inputFiles()))
+            entry = _DIGEST_CACHES.get(seen_path)
+            if entry is not None and entry[0] != sig:
+                entry[1].unpersist()
+                entry = None
+            if entry is None:
+                entry = (sig, seen.cache())
+                _DIGEST_CACHES[seen_path] = entry
+            seen = entry[1]
         return (
             df.withColumn("_h", _content_digest(text_col))
             .join(seen, "_h", "left_anti")
@@ -737,8 +762,9 @@ def dedup_against_path(
     return exact_dedup_keep(survivors, text_col=text_col, id_col=id_col)
 
 
-#: streaming static-digest caches keyed by seen_path — see
-#: :func:`dedup_against_path` (cache lifetime) and
+#: streaming static-digest caches keyed by seen_path, valued
+#: (file-listing signature, cached frame) — see
+#: :func:`dedup_against_path` (cache lifetime + staleness) and
 #: :func:`release_digest_cache`
 _DIGEST_CACHES: dict = {}
 
@@ -756,9 +782,9 @@ def release_digest_cache(seen_path: str | None = None) -> int:
     )
     released = 0
     for p in paths:
-        cached = _DIGEST_CACHES.pop(p, None)
-        if cached is not None:
-            cached.unpersist()
+        entry = _DIGEST_CACHES.pop(p, None)
+        if entry is not None:
+            entry[1].unpersist()
             released += 1
     return released
 
@@ -951,11 +977,44 @@ def merge_bloom_tables(spark, paths: list[str], out_path: str, mode: str = "over
     )
 
 
+#: bloom bitmap broadcast caches keyed by seen_path, valued
+#: (file-listing signature, broadcast, m, n_hashes, n_shards) — repeat
+#: per-wave probes in one session reuse the executor-resident bitmap
+#: instead of stacking a new ~0.5 GB broadcast per call (ADVICE r7);
+#: see :func:`release_bloom_cache`
+_BLOOM_CACHES: dict = {}
+
+#: refuse to materialize a dense probe bitmap larger than this many
+#: bytes across all shards — a mis-declared capacity should fail loud
+#: at plan build, not slowly strain executors (VERDICT r7 nit); callers
+#: with genuinely huge seen-sets pass max_bitmap_bytes explicitly
+_BLOOM_BITMAP_MAX_BYTES = 1 << 30
+
+
+def release_bloom_cache(seen_path: str | None = None) -> int:
+    """Unpersist the broadcast bloom bitmap for ``seen_path`` (or ALL
+    cached bitmaps when None) — the bloom mirror of
+    :func:`release_digest_cache`. Returns the number released."""
+    paths = (
+        [seen_path]
+        if seen_path is not None
+        else list(_BLOOM_CACHES)
+    )
+    released = 0
+    for p in paths:
+        entry = _BLOOM_CACHES.pop(p, None)
+        if entry is not None:
+            entry[1].unpersist()
+            released += 1
+    return released
+
+
 def dedup_against_bloom_path(
     df: DataFrame,
     seen_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bitmap_bytes: int | None = None,
 ) -> DataFrame:
     """Survivors of a Bloom-filter probe against a
     :func:`write_bloom_table` artifact — the row-local half of the
@@ -977,27 +1036,68 @@ def dedup_against_bloom_path(
     from .hashing import HASH_MOD, char_fold_hash_py
 
     spark = df.sparkSession
-    rows = spark.read.parquet(seen_path).collect()
-    if not rows:
-        raise ValueError(
-            f"bloom table at {seen_path!r} is empty — write it with "
-            "write_bloom_table first"
+    seen_raw = spark.read.parquet(seen_path)
+    sig = tuple(sorted(seen_raw.inputFiles()))
+    entry = _BLOOM_CACHES.get(seen_path)
+    if entry is not None and entry[0] != sig:
+        entry[1].unpersist()
+        entry = None
+    if entry is None:
+        rows = seen_raw.collect()
+        if not rows:
+            raise ValueError(
+                f"bloom table at {seen_path!r} is empty — write it with "
+                "write_bloom_table first"
+            )
+        # a single distinct geometry across the artifact rows — a
+        # mode='append' write with a different capacity would otherwise
+        # mix m values the probe silently misreads, breaking the
+        # no-false-negative guarantee (ADVICE r7; merge_bloom_tables
+        # already asserts this)
+        metas = {
+            (
+                int(r["m"]),
+                int(r["n_hashes"]),
+                int(r["n_shards"]) if "n_shards" in r.asDict() else 1,
+            )
+            for r in rows
+        }
+        if len(metas) != 1:
+            raise ValueError(
+                f"bloom table at {seen_path!r} mixes geometries "
+                f"{sorted(metas)} — rebuild or merge_bloom_tables with "
+                "one (m, n_hashes, n_shards)"
+            )
+        m, k, n_shards = next(iter(metas))
+        first = rows[0].asDict()
+        sharded = "shard" in first
+        words_per_shard = m // _BLOOM_WORD_BITS + 1
+        total_bytes = n_shards * words_per_shard * 8
+        cap = (
+            max_bitmap_bytes
+            if max_bitmap_bytes is not None
+            else _BLOOM_BITMAP_MAX_BYTES
         )
-    first = rows[0].asDict()
-    m = int(first["m"])
-    coeffs = MINHASH_COEFFS[: int(first["n_hashes"])]
-    # pre-sharding artifacts (no shard/n_shards columns) read as one
-    # unsharded filter — persisted seen-sets outlive code revisions
-    n_shards = int(first.get("n_shards", 1))
-    sharded = "shard" in first
-    words_per_shard = m // _BLOOM_WORD_BITS + 1
-    words = np.zeros((n_shards, words_per_shard), dtype=np.int64)
-    for r in rows:
-        words[int(r["shard"]) if sharded else 0, int(r["word_idx"])] = int(r["word"])
-    # ship the bitmap ONCE per executor, not once per task closure —
-    # at the per-shard m <= 2^31 cap the dense array can reach
-    # ~0.5 GB per shard
-    bc_words = spark.sparkContext.broadcast(words)
+        if total_bytes > cap:
+            raise ValueError(
+                f"dense bloom bitmap would materialize {total_bytes} bytes "
+                f"across {n_shards} shard(s) (> {cap}); the declared "
+                "capacity is likely mis-sized — shrink it, or pass "
+                "max_bitmap_bytes to accept the footprint"
+            )
+        words = np.zeros((n_shards, words_per_shard), dtype=np.int64)
+        for r in rows:
+            words[int(r["shard"]) if sharded else 0, int(r["word_idx"])] = int(
+                r["word"]
+            )
+        # ship the bitmap ONCE per executor, not once per task closure —
+        # at the per-shard m <= 2^31 cap the dense array can reach
+        # ~0.5 GB per shard; cache per seen_path so repeated waves reuse
+        # it (release_bloom_cache frees it)
+        entry = (sig, spark.sparkContext.broadcast(words), m, k, n_shards)
+        _BLOOM_CACHES[seen_path] = entry
+    _, bc_words, m, k, n_shards = entry
+    coeffs = MINHASH_COEFFS[:k]
 
     in_cols = [f.name for f in df.schema.fields]
     tcol = text_col

@@ -3118,7 +3118,15 @@ def emb_pq_index_ann_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = f"/tmp/pq_index_reg_{os.path.basename(os.path.normpath(sf_dir))}"
+    # per-pid artifact path (VERDICT r7 nit): build is delete-then-
+    # write, so a fixed path shared across processes lets two
+    # concurrent sessions (pytest + a bench sweep) race one into
+    # UNABLE_TO_INFER_SCHEMA; the session warehouse-dir convention
+    # already isolates per pid
+    path = (
+        f"/tmp/pq_index_reg_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
     pq_index_build(
         emb, path,
         centroids=sample_centroids(emb, n_centroids=16),
@@ -6022,9 +6030,24 @@ def _newest_signature(name: str) -> int:
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
     # r8 edits after an r3..r7 signature — keep EXACTLY equal to the
-    # mechanical changed-set (tests/test_rotation.py). Empty at round
-    # start: impl_hashes_signed.json was re-snapshotted at the r7-signed
-    # commit aa2d0e8 (whose source tree is identical to the r8 start).
+    # mechanical changed-set (tests/test_rotation.py).
+    # ADVICE-r7 _shingle_stream id-dtype fix flips every pair-engine
+    # consumer's hash (value-identical for the registry's bigint ids):
+    "docs_ngram_jaccard_pairs",
+    "docs_ngram_containment_pairs",
+    "docs_dup_clusters",
+    "docs_dup_keep_best",
+    "docs_pipeline_e2e",
+    "docs_dedup_agreement",
+    "docs_decontamination",
+    "docs_curation_v3",
+    "docs_curation_v4",
+    "pipeline_canonical",  # reaches the dataop registry
+    # classifier threshold terms widened to DECIMAL(38,0) (VERDICT r7
+    # nit #2; pred values unchanged — boundary-tested past 2^63):
+    "docs_trained_classifier",
+    # per-pid persisted-index artifact path (VERDICT r7 nit #1):
+    "emb_pq_index_ann_topk",
 })
 
 

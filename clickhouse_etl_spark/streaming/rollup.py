@@ -30,22 +30,37 @@ def metric_rollup_stream(
     window_duration: str = "5 minutes",
     watermark: str = "10 minutes",
     host_attr: str = "host",
+    metric_type: str = "gauge",
 ) -> DataFrame:
     """Event-time tumbling rollup over a flattened OTLP metrics STREAM
     (``sources.otlp.flatten_metrics`` output): per (resource host,
-    window) gauge-point count, sum/min/max in exact integer cents, and
+    window) point count, sum/min/max in exact integer cents, and
     points/sec — the same aggregates as the oracle-backed batch entry
     ``otlp_metric_rollup_5m``, windowed by Spark's ``window()`` instead
     of integer arithmetic (identical bucketing for epoch-aligned
     durations).
 
+    ``metric_type`` selects the NUMBER-datapoint family to roll up
+    (VERDICT r7 #6): ``"gauge"`` (default) or ``"sum"`` — sum
+    datapoints carry either ``asDouble`` or ``asInt``
+    (flattener/metrics.go:24-45 keeps both), so the value is
+    ``coalesce(value_double, value_int)``. Histogram-family rollups
+    (count/sum/bucket_counts) live in :func:`histogram_rollup_stream`.
+
     One watermarked hash-shuffle on (host, window); state is one row
     per open window per host, evicted at watermark passage — bounded by
     host cardinality, not traffic.
     """
-    cents = F.round(F.col("value_double") * 100).cast("bigint")
+    if metric_type not in ("gauge", "sum"):
+        raise ValueError(
+            f"metric_rollup_stream handles the number-datapoint "
+            f"families (gauge|sum), not {metric_type!r}; histograms "
+            "roll up via histogram_rollup_stream"
+        )
+    value = F.coalesce(F.col("value_double"), F.col("value_int").cast("double"))
+    cents = F.round(value * 100).cast("bigint")
     g = (
-        flat.filter(F.col("metric_type") == "gauge")
+        flat.filter(F.col("metric_type") == metric_type)
         .select(
             F.element_at(F.col("resource_attributes"), F.lit(host_attr)).alias(
                 "host"
@@ -77,8 +92,95 @@ def metric_rollup_stream(
             F.round(
                 F.col("n_points").cast("double") / secs.cast("double"), 6
             ).alias("points_per_sec"),
+            F.lit(metric_type).alias("metric_type"),
         )
     )
+
+
+def histogram_rollup_stream(
+    flat: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    host_attr: str = "host",
+) -> DataFrame:
+    """Event-time tumbling rollup of the HISTOGRAM datapoint family
+    (VERDICT r7 #6) — the reference flattens all five families
+    (flattener/metrics.go:13-213); count, sum, and per-bucket counts
+    are associative, so they window exactly like the gauge rollup.
+
+    Two grains in ONE streaming frame (the flatten_metrics wide-row
+    convention — nulls for members a row kind never sets):
+
+    - ``bucket_idx = -1``: per (host, window) scalars — datapoint
+      count, Σcount (total observations), Σsum in exact cents,
+      min(min)/max(max) cents;
+    - ``bucket_idx >= 0``: per (host, window, bucket) Σ of that
+      bucket's counts (``bucket_counts[i]`` is the observations in
+      bucket i — element-wise addition is the histogram merge rule).
+
+    The bucket grain is a posexplode BEFORE the aggregation, so state
+    stays one row per (host, open window, bucket) — never a per-window
+    array buffer — and both branches share the same watermark. Append
+    mode emits each row once at watermark passage.
+    """
+    h = (
+        flat.filter(F.col("metric_type") == "histogram")
+        .select(
+            F.element_at(F.col("resource_attributes"), F.lit(host_attr)).alias(
+                "host"
+            ),
+            F.to_timestamp("timestamp").alias("timestamp"),
+            F.col("count").cast("bigint").alias("_cnt"),
+            F.round(F.col("sum") * 100).cast("bigint").alias("_sum_c"),
+            F.round(F.col("min") * 100).cast("bigint").alias("_min_c"),
+            F.round(F.col("max") * 100).cast("bigint").alias("_max_c"),
+            F.col("bucket_counts"),
+        )
+        .withWatermark("timestamp", watermark)
+    )
+    win = F.window("timestamp", window_duration)
+    scalars = (
+        h.groupBy("host", win.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.sum("_cnt").cast("bigint").alias("total_count"),
+            F.sum("_sum_c").cast("bigint").alias("sum_cents"),
+            F.min("_min_c").cast("bigint").alias("min_cents"),
+            F.max("_max_c").cast("bigint").alias("max_cents"),
+        )
+        .select(
+            "host",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.lit(-1).cast("int").alias("bucket_idx"),
+            "n_points",
+            "total_count",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+            F.lit(None).cast("bigint").alias("bucket_n"),
+        )
+    )
+    buckets = (
+        h.select(
+            "host",
+            "timestamp",
+            F.posexplode("bucket_counts").alias("bucket_idx", "_bn"),
+        )
+        .groupBy("host", F.col("bucket_idx"), win.alias("w"))
+        .agg(F.sum("_bn").cast("bigint").alias("bucket_n"))
+        .select(
+            "host",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.col("bucket_idx").cast("int").alias("bucket_idx"),
+            F.lit(None).cast("bigint").alias("n_points"),
+            F.lit(None).cast("bigint").alias("total_count"),
+            F.lit(None).cast("bigint").alias("sum_cents"),
+            F.lit(None).cast("bigint").alias("min_cents"),
+            F.lit(None).cast("bigint").alias("max_cents"),
+            "bucket_n",
+        )
+    )
+    return scalars.unionByName(buckets)
 
 
 def _duration_seconds(duration: str) -> float:

@@ -35,10 +35,7 @@ OUT = os.path.join(
 )
 
 
-def exchange_counts(plan: str) -> dict:
-    total = plan.count("Exchange")
-    bcast = plan.count("BroadcastExchange")
-    return {"shuffle": total - bcast, "broadcast": bcast}
+from clickhouse_etl_spark.planstats import exchange_counts  # noqa: E402
 
 
 def main() -> int:

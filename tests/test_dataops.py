@@ -1973,3 +1973,173 @@ def test_top_terms_engines_identical(spark, sf_dir):
         tuple(r) for r in top_terms(corpus, k=3, engine="catalyst").collect()
     )
     assert a == b
+
+
+def test_digest_cache_invalidates_on_rewrite(spark, sf_dir, tmp_path):
+    """ADVICE r7 (medium): the per-path streaming digest cache must
+    drop itself when the digest table at that path is REWRITTEN —
+    otherwise a later wave silently anti-joins against the stale
+    seen-set. The cache key is the parquet file listing (overwrite and
+    append both change it)."""
+    from clickhouse_etl_spark.dataops import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = str(tmp_path / "digests_rw")
+    dd.write_digest_table(docs.limit(20), seen, mode="overwrite")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    dd.dedup_against_path(stream, seen)
+    sig1, frame1 = dd._DIGEST_CACHES[seen]
+    # repeat call with an unchanged table: reuses the same cache entry
+    dd.dedup_against_path(stream, seen)
+    assert dd._DIGEST_CACHES[seen][0] == sig1
+    assert dd._DIGEST_CACHES[seen][1] is frame1
+    # rewrite the table -> new part files -> cache must rotate
+    dd.write_digest_table(docs.limit(40), seen, mode="overwrite")
+    dd.dedup_against_path(stream, seen)
+    sig2, frame2 = dd._DIGEST_CACHES[seen]
+    assert sig2 != sig1
+    # the rotated entry is a FRESH frame over the new listing (the old
+    # one was unpersisted; storageLevel can't observe that here because
+    # the cache manager matches both frames' identical logical plans)
+    assert frame2 is not frame1
+    assert dd.release_digest_cache(seen) == 1
+
+
+def test_bloom_probe_rejects_mixed_geometry(spark, tmp_path):
+    """ADVICE r7: two write_bloom_table calls with different capacity
+    into ONE path (mode='append') yield a mixed-geometry artifact; the
+    probe must refuse it instead of silently reading the wrong m and
+    breaking the no-false-negative guarantee."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "bloom_mixed")
+    dd.write_bloom_table(docs, path, capacity=1000)
+    dd.write_bloom_table(docs, path, capacity=2000, mode="append")
+    with _pytest.raises(ValueError, match="mixes geometries"):
+        dd.dedup_against_bloom_path(docs, path).collect()
+
+
+def test_bloom_bitmap_size_guard(spark, tmp_path):
+    """VERDICT r7 nit: a mis-declared capacity must fail loud at plan
+    build when the dense probe bitmap would exceed the byte budget —
+    and the override parameter accepts the footprint explicitly."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "bloom_guard")
+    dd.write_bloom_table(docs, path, capacity=100_000)
+    with _pytest.raises(ValueError, match="max_bitmap_bytes"):
+        dd.dedup_against_bloom_path(docs, path, max_bitmap_bytes=64)
+    # explicit acceptance proceeds
+    assert dd.dedup_against_bloom_path(
+        docs, path, max_bitmap_bytes=1 << 30
+    ).count() == 0
+    dd.release_bloom_cache(path)
+
+
+def test_release_bloom_cache_and_rewrite_invalidation(spark, tmp_path):
+    """ADVICE r7: the broadcast bloom bitmap is cached per seen_path
+    (no per-call broadcast stacking), invalidates when the artifact is
+    rewritten, and releases on demand like the digest cache."""
+    from clickhouse_etl_spark.dataops import dedup as dd
+
+    dd.release_bloom_cache()
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "bloom_cache")
+    dd.write_bloom_table(docs, path, capacity=1000)
+    dd.dedup_against_bloom_path(docs, path)
+    entry1 = dd._BLOOM_CACHES[path]
+    dd.dedup_against_bloom_path(docs, path)
+    assert dd._BLOOM_CACHES[path] is entry1  # reused, not re-broadcast
+    # rewrite with more keys: the probe must pick up the new bitmap
+    more = spark.createDataFrame(
+        [(i, f"extra {i}") for i in range(300)], ["doc_id", "text"]
+    )
+    dd.write_bloom_table(docs.unionByName(more), path, capacity=1000)
+    assert dd.dedup_against_bloom_path(more, path).count() == 0
+    assert dd._BLOOM_CACHES[path] is not entry1
+    assert dd.release_bloom_cache(path) == 1
+    assert dd.release_bloom_cache(path) == 0
+
+
+def test_shingle_stream_preserves_id_type(spark):
+    """ADVICE r7: the Arrow shingle engine must carry the input id
+    column's actual type (int32, string) instead of hardcoding long —
+    both engines agree on schema AND values for every id type."""
+    from clickhouse_etl_spark.dataops.dedup import _shingle_stream
+
+    text = "one two three four five six seven"
+    for id_vals, id_type in [
+        ([1, 2], "int"),
+        ([10**12, 10**12 + 1], "long"),
+        (["a-1", "b-2"], "string"),
+    ]:
+        df = spark.createDataFrame(
+            [(v, text) for v in id_vals],
+            f"doc_id {id_type}, text string",
+        )
+        a = _shingle_stream(df, "text", "doc_id", 5, engine="pandas")
+        b = _shingle_stream(df, "text", "doc_id", 5, engine="catalyst")
+        assert a.schema["id"].dataType == b.schema["id"].dataType, id_type
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), id_type
+
+
+def test_classifier_threshold_decimal_past_int64(spark):
+    """VERDICT r7 nit discharged: the two threshold terms are
+    DECIMAL(38,0), so a train-score sum PAST the int64 ceiling stays
+    exact and the calibrated comparison is unchanged."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.text import (
+        _calibrated_pred,
+        _classifier_threshold,
+    )
+
+    big = 2**62
+    scored = spark.createDataFrame(
+        [
+            (1, 1, 1, big), (2, 1, 1, big), (3, 1, 1, big), (4, 1, 1, big),
+            (5, 0, 1, big),        # apply doc at exactly the mean -> pred 0
+            (6, 0, 1, big - 1),    # just under -> pred 0
+            (7, 0, 0, -big),       # far under -> pred 0
+        ],
+        "doc_id long, _tr long, _y long, score long",
+    )
+    thr = _classifier_threshold(scored)
+    row = thr.collect()[0]
+    assert int(row["_ss"]) == 4 * big  # 2^64: exact, past int64
+    assert row["_nt"] == 4
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in scored.crossJoin(F.broadcast(thr))
+        .select("doc_id", _calibrated_pred().alias("pred"))
+        .collect()
+    }
+    # score*4 > 4*big only for score > big; everything here is <= big
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0}
+    # one doc just over the mean flips to 1 (product 2^64 + 4)
+    over = spark.createDataFrame(
+        [(8, 0, 1, big + 1)], "doc_id long, _tr long, _y long, score long"
+    )
+    pred = (
+        over.crossJoin(F.broadcast(thr))
+        .select(_calibrated_pred().alias("pred"))
+        .collect()[0]["pred"]
+    )
+    assert pred == 1

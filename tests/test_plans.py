@@ -255,12 +255,12 @@ def test_exchange_counts_match_signed_baseline(spark, sf_dir):
     baseline = json.load(open(base_path))
     missing = sorted(set(QUERIES) - set(baseline))
     assert not missing, f"entries missing from exchange baseline: {missing}"
+    from clickhouse_etl_spark.planstats import exchange_counts
+
     drifted = {}
     for name, qd in QUERIES.items():
         plan = _plan(spark, sf_dir, name)
-        total = plan.count("Exchange")
-        bcast = plan.count("BroadcastExchange")
-        got = {"shuffle": total - bcast, "broadcast": bcast}
+        got = exchange_counts(plan)
         if got != baseline[name]:
             drifted[name] = f"{baseline[name]} -> {got}"
     assert not drifted, (
