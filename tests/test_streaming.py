@@ -637,3 +637,94 @@ def test_streaming_otlp_sum_and_histogram_rollup(spark, tmp_path):
     }
     assert got_sum == truth_sum
     assert got_hist == truth_hist
+
+
+def test_streaming_curation_chain_parity_with_batch(spark, tmp_path):
+    """VERDICT r7 #2: the full production curation chain — normalize →
+    bloom dedup_against → classify_against scoring → windowed rollup —
+    runs as ONE StreamingQuery, and its closed windows equal the batch
+    chain on the same corpus exactly (the plan is identical; the
+    watermark no-ops in batch)."""
+    import datetime as _dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        release_bloom_cache,
+        write_bloom_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        normalize_text,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.streaming.curation import curation_rollup_stream
+
+    from tests.conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(1_700_000_000 + F.col("doc_id") * 13).alias("ts"),
+        )
+    )
+    # cross-wave seen-set: the even half, keyed by CANONICAL text
+    bloom = str(tmp_path / "curation_bloom")
+    write_bloom_table(
+        normalize_text(docs.filter("doc_id % 2 = 0")),
+        bloom, capacity=1000, text_col="text_norm",
+    )
+    # persisted classifier trained on the canonical corpus
+    weights = str(tmp_path / "curation_weights")
+    write_classifier_table(normalize_text(docs), weights, text_col="text_norm")
+
+    truth = {
+        (r["window_start_us"], r["pred"]): (
+            r["n_docs"], r["sum_tokens"], r["sum_score"],
+        )
+        for r in curation_rollup_stream(docs, bloom, weights).collect()
+    }
+    assert truth, "batch curation rollup is empty"
+    assert len({k[0] for k in truth}) > 3, "need several windows"
+    release_bloom_cache(bloom)
+
+    # stream the same corpus + a far-future sentinel doc that survives
+    # every row-local stage (fresh text, trained stopword buckets) so
+    # the watermark closes all real windows
+    src = str(tmp_path / "curation_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    max_ts = docs.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + _dt.timedelta(days=1)
+    spark.createDataFrame(
+        [(10**9, "the and is of to in completely fresh sentinel text", sentinel_ts)],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curation_rollup_stream(stream, bloom, weights)
+        .writeStream.format("memory")
+        .queryName("curation_rollup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_curation"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    sentinel_us = int(sentinel_ts.timestamp()) * 1_000_000
+    got = {
+        (r["window_start_us"], r["pred"]): (
+            r["n_docs"], r["sum_tokens"], r["sum_score"],
+        )
+        for r in spark.sql("SELECT * FROM curation_rollup_out").collect()
+        if r["window_start_us"] < sentinel_us - 600_000_000
+    }
+    assert got == truth
+    release_bloom_cache(bloom)
