@@ -1009,33 +1009,15 @@ def release_bloom_cache(seen_path: str | None = None) -> int:
     return released
 
 
-def dedup_against_bloom_path(
-    df: DataFrame,
-    seen_path: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_bitmap_bytes: int | None = None,
-) -> DataFrame:
-    """Survivors of a Bloom-filter probe against a
-    :func:`write_bloom_table` artifact — the row-local half of the
-    100-TB digest lifecycle: the bitmap loads ONCE at plan build
-    (bounded by the DECLARED capacity: m/32 words ≈ 40 KB per 100k
-    keys) and ships in the task closure, so probing is one Arrow
-    ``mapInPandas`` pass with no join, no shuffle, and no state —
-    stream-safe under append mode.
-
-    Guarantees: every previously-seen document drops (no false
-    negatives — dup leaks are impossible); ~FPR of genuinely fresh
-    documents drop with it (the declared bits/key trade). The Python
-    md5/char-fold replay is bit-identical to the Catalyst build
-    expressions (pinned by test)."""
-    import hashlib
-
+def _bloom_broadcast(spark, seen_path: str, max_bitmap_bytes: int | None = None):
+    """(broadcast dense bitmap, m, n_hashes, n_shards) for the
+    :func:`write_bloom_table` artifact at ``seen_path`` — cached per
+    path (``_BLOOM_CACHES``), invalidated when the artifact's parquet
+    file listing changes, released via :func:`release_bloom_cache`.
+    Shared by :func:`dedup_against_bloom_path` and the fused curation
+    pass (streaming/curation.py)."""
     import numpy as np
 
-    from .hashing import HASH_MOD, char_fold_hash_py
-
-    spark = df.sparkSession
     seen_raw = spark.read.parquet(seen_path)
     sig = tuple(sorted(seen_raw.inputFiles()))
     entry = _BLOOM_CACHES.get(seen_path)
@@ -1097,8 +1079,37 @@ def dedup_against_bloom_path(
         entry = (sig, spark.sparkContext.broadcast(words), m, k, n_shards)
         _BLOOM_CACHES[seen_path] = entry
     _, bc_words, m, k, n_shards = entry
-    coeffs = MINHASH_COEFFS[:k]
+    return bc_words, m, k, n_shards
 
+
+def dedup_against_bloom_path(
+    df: DataFrame,
+    seen_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bitmap_bytes: int | None = None,
+) -> DataFrame:
+    """Survivors of a Bloom-filter probe against a
+    :func:`write_bloom_table` artifact — the row-local half of the
+    100-TB digest lifecycle: the bitmap loads ONCE at plan build
+    (bounded by the DECLARED capacity: m/32 words ≈ 40 KB per 100k
+    keys) and ships in the task closure, so probing is one Arrow
+    ``mapInPandas`` pass with no join, no shuffle, and no state —
+    stream-safe under append mode.
+
+    Guarantees: every previously-seen document drops (no false
+    negatives — dup leaks are impossible); ~FPR of genuinely fresh
+    documents drop with it (the declared bits/key trade). The Python
+    md5/char-fold replay is bit-identical to the Catalyst build
+    expressions (pinned by test)."""
+    import hashlib
+
+    from .hashing import HASH_MOD, char_fold_hash_py
+
+    bc_words, m, k, n_shards = _bloom_broadcast(
+        df.sparkSession, seen_path, max_bitmap_bytes
+    )
+    coeffs = MINHASH_COEFFS[:k]
     in_cols = [f.name for f in df.schema.fields]
     tcol = text_col
     wbits = _BLOOM_WORD_BITS

@@ -1308,6 +1308,26 @@ def write_classifier_table(
     )
 
 
+def _load_classifier(spark, weights_path: str):
+    """(dim, s_sum, n_tr, {bucket: wt}) from a
+    :func:`write_classifier_table` artifact — driver-side, a few KB
+    (the table is dim-bounded). ``s_sum`` reads back as an
+    arbitrary-precision Python int (DECIMAL(38,0) column). Shared by
+    :func:`classify_against_path` and the fused curation pass
+    (streaming/curation.py)."""
+    rows = spark.read.parquet(weights_path).collect()
+    if not rows:
+        raise ValueError(
+            f"classifier table at {weights_path!r} is empty — write it "
+            "with write_classifier_table first"
+        )
+    dim = int(rows[0]["dim"])
+    s_sum = int(rows[0]["s_sum"])
+    n_tr = int(rows[0]["n_tr"])
+    wt = {int(r["bucket"]): int(r["wt"]) for r in rows}
+    return dim, s_sum, n_tr, wt
+
+
 def classify_against_path(
     df: DataFrame,
     weights_path: str,
@@ -1345,17 +1365,7 @@ def classify_against_path(
             f"input already carries {sorted(clash)} — rename those "
             "columns before scoring (the op appends score/pred)"
         )
-    spark = df.sparkSession
-    rows = spark.read.parquet(weights_path).collect()
-    if not rows:
-        raise ValueError(
-            f"classifier table at {weights_path!r} is empty — write it "
-            "with write_classifier_table first"
-        )
-    dim = int(rows[0]["dim"])
-    s_sum = int(rows[0]["s_sum"])
-    n_tr = int(rows[0]["n_tr"])
-    wt = {int(r["bucket"]): int(r["wt"]) for r in rows}
+    dim, s_sum, n_tr, wt = _load_classifier(df.sparkSession, weights_path)
     fp = _CLF_FP
 
     schema = T.StructType(

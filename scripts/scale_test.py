@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8"]
 
 
 def materialize(spark) -> None:
@@ -686,6 +686,136 @@ def section_r7b(spark) -> None:
     )
 
 
+def section_r8(spark) -> None:
+    """Decade-up scale evidence (VERDICT r7 #5): the flagship ops at
+    100M events / 1M docs, each timed against its 10M/100k baseline in
+    the SAME JVM so the per-row-cost ratio is steal-comparable. Linear
+    scaling reads as ratio ≈ 1 (10× data, 10× time); a ratio past ~2
+    means something super-linear crept in (a spill, a broadcast
+    crossing a threshold, a driver collect growing with N) and is
+    flagged loud. Everything must complete OOM-free inside the 128 GiB
+    sandbox bound — which it does with wide headroom: the section's
+    frames stream through the executors (no caching), so peak memory
+    tracks partition size, not corpus size."""
+    import glob
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        exact_dedup,
+        release_bloom_cache,
+        write_bloom_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        classify_against_path,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.operators.dedup import dedup_windowed
+
+    ev_small = spark.read.parquet(f"{BASE}/events")
+    docs_small = spark.read.parquet(f"{BASE}/docs")
+    p_ev = f"{BASE}/events_100m"
+    p_docs = f"{BASE}/docs_1m"
+    if not os.path.isdir(p_ev):
+        t0 = time.perf_counter()
+        mult = spark.range(10).select(F.col("id").alias("rep"))
+        (
+            ev_small.crossJoin(mult)
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * 1_000_000_000)
+            .withColumn("user_id", F.col("user_id") + (F.col("rep") % 10) * 100_000_000)
+            .drop("rep")
+            .repartition(256)
+            .write.mode("overwrite")
+            .parquet(p_ev)
+        )
+        print(f"materialized 100M events in {time.perf_counter()-t0:.1f}s")
+    if not os.path.isdir(p_docs):
+        t0 = time.perf_counter()
+        mult = spark.range(10).select(F.col("id").alias("rep"))
+        (
+            docs_small.crossJoin(mult)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000_000)
+            .drop("rep")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(p_docs)
+        )
+        print(f"materialized 1M docs in {time.perf_counter()-t0:.1f}s")
+    ev_big = spark.read.parquet(p_ev)
+    docs_big = spark.read.parquet(p_docs)
+
+    def _best2(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def _pair(name, small_df, big_df, n_small, n_big, unit="rows") -> None:
+        # warm on the small frame: codegen compiles once, outside both
+        small_df.limit(1000).write.mode("overwrite").format("noop").save()
+        dt_s = _best2(small_df)
+        dt_b = _best2(big_df)
+        ratio = (dt_b / n_big) / (dt_s / n_small)
+        scale = 1e6 if unit == "rows" else 1e3
+        u = "M rows/s" if unit == "rows" else "k docs/s"
+        flag = "  ** SUPER-LINEAR **" if ratio > 2.0 else ""
+        print(
+            f"{name}: {n_small/1e6:.0f}M->{n_big/1e6:.0f}M in "
+            f"{dt_s:.1f}s/{dt_b:.1f}s "
+            f"({n_small/dt_s/scale:.1f}/{n_big/dt_b/scale:.1f} {u}), "
+            f"per-row-cost ratio {ratio:.2f}{flag}"
+        )
+
+    n_ev_s, n_ev_b = 10_000_000, 100_000_000
+    n_d_s, n_d_b = 100_000, 1_000_000
+
+    _pair(
+        "group_agg",
+        ev_small.groupBy("event_type").agg(F.sum("value"), F.countDistinct("user_id")),
+        ev_big.groupBy("event_type").agg(F.sum("value"), F.countDistinct("user_id")),
+        n_ev_s, n_ev_b,
+    )
+    _pair(
+        "dedup_windowed",
+        dedup_windowed(ev_small, "user_id", "ts", 3600, ["event_id"]),
+        dedup_windowed(ev_big, "user_id", "ts", 3600, ["event_id"]),
+        n_ev_s, n_ev_b,
+    )
+    _pair(
+        "exact_dedup",
+        exact_dedup(docs_small),
+        exact_dedup(docs_big),
+        n_d_s, n_d_b, unit="docs",
+    )
+
+    # bloom probe: capacity sized to the true distinct-key count at
+    # each scale (the replicated corpora share ~5k distinct texts, so
+    # the filters are equal-size — the probe cost is what scales)
+    n_keys = docs_big.select(F.md5(F.coalesce("text", F.lit("")))).distinct().count()
+    bs, bb = f"{BASE}/bloom_r8_small", f"{BASE}/bloom_r8_big"
+    write_bloom_table(docs_small, bs, capacity=n_keys, mode="overwrite")
+    write_bloom_table(docs_big, bb, capacity=n_keys, mode="overwrite")
+    release_bloom_cache()
+    _pair(
+        "bloom_probe",
+        dedup_against_path(docs_small, bs, seen_format="bloom"),
+        dedup_against_path(docs_big, bb, seen_format="bloom"),
+        n_d_s, n_d_b, unit="docs",
+    )
+
+    model = f"{BASE}/clf_r8"
+    t0 = time.perf_counter()
+    write_classifier_table(docs_big, model, mode="overwrite")
+    print(f"classifier train (one-time, 1M docs): {time.perf_counter()-t0:.1f}s")
+    _pair(
+        "classifier_scoring",
+        classify_against_path(docs_small, model),
+        classify_against_path(docs_big, model),
+        n_d_s, n_d_b, unit="docs",
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -697,7 +827,8 @@ def main() -> None:
         {"ops": section_ops, "text": section_text,
          "multimodal": section_multimodal, "new": section_new,
          "r4": section_r4, "r5": section_r5, "r6": section_r6,
-         "r7": section_r7, "r7b": section_r7b}[section](spark)
+         "r7": section_r7, "r7b": section_r7b,
+         "r8": section_r8}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

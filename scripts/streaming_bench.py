@@ -150,38 +150,42 @@ def curation_chain_bench(spark) -> None:
     schema = T.StructType().add("doc_id", "long").add("text", "string").add(
         "ts", "timestamp"
     )
-    best = float("inf")
-    for i in range(2):
-        release_bloom_cache(bloom_path)
-        ckpt = f"{BASE}/curation_ckpt_{i}"
-        shutil.rmtree(ckpt, ignore_errors=True)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(docs_dir_ts)
+    for engine in ("staged", "fused"):
+        best = float("inf")
+        for i in range(2):
+            release_bloom_cache(bloom_path)
+            ckpt = f"{BASE}/curation_ckpt_{engine}_{i}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(docs_dir_ts)
+            )
+            rolled = curation_rollup_stream(
+                stream, bloom_path, model_path, engine=engine
+            )
+            t0 = time.perf_counter()
+            q = (
+                rolled.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = min(best, time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "metric": "curation_chain_throughput",
+                    "engine": engine,
+                    "rows_in": n_in,
+                    "artifact_build_seconds": round(artifacts_s, 2),
+                    "seconds": round(best, 2),
+                    "rows_in_per_sec": int(n_in / best),
+                }
+            )
         )
-        rolled = curation_rollup_stream(stream, bloom_path, model_path)
-        t0 = time.perf_counter()
-        q = (
-            rolled.writeStream.format("noop")
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        best = min(best, time.perf_counter() - t0)
-    print(
-        json.dumps(
-            {
-                "metric": "curation_chain_throughput",
-                "rows_in": n_in,
-                "artifact_build_seconds": round(artifacts_s, 2),
-                "seconds": round(best, 2),
-                "rows_in_per_sec": int(n_in / best),
-            }
-        )
-    )
 
 
 def classifier_inference_bench(spark) -> None:

@@ -2143,3 +2143,57 @@ def test_classifier_threshold_decimal_past_int64(spark):
         .collect()[0]["pred"]
     )
     assert pred == 1
+
+
+def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
+    """The fused single-pass curation body must replay the staged
+    3-op composition row-for-row — normalize NULL contract, bloom
+    drop decisions, token-less and all-unseen-bucket drops, exact
+    scores and calibrated preds."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        release_bloom_cache,
+        write_bloom_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        normalize_text,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.streaming.curation import curation_scored_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),               # NULL text: (-1, -1), drops at classify
+            (9002, ""),                 # empty: drops at classify
+            (9003, "!!! ??? ..."),      # normalizes to empty
+            (9004, "MIXED Case,   punct!! 42"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(edge)
+    bloom = str(tmp_path / "fused_bloom")
+    write_bloom_table(
+        normalize_text(corpus.filter("doc_id % 3 = 0")),
+        bloom, capacity=1000, text_col="text_norm",
+    )
+    weights = str(tmp_path / "fused_weights")
+    write_classifier_table(
+        normalize_text(corpus), weights, text_col="text_norm"
+    )
+    a = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus, bloom, weights, engine="staged"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus, bloom, weights, engine="fused"
+        ).collect()
+    )
+    assert a == b
+    assert a, "curation output must be non-empty"
+    release_bloom_cache(bloom)
