@@ -782,6 +782,19 @@ def section_r8(spark) -> None:
         dedup_windowed(ev_big, "user_id", "ts", 3600, ["event_id"]),
         n_ev_s, n_ev_b,
     )
+    # the windowed-dedup ratio above ~1 is the per-partition sort's
+    # n·log n at a FIXED partition count (10x rows into the same 32
+    # shuffle partitions); production sizes shuffle partitions to the
+    # data — demonstrate the fix, same JVM
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    dt = _best2(dedup_windowed(ev_big, "user_id", "ts", 3600, ["event_id"]))
+    print(
+        f"dedup_windowed[shuffle.partitions=256]: {dt:.1f}s "
+        f"({n_ev_b/dt/1e6:.1f}M rows/s)"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
     _pair(
         "exact_dedup",
         exact_dedup(docs_small),
