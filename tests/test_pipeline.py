@@ -774,3 +774,91 @@ def test_streaming_curation_dataops_spec_chain(spark, tmp_path):
     )
     assert got == truth
     release_bloom_cache(bloom)
+
+
+def test_multi_wave_curation_lifecycle(spark, tmp_path):
+    """Continuous corpus construction across THREE ingest waves: each
+    wave streams through the fused curation pass against the
+    accumulated bloom seen-set, then contributes its survivors'
+    canonical digests back via write_bloom_table + merge_bloom_tables.
+    Cross-wave dups must drop (no false negatives), fresh content must
+    survive, and the merged filter must behave exactly like one built
+    on the union corpus (the OR-merge == rebuild guarantee, exercised
+    through the public lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        merge_bloom_tables,
+        release_bloom_cache,
+        write_bloom_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        normalize_text,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.streaming.curation import curation_scored_stream
+
+    def wave_df(lo, hi, repeat_from=None):
+        rows = [
+            (i, f"wave document number {i} with the some shared words here")
+            for i in range(lo, hi)
+        ]
+        if repeat_from is not None:
+            # case/punct variants of earlier docs: canonical dups
+            rows += [
+                (10_000 + i,
+                 f"WAVE Document NUMBER {i} with the some shared words here!!")
+                for i in repeat_from
+            ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    weights = str(tmp_path / "mw_weights")
+    write_classifier_table(
+        normalize_text(wave_df(0, 200)), weights, text_col="text_norm"
+    )
+
+    seen = str(tmp_path / "mw_seen_0")
+    # bootstrap: an empty filter is invalid by contract — seed with
+    # wave 0 itself
+    w0 = wave_df(0, 100)
+    write_bloom_table(normalize_text(w0), seen, capacity=10_000,
+                      text_col="text_norm")
+
+    # wave 1: 50 fresh + 30 canonical dups of wave 0 -> dups drop
+    w1 = wave_df(100, 150, repeat_from=range(0, 30))
+    out1 = curation_scored_stream(w1, seen, weights)
+    ids1 = {r["doc_id"] for r in out1.select("doc_id").collect()}
+    assert ids1 == set(range(100, 150)), ids1
+
+    # survivors feed the seen-set via OR-merge
+    surv1 = w1.filter(F.col("doc_id").isin([int(i) for i in ids1]))
+    add1 = str(tmp_path / "mw_add_1")
+    write_bloom_table(normalize_text(surv1), add1, capacity=10_000,
+                      text_col="text_norm")
+    seen2 = str(tmp_path / "mw_seen_1")
+    merge_bloom_tables(spark, [seen, add1], seen2)
+
+    # wave 2: dups of BOTH earlier waves drop, fresh survives
+    w2 = wave_df(150, 180, repeat_from=list(range(40, 45)) + list(range(110, 115)))
+    out2 = curation_scored_stream(w2, seen2, weights)
+    ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert ids2 == set(range(150, 180)), ids2
+
+    # merged filter == filter rebuilt on the union corpus, bit for bit
+    # (same DECLARED per-table capacity -> same m; the merge SUMS the
+    # capacity metadata, so compare the bitmaps, not the constants)
+    rebuilt = str(tmp_path / "mw_rebuilt")
+    write_bloom_table(
+        normalize_text(w0.unionByName(surv1)), rebuilt, capacity=10_000,
+        text_col="text_norm",
+    )
+    a = sorted(
+        (r["shard"], r["word_idx"], r["word"])
+        for r in spark.read.parquet(seen2).collect()
+    )
+    b = sorted(
+        (r["shard"], r["word_idx"], r["word"])
+        for r in spark.read.parquet(rebuilt).collect()
+    )
+    assert a == b
+    release_bloom_cache()
