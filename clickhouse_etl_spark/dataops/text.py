@@ -1378,6 +1378,8 @@ def classify_against_path(
     in_cols = [f.name for f in df.schema.fields]
 
     def score_batches(batches):
+        import numpy as np
+
         bucket: dict[str, int] = {}
 
         def tok_bucket(w: str) -> int:
@@ -1387,31 +1389,58 @@ def classify_against_path(
                 bucket[w] = b
             return b
 
+        # dense weight vector: untrained buckets contribute exact 0 to
+        # the integer dot product, so summing over ALL buckets equals
+        # the trained-bucket loop; trained marks the inner-join drop
+        wt_vec = np.zeros(dim, dtype=np.int64)
+        for b, w in wt.items():
+            wt_vec[b] = w
+        trained = np.array(sorted(wt), dtype=np.int64)
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            scores, keep = [], []
-            for i, x in enumerate(pdf[text_col]):
-                toks = [t for t in (x or "").lower().split(" ") if t]
-                if not toks:
-                    continue  # token-less docs drop, as in the batch op
-                n = len(toks)
-                counts: dict[int, int] = {}
-                for t in toks:
-                    b = tok_bucket(t)
-                    counts[b] = counts.get(b, 0) + 1
-                hit = [b for b in counts if b in wt]
-                if not hit:
-                    continue  # all-unseen doc: the batch inner join drops it
-                s = sum(((counts[b] * fp) // n) * wt[b] for b in hit)
-                scores.append(s)
-                keep.append(i)
-            if not keep:
+            # the featurizer's bincount-scatter pattern (documented
+            # Arrow fix): per-row dict loops -> one dense (K, dim)
+            # count matrix per batch
+            tok_lists = [
+                [t for t in (x or "").lower().split(" ") if t]
+                for x in pdf[text_col]
+            ]
+            keep0 = [i for i, tl in enumerate(tok_lists) if tl]
+            if not keep0:
+                continue  # token-less docs drop, as in the batch op
+            lens = np.fromiter(
+                (len(tok_lists[i]) for i in keep0), dtype=np.int64,
+                count=len(keep0),
+            )
+            total = int(lens.sum())
+            rows = np.repeat(np.arange(len(keep0)), lens)
+            flat = np.fromiter(
+                (tok_bucket(t) for i in keep0 for t in tok_lists[i]),
+                dtype=np.int64, count=total,
+            )
+            mat = np.bincount(
+                rows * dim + flat, minlength=len(keep0) * dim
+            ).reshape(len(keep0), dim)
+            # all-unseen docs: the batch inner join drops them
+            hit = mat[:, trained].any(axis=1)
+            if not hit.any():
                 continue
+            matk = mat[hit]
+            lensk = lens[hit]
+            # exact int64 throughout: counts*2^20 <= n_tokens*2^20,
+            # floor div matches Python //, |score| <= dim * 2^40
+            f = (matk * fp) // lensk[:, None]
+            scores = (f * wt_vec).sum(axis=1)
+            keep = [i for i, h in zip(keep0, hit) if h]
             out = pdf.iloc[keep][in_cols].copy()
             out["score"] = pd.Series(scores, dtype="int64").values
+            # s_sum is an arbitrary-precision Python int (DECIMAL
+            # artifact) — compare in Python, not int64
             out["pred"] = pd.Series(
-                [1 if s * n_tr > s_sum else 0 for s in scores], dtype="int32"
+                [1 if int(s) * n_tr > s_sum else 0 for s in scores],
+                dtype="int32",
             ).values
             yield out
 

@@ -124,12 +124,32 @@ def curation_scored_stream(
     tcol = text_col
 
     def fused(batches):
+        import numpy as np
+
         wd = bc_words.value
         bucket_memo: dict[str, int] = {}
+
+        def tok_bucket(t: str) -> int:
+            b = bucket_memo.get(t)
+            if b is None:
+                b = char_fold_hash_py(t) % dim
+                bucket_memo[t] = b
+            return b
+
+        # dense weight vector: untrained buckets contribute exact 0 to
+        # the integer dot product (classify_against_path's vectorized
+        # scorer — same pattern, same exactness argument)
+        wt_vec = np.zeros(dim, dtype=np.int64)
+        for b, w in wt.items():
+            wt_vec[b] = w
+        trained = np.array(sorted(wt), dtype=np.int64)
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep, norms, nraws, nnorms, scores, preds = [], [], [], [], [], []
+            # pass 1 (per row): normalize + bloom probe; survivors
+            # accumulate token lists for the vectorized scorer
+            keep0, norms, nraws, nnorms, tok_lists = [], [], [], [], []
             for i, x in enumerate(pdf[tcol]):
                 # normalize_text semantics (NULL -> (NULL, -1, -1))
                 if x is None:
@@ -155,36 +175,51 @@ def curation_scored_stream(
                         break
                 if hit_all:
                     continue  # seen document: drops, never leaks
-                # classify_against_path semantics on text_norm
                 toks = [t for t in (cleaned or "").split(" ") if t]
                 if not toks:
                     continue  # token-less docs drop, as in the batch op
-                n = len(toks)
-                counts: dict[int, int] = {}
-                for t in toks:
-                    b = bucket_memo.get(t)
-                    if b is None:
-                        b = char_fold_hash_py(t) % dim
-                        bucket_memo[t] = b
-                    counts[b] = counts.get(b, 0) + 1
-                hit = [b for b in counts if b in wt]
-                if not hit:
-                    continue  # all-unseen doc: the batch inner join drops it
-                s = sum(((counts[b] * fp) // n) * wt[b] for b in hit)
-                keep.append(i)
+                keep0.append(i)
                 norms.append(cleaned)
                 nraws.append(nr)
                 nnorms.append(nn)
-                scores.append(s)
-                preds.append(1 if s * n_tr > s_sum else 0)
-            if not keep:
+                tok_lists.append(toks)
+            if not keep0:
                 continue
-            out = pdf.iloc[keep][in_cols].copy()
-            out["text_norm"] = norms
-            out["n_tokens_raw"] = pd.Series(nraws, dtype="int64").values
-            out["n_tokens_norm"] = pd.Series(nnorms, dtype="int64").values
+            # pass 2 (vectorized): bincount scatter -> exact int64
+            # fixed-point tf -> dot with the dense weight vector
+            lens = np.fromiter(
+                (len(tl) for tl in tok_lists), dtype=np.int64,
+                count=len(tok_lists),
+            )
+            rows = np.repeat(np.arange(len(keep0)), lens)
+            flat = np.fromiter(
+                (tok_bucket(t) for tl in tok_lists for t in tl),
+                dtype=np.int64, count=int(lens.sum()),
+            )
+            mat = np.bincount(
+                rows * dim + flat, minlength=len(keep0) * dim
+            ).reshape(len(keep0), dim)
+            hit = mat[:, trained].any(axis=1)
+            if not hit.any():
+                continue  # all-unseen docs: the batch inner join drops them
+            f = (mat[hit] * fp) // lens[hit][:, None]
+            scores = (f * wt_vec).sum(axis=1)
+            sel = [j for j, h2 in enumerate(hit) if h2]
+            out = pdf.iloc[[keep0[j] for j in sel]][in_cols].copy()
+            out["text_norm"] = [norms[j] for j in sel]
+            out["n_tokens_raw"] = pd.Series(
+                [nraws[j] for j in sel], dtype="int64"
+            ).values
+            out["n_tokens_norm"] = pd.Series(
+                [nnorms[j] for j in sel], dtype="int64"
+            ).values
             out["score"] = pd.Series(scores, dtype="int64").values
-            out["pred"] = pd.Series(preds, dtype="int32").values
+            # s_sum is an arbitrary-precision Python int — compare in
+            # Python, not int64
+            out["pred"] = pd.Series(
+                [1 if int(s) * n_tr > s_sum else 0 for s in scores],
+                dtype="int32",
+            ).values
             yield out
 
     return scale_out(docs).mapInPandas(fused, schema)
