@@ -1079,6 +1079,20 @@ def _bloom_broadcast(spark, seen_path: str, max_bitmap_bytes: int | None = None)
         entry = (sig, spark.sparkContext.broadcast(words), m, k, n_shards)
         _BLOOM_CACHES[seen_path] = entry
     _, bc_words, m, k, n_shards = entry
+    # enforce the caller's cap on cache HITS too — a permissive first
+    # call must not grandfather an oversized bitmap past a later,
+    # stricter caller
+    cached_bytes = n_shards * (m // _BLOOM_WORD_BITS + 1) * 8
+    cap = (
+        max_bitmap_bytes if max_bitmap_bytes is not None else _BLOOM_BITMAP_MAX_BYTES
+    )
+    if cached_bytes > cap:
+        raise ValueError(
+            f"dense bloom bitmap is {cached_bytes} bytes across "
+            f"{n_shards} shard(s) (> {cap}); the declared capacity is "
+            "likely mis-sized — shrink it, or pass max_bitmap_bytes to "
+            "accept the footprint"
+        )
     return bc_words, m, k, n_shards
 
 
@@ -1102,42 +1116,51 @@ def dedup_against_bloom_path(
     documents drop with it (the declared bits/key trade). The Python
     md5/char-fold replay is bit-identical to the Catalyst build
     expressions (pinned by test)."""
-    import hashlib
-
-    from .hashing import HASH_MOD, char_fold_hash_py
-
     bc_words, m, k, n_shards = _bloom_broadcast(
         df.sparkSession, seen_path, max_bitmap_bytes
     )
-    coeffs = MINHASH_COEFFS[:k]
     in_cols = [f.name for f in df.schema.fields]
     tcol = text_col
-    wbits = _BLOOM_WORD_BITS
 
     def survivors(batches):
-        wd = bc_words.value
+        seen = _bloom_probe_kernel(bc_words.value, m, k, n_shards)
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = []
-            for i, x in enumerate(pdf[tcol]):
-                digest = hashlib.md5(
-                    (x if x is not None else "").encode("utf-8")
-                ).hexdigest()
-                h = char_fold_hash_py(digest)
-                shard_words = wd[h % n_shards]
-                hit_all = True
-                for a, b in coeffs:
-                    p = ((h * a + b) % HASH_MOD) % m
-                    if not (int(shard_words[p // wbits]) >> (p % wbits)) & 1:
-                        hit_all = False
-                        break
-                if not hit_all:
-                    keep.append(i)
+            keep = [i for i, x in enumerate(pdf[tcol]) if not seen(x)]
             if keep:
                 yield pdf.iloc[keep][in_cols]
 
     return df.mapInPandas(survivors, df.schema)
+
+
+def _bloom_probe_kernel(wd, m: int, k: int, n_shards: int):
+    """Compiled row-local membership test against a resolved dense
+    bitmap (the ``.value`` of a :func:`_bloom_broadcast` broadcast) —
+    ``text → bool`` replaying the build expressions bit for bit
+    (md5 of ``text or ''`` → char fold → k affine positions). The ONE
+    definition :func:`dedup_against_bloom_path` and the fused curation
+    pass (streaming/curation.py) both call."""
+    import hashlib
+
+    from .hashing import HASH_MOD, char_fold_hash_py
+
+    coeffs = MINHASH_COEFFS[:k]
+    wbits = _BLOOM_WORD_BITS
+
+    def seen(text) -> bool:
+        digest = hashlib.md5(
+            (text if text is not None else "").encode("utf-8")
+        ).hexdigest()
+        h = char_fold_hash_py(digest)
+        shard_words = wd[h % n_shards]
+        for a, b in coeffs:
+            p = ((h * a + b) % HASH_MOD) % m
+            if not (int(shard_words[p // wbits]) >> (p % wbits)) & 1:
+                return False
+        return True
+
+    return seen
 
 
 def snapshot_diff(

@@ -673,15 +673,9 @@ def normalize_text(
     become a plain space.
     """
     if engine == "pandas":
-        import re as _re
-
         import pandas as pd
 
         from pyspark.sql import types as T
-
-        non_alnum = _re.compile(r"[^a-z0-9 ]")
-        space_runs = _re.compile(r" +")
-        raw_tok = _re.compile(r"[^ ]+")
 
         schema = T.StructType(
             list(df.schema.fields)
@@ -700,22 +694,16 @@ def normalize_text(
         df = scale_out(df)
 
         def normalize(batches):
+            norm = _normalize_kernel()
             for pdf in batches:
                 if not len(pdf):
                     continue
                 norms, nraws, nnorms = [], [], []
                 for x in pdf[tcol]:
-                    if x is None:
-                        norms.append(None)
-                        nraws.append(-1)
-                        nnorms.append(-1)
-                        continue
-                    nraws.append(sum(1 for _ in raw_tok.finditer(x)))
-                    cleaned = space_runs.sub(
-                        " ", non_alnum.sub(" ", x.lower())
-                    ).strip(" ")
+                    cleaned, nr, nn = norm(x)
                     norms.append(cleaned)
-                    nnorms.append(0 if not cleaned else cleaned.count(" ") + 1)
+                    nraws.append(nr)
+                    nnorms.append(nn)
                 out = pdf[in_cols].copy()
                 out["text_norm"] = norms
                 out["n_tokens_raw"] = pd.Series(nraws, dtype="int64").values
@@ -1308,6 +1296,98 @@ def write_classifier_table(
     )
 
 
+def _normalize_kernel():
+    """Compiled row-local normalize function — ``text → (text_norm,
+    n_tokens_raw, n_tokens_norm)`` replaying :func:`normalize_text`'s
+    semantics exactly (NULL → (None, -1, -1)). The ONE definition the
+    pandas engine and the fused curation pass
+    (streaming/curation.py) both call, so the character class can
+    never silently diverge between them."""
+    import re as _re
+
+    non_alnum = _re.compile(r"[^a-z0-9 ]")
+    space_runs = _re.compile(r" +")
+    raw_tok = _re.compile(r"[^ ]+")
+
+    def norm(x):
+        if x is None:
+            return None, -1, -1
+        nr = sum(1 for _ in raw_tok.finditer(x))
+        cleaned = space_runs.sub(" ", non_alnum.sub(" ", x.lower())).strip(" ")
+        return cleaned, nr, 0 if not cleaned else cleaned.count(" ") + 1
+
+    return norm
+
+
+#: dense (rows, dim) score matrices are built in row chunks of at most
+#: this many BYTES, so the vectorized scorer's memory is independent of
+#: the artifact's dim (a 2^20-bucket classifier against a 10k-row Arrow
+#: batch would otherwise allocate ~80 GB in one bincount)
+_SCORE_CHUNK_BYTES = 8 << 20
+
+
+def _score_kernel(dim: int, wt: dict, s_sum: int, n_tr: int):
+    """Vectorized classifier scorer over per-doc token lists —
+    ``tok_lists → (kept_indices, scores, preds)`` replaying
+    :func:`hash_feature_classifier`'s scoring exactly: memoized
+    char-fold buckets, exact int64 fixed-point tf, dense-weight dot
+    (untrained buckets contribute exact 0), the all-unseen inner-join
+    drop, and the calibrated threshold compared in arbitrary-precision
+    Python (``s_sum`` can exceed int64). Token lists must be non-empty
+    (token-less docs drop at the caller). Shared by
+    :func:`classify_against_path` and the fused curation pass."""
+    import numpy as np
+
+    from .hashing import char_fold_hash_py
+
+    fp = _CLF_FP
+    wt_vec = np.zeros(dim, dtype=np.int64)
+    for b, w in wt.items():
+        wt_vec[b] = w
+    trained = np.array(sorted(wt), dtype=np.int64)
+    memo: dict[str, int] = {}
+
+    def tok_bucket(t: str) -> int:
+        b = memo.get(t)
+        if b is None:
+            b = char_fold_hash_py(t) % dim
+            memo[t] = b
+        return b
+
+    rows_per_chunk = max(1, _SCORE_CHUNK_BYTES // (dim * 8))
+
+    def score(tok_lists):
+        sel: list[int] = []
+        scores: list[int] = []
+        for lo in range(0, len(tok_lists), rows_per_chunk):
+            tls = tok_lists[lo : lo + rows_per_chunk]
+            lens = np.fromiter(
+                (len(tl) for tl in tls), dtype=np.int64, count=len(tls)
+            )
+            rows = np.repeat(np.arange(len(tls)), lens)
+            flat = np.fromiter(
+                (tok_bucket(t) for tl in tls for t in tl),
+                dtype=np.int64, count=int(lens.sum()),
+            )
+            mat = np.bincount(
+                rows * dim + flat, minlength=len(tls) * dim
+            ).reshape(len(tls), dim)
+            hit = mat[:, trained].any(axis=1)
+            if not hit.any():
+                continue
+            # exact int64 throughout: counts*2^20 <= n_tokens*2^20,
+            # floor div matches Python //, |score| <= dim * 2^40
+            f = (mat[hit] * fp) // lens[hit][:, None]
+            sc = (f * wt_vec).sum(axis=1)
+            for j, s in zip(np.nonzero(hit)[0], sc):
+                sel.append(lo + int(j))
+                scores.append(int(s))
+        preds = [1 if s * n_tr > s_sum else 0 for s in scores]
+        return sel, scores, preds
+
+    return score
+
+
 def _load_classifier(spark, weights_path: str):
     """(dim, s_sum, n_tr, {bucket: wt}) from a
     :func:`write_classifier_table` artifact — driver-side, a few KB
@@ -1357,8 +1437,6 @@ def classify_against_path(
 
     from pyspark.sql import types as T
 
-    from .hashing import char_fold_hash_py
-
     clash = {"score", "pred"} & set(df.columns)
     if clash:
         raise ValueError(
@@ -1366,7 +1444,6 @@ def classify_against_path(
             "columns before scoring (the op appends score/pred)"
         )
     dim, s_sum, n_tr, wt = _load_classifier(df.sparkSession, weights_path)
-    fp = _CLF_FP
 
     schema = T.StructType(
         list(df.schema.fields)
@@ -1378,31 +1455,10 @@ def classify_against_path(
     in_cols = [f.name for f in df.schema.fields]
 
     def score_batches(batches):
-        import numpy as np
-
-        bucket: dict[str, int] = {}
-
-        def tok_bucket(w: str) -> int:
-            b = bucket.get(w)
-            if b is None:
-                b = char_fold_hash_py(w) % dim
-                bucket[w] = b
-            return b
-
-        # dense weight vector: untrained buckets contribute exact 0 to
-        # the integer dot product, so summing over ALL buckets equals
-        # the trained-bucket loop; trained marks the inner-join drop
-        wt_vec = np.zeros(dim, dtype=np.int64)
-        for b, w in wt.items():
-            wt_vec[b] = w
-        trained = np.array(sorted(wt), dtype=np.int64)
-
+        score = _score_kernel(dim, wt, s_sum, n_tr)
         for pdf in batches:
             if not len(pdf):
                 continue
-            # the featurizer's bincount-scatter pattern (documented
-            # Arrow fix): per-row dict loops -> one dense (K, dim)
-            # count matrix per batch
             tok_lists = [
                 [t for t in (x or "").lower().split(" ") if t]
                 for x in pdf[text_col]
@@ -1410,38 +1466,12 @@ def classify_against_path(
             keep0 = [i for i, tl in enumerate(tok_lists) if tl]
             if not keep0:
                 continue  # token-less docs drop, as in the batch op
-            lens = np.fromiter(
-                (len(tok_lists[i]) for i in keep0), dtype=np.int64,
-                count=len(keep0),
-            )
-            total = int(lens.sum())
-            rows = np.repeat(np.arange(len(keep0)), lens)
-            flat = np.fromiter(
-                (tok_bucket(t) for i in keep0 for t in tok_lists[i]),
-                dtype=np.int64, count=total,
-            )
-            mat = np.bincount(
-                rows * dim + flat, minlength=len(keep0) * dim
-            ).reshape(len(keep0), dim)
-            # all-unseen docs: the batch inner join drops them
-            hit = mat[:, trained].any(axis=1)
-            if not hit.any():
-                continue
-            matk = mat[hit]
-            lensk = lens[hit]
-            # exact int64 throughout: counts*2^20 <= n_tokens*2^20,
-            # floor div matches Python //, |score| <= dim * 2^40
-            f = (matk * fp) // lensk[:, None]
-            scores = (f * wt_vec).sum(axis=1)
-            keep = [i for i, h in zip(keep0, hit) if h]
-            out = pdf.iloc[keep][in_cols].copy()
+            sel, scores, preds = score([tok_lists[i] for i in keep0])
+            if not sel:
+                continue  # all-unseen docs: the batch inner join drops them
+            out = pdf.iloc[[keep0[j] for j in sel]][in_cols].copy()
             out["score"] = pd.Series(scores, dtype="int64").values
-            # s_sum is an arbitrary-precision Python int (DECIMAL
-            # artifact) — compare in Python, not int64
-            out["pred"] = pd.Series(
-                [1 if int(s) * n_tr > s_sum else 0 for s in scores],
-                dtype="int32",
-            ).values
+            out["pred"] = pd.Series(preds, dtype="int32").values
             yield out
 
     return df.mapInPandas(score_batches, schema)

@@ -6046,6 +6046,10 @@ _STALE_SIGNED = frozenset({
     # classifier threshold terms widened to DECIMAL(38,0) (VERDICT r7
     # nit #2; pred values unchanged — boundary-tested past 2^63):
     "docs_trained_classifier",
+    # normalize_text pandas engine now calls the shared
+    # _normalize_kernel (review de-triplication; value-identical,
+    # engines equality-pinned):
+    "docs_normalize_text",
     # per-pid persisted-index artifact path (VERDICT r7 nit #1):
     "emb_pq_index_ann_topk",
 })

@@ -82,15 +82,11 @@ def curation_scored_stream(
     if engine != "fused":
         raise ValueError(f"unknown engine {engine!r}: staged|fused")
 
-    import hashlib
-    import re as _re
-
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..dataops.dedup import _BLOOM_WORD_BITS, _bloom_broadcast
-    from ..dataops.hashing import HASH_MOD, MINHASH_COEFFS, char_fold_hash_py
-    from ..dataops.text import _CLF_FP, _load_classifier
+    from ..dataops.dedup import _bloom_broadcast, _bloom_probe_kernel
+    from ..dataops.text import _load_classifier, _normalize_kernel, _score_kernel
     from ..dataops.util import scale_out
 
     clash = {"text_norm", "n_tokens_raw", "n_tokens_norm", "score", "pred"} & set(
@@ -103,13 +99,7 @@ def curation_scored_stream(
         )
     spark = docs.sparkSession
     bc_words, m, k, n_shards = _bloom_broadcast(spark, bloom_path)
-    coeffs = MINHASH_COEFFS[:k]
     dim, s_sum, n_tr, wt = _load_classifier(spark, weights_path)
-    fp = _CLF_FP
-    wbits = _BLOOM_WORD_BITS
-    non_alnum = _re.compile(r"[^a-z0-9 ]")
-    space_runs = _re.compile(r" +")
-    raw_tok = _re.compile(r"[^ ]+")
     in_cols = [f.name for f in docs.schema.fields]
     schema = T.StructType(
         list(docs.schema.fields)
@@ -123,57 +113,22 @@ def curation_scored_stream(
     )
     tcol = text_col
 
+    # the fused pass COMPOSES the three ops' shared row-local kernels —
+    # the single definitions their staged forms run — so a semantic
+    # change to any stage reaches both engines by construction
     def fused(batches):
-        import numpy as np
-
-        wd = bc_words.value
-        bucket_memo: dict[str, int] = {}
-
-        def tok_bucket(t: str) -> int:
-            b = bucket_memo.get(t)
-            if b is None:
-                b = char_fold_hash_py(t) % dim
-                bucket_memo[t] = b
-            return b
-
-        # dense weight vector: untrained buckets contribute exact 0 to
-        # the integer dot product (classify_against_path's vectorized
-        # scorer — same pattern, same exactness argument)
-        wt_vec = np.zeros(dim, dtype=np.int64)
-        for b, w in wt.items():
-            wt_vec[b] = w
-        trained = np.array(sorted(wt), dtype=np.int64)
-
+        norm = _normalize_kernel()
+        seen = _bloom_probe_kernel(bc_words.value, m, k, n_shards)
+        score = _score_kernel(dim, wt, s_sum, n_tr)
         for pdf in batches:
             if not len(pdf):
                 continue
-            # pass 1 (per row): normalize + bloom probe; survivors
-            # accumulate token lists for the vectorized scorer
+            # pass 1 (per row): normalize + bloom probe on the
+            # canonical text; survivors accumulate token lists
             keep0, norms, nraws, nnorms, tok_lists = [], [], [], [], []
             for i, x in enumerate(pdf[tcol]):
-                # normalize_text semantics (NULL -> (NULL, -1, -1))
-                if x is None:
-                    cleaned, nr, nn = None, -1, -1
-                else:
-                    nr = sum(1 for _ in raw_tok.finditer(x))
-                    cleaned = space_runs.sub(
-                        " ", non_alnum.sub(" ", x.lower())
-                    ).strip(" ")
-                    nn = 0 if not cleaned else cleaned.count(" ") + 1
-                # bloom probe on the canonical text (digest of '' for
-                # NULL — the dedup_against_bloom_path contract)
-                digest = hashlib.md5(
-                    (cleaned if cleaned is not None else "").encode("utf-8")
-                ).hexdigest()
-                h = char_fold_hash_py(digest)
-                shard_words = wd[h % n_shards]
-                hit_all = True
-                for a, b in coeffs:
-                    p = ((h * a + b) % HASH_MOD) % m
-                    if not (int(shard_words[p // wbits]) >> (p % wbits)) & 1:
-                        hit_all = False
-                        break
-                if hit_all:
+                cleaned, nr, nn = norm(x)
+                if seen(cleaned):
                     continue  # seen document: drops, never leaks
                 toks = [t for t in (cleaned or "").split(" ") if t]
                 if not toks:
@@ -185,26 +140,10 @@ def curation_scored_stream(
                 tok_lists.append(toks)
             if not keep0:
                 continue
-            # pass 2 (vectorized): bincount scatter -> exact int64
-            # fixed-point tf -> dot with the dense weight vector
-            lens = np.fromiter(
-                (len(tl) for tl in tok_lists), dtype=np.int64,
-                count=len(tok_lists),
-            )
-            rows = np.repeat(np.arange(len(keep0)), lens)
-            flat = np.fromiter(
-                (tok_bucket(t) for tl in tok_lists for t in tl),
-                dtype=np.int64, count=int(lens.sum()),
-            )
-            mat = np.bincount(
-                rows * dim + flat, minlength=len(keep0) * dim
-            ).reshape(len(keep0), dim)
-            hit = mat[:, trained].any(axis=1)
-            if not hit.any():
-                continue  # all-unseen docs: the batch inner join drops them
-            f = (mat[hit] * fp) // lens[hit][:, None]
-            scores = (f * wt_vec).sum(axis=1)
-            sel = [j for j, h2 in enumerate(hit) if h2]
+            # pass 2 (vectorized scorer; all-unseen docs drop inside)
+            sel, scores, preds = score(tok_lists)
+            if not sel:
+                continue
             out = pdf.iloc[[keep0[j] for j in sel]][in_cols].copy()
             out["text_norm"] = [norms[j] for j in sel]
             out["n_tokens_raw"] = pd.Series(
@@ -214,12 +153,7 @@ def curation_scored_stream(
                 [nnorms[j] for j in sel], dtype="int64"
             ).values
             out["score"] = pd.Series(scores, dtype="int64").values
-            # s_sum is an arbitrary-precision Python int — compare in
-            # Python, not int64
-            out["pred"] = pd.Series(
-                [1 if int(s) * n_tr > s_sum else 0 for s in scores],
-                dtype="int32",
-            ).values
+            out["pred"] = pd.Series(preds, dtype="int32").values
             yield out
 
     return scale_out(docs).mapInPandas(fused, schema)

@@ -57,8 +57,16 @@ def metric_rollup_stream(
             f"families (gauge|sum), not {metric_type!r}; histograms "
             "roll up via histogram_rollup_stream"
         )
-    value = F.coalesce(F.col("value_double"), F.col("value_int").cast("double"))
-    cents = F.round(value * 100).cast("bigint")
+    # gauge keeps value_double ONLY — mirroring the oracle-backed batch
+    # entry exactly (otlp_metric_rollup_5m); sum coalesces both number
+    # representations, with asInt cents computed in INTEGER arithmetic
+    # (value_int*100 — a double round-trip loses cent exactness past
+    # 2^53, violating the integer-cents invariant)
+    dbl_cents = F.round(F.col("value_double") * 100).cast("bigint")
+    if metric_type == "gauge":
+        cents = dbl_cents
+    else:
+        cents = F.coalesce(dbl_cents, F.col("value_int") * F.lit(100).cast("bigint"))
     g = (
         flat.filter(F.col("metric_type") == metric_type)
         .select(

@@ -697,8 +697,6 @@ def section_r8(spark) -> None:
     sandbox bound — which it does with wide headroom: the section's
     frames stream through the executors (no caching), so peak memory
     tracks partition size, not corpus size."""
-    import glob
-
     from clickhouse_etl_spark.dataops.dedup import (
         dedup_against_path,
         exact_dedup,

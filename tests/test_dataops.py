@@ -2197,3 +2197,34 @@ def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
     assert a == b
     assert a, "curation output must be non-empty"
     release_bloom_cache(bloom)
+
+
+def test_score_kernel_chunking_identical(spark, monkeypatch):
+    """The vectorized scorer builds dense matrices in bounded row
+    chunks (memory independent of the artifact's dim); 1-row chunks
+    must produce identical kept-sets, scores, and preds to one big
+    chunk — including all-unseen drops at chunk boundaries."""
+    from clickhouse_etl_spark.dataops import text as tx
+    from clickhouse_etl_spark.dataops.hashing import char_fold_hash_py
+
+    dim = 8
+    # train exactly apple's and banana's buckets, leave the others
+    # untrained so all-cherry / all-elderberry docs exercise the
+    # all-unseen drop (unless they collide, which the asserts tolerate)
+    wt = {
+        char_fold_hash_py("apple") % dim: 5,
+        char_fold_hash_py("banana") % dim: -7,
+    }
+    tok_lists = [
+        ["apple"], ["banana", "apple"], ["cherry"] * 5,
+        ["date", "apple", "banana"], ["elderberry"],
+    ]
+    big = tx._score_kernel(dim, wt, s_sum=10, n_tr=3)(tok_lists)
+    monkeypatch.setattr(tx, "_SCORE_CHUNK_BYTES", 1)  # 1 row per chunk
+    small = tx._score_kernel(dim, wt, s_sum=10, n_tr=3)(tok_lists)
+    assert big == small
+    sel, scores, preds = big
+    assert len(sel) == len(scores) == len(preds)
+    # at least one doc must hit a trained bucket and at least one must
+    # be droppable for the test to mean anything
+    assert 0 < len(sel) <= len(tok_lists)

@@ -728,3 +728,29 @@ def test_streaming_curation_chain_parity_with_batch(spark, tmp_path):
     }
     assert got == truth
     release_bloom_cache(bloom)
+
+
+def test_sum_rollup_int_cents_exact_past_2e53(spark):
+    """Review r8: sum datapoints carrying asInt must produce exact
+    integer cents (value_int*100 in integer arithmetic — a double
+    round-trip corrupts cents past 2^53), and the gauge family keeps
+    the oracle-backed batch entry's contract (value_double ONLY; an
+    int-valued gauge contributes a null-cents point, never a coerced
+    value)."""
+    from clickhouse_etl_spark.streaming.rollup import metric_rollup_stream
+
+    big = 9007199254740993  # 2^53 + 1
+    flat = spark.createDataFrame(
+        [
+            ("sum", {"host": "h"}, "2024-01-01 00:00:00", None, big),
+            ("gauge", {"host": "h"}, "2024-01-01 00:00:00", None, big),
+        ],
+        "metric_type string, resource_attributes map<string,string>, "
+        "timestamp string, value_double double, value_int long",
+    )
+    s = metric_rollup_stream(flat, metric_type="sum").collect()
+    assert len(s) == 1
+    assert s[0]["sum_cents"] == big * 100  # exact, past the double range
+    g = metric_rollup_stream(flat, metric_type="gauge").collect()
+    assert len(g) == 1
+    assert g[0]["n_points"] == 1 and g[0]["sum_cents"] is None
