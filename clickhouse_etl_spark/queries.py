@@ -5788,6 +5788,149 @@ def docs_trained_classifier(spark, sf_dir):
     return trained_quality_classifier(docs, dim=64).orderBy("doc_id")
 
 
+#: declared bloom capacity for the curation-e2e entry — a CONSTANT so
+#: the oracle knows m = capacity * 10 bits (4096 keys ≫ the seen split
+#: at every replay SF; FPR reproduces exactly either way because the
+#: oracle replays the position-set semantics, not an approximation)
+_CURATION_BLOOM_CAP = 4096
+_CURATION_M = _CURATION_BLOOM_CAP * 10
+_CURATION_COEFFS_SQL = ", ".join(
+    f"({a}, {b})" for a, b in MINHASH_COEFFS[:7]
+)
+
+
+@q(
+    "docs_curation_e2e",
+    f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS text_norm,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t != '')) AS BIGINT) AS n_tokens_raw
+        FROM documents
+    ), nn AS (
+        SELECT doc_id, text_norm, n_tokens_raw,
+               CAST(len(list_filter(string_split(text_norm, ' '),
+                                    t -> t != '')) AS BIGINT) AS n_tokens_norm,
+               {char_fold_hash_sql("md5(coalesce(text_norm, ''))")} AS hh
+        FROM n
+    ), co(a, b) AS (
+        VALUES {{coeffs}}
+    ), seen_pos AS (
+        SELECT DISTINCT ((hh * a + b) % 2147483647) % {{m}} AS pos
+        FROM nn, co WHERE doc_id % 2 = 0
+    ), surv AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, ((hh * a + b) % 2147483647) % {{m}} AS pos
+              FROM nn, co)
+        WHERE pos NOT IN (SELECT pos FROM seen_pos)
+    ), lab AS (
+        SELECT doc_id, text_norm,
+               CASE WHEN {affine_hash_sql('doc_id', SPLIT_A, SPLIT_B)} % 100 < 80
+                    THEN 1 ELSE 0 END AS is_train,
+               CASE WHEN 16 * len(list_filter(string_split(text_norm, ' '),
+                                  t -> list_contains({_STOP_EN_SQL}, t)))
+                         >= n_tokens_norm
+                    THEN 1 ELSE 0 END AS y,
+               n_tokens_norm AS ntk
+        FROM nn
+    ), toks AS (
+        SELECT doc_id, is_train, y, ntk,
+               unnest(list_filter(string_split(text_norm, ' '),
+                                  t -> t != '')) AS tok
+        FROM lab
+    ), b AS (
+        SELECT doc_id, is_train, y, ntk,
+               ({char_fold_hash_sql('tok')}) % 64 AS bucket
+        FROM toks
+    ), feats AS (
+        SELECT doc_id, is_train, y, bucket,
+               (CAST(count(*) AS BIGINT) * 1048576) // ntk AS f
+        FROM b GROUP BY doc_id, is_train, y, ntk, bucket
+    ), cls AS (
+        SELECT bucket, CAST(sum(y * f) AS BIGINT) AS pos_b,
+               CAST(sum((1 - y) * f) AS BIGINT) AS neg_b
+        FROM feats WHERE is_train = 1 GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(sum(pos_b) AS BIGINT) AS n_pos,
+               CAST(sum(neg_b) AS BIGINT) AS n_neg
+        FROM cls
+    ), w AS (
+        SELECT bucket,
+               (CASE WHEN n_pos > 0 THEN (pos_b * 1048576) // n_pos ELSE 0 END)
+               - (CASE WHEN n_neg > 0 THEN (neg_b * 1048576) // n_neg ELSE 0 END)
+                   AS wt
+        FROM cls, tot
+    ), scored AS (
+        SELECT fe.doc_id, CAST(sum(fe.f * w.wt) AS BIGINT) AS score
+        FROM feats fe JOIN w USING (bucket)
+        GROUP BY fe.doc_id
+    ), thr AS (
+        SELECT CAST(sum(s.score) AS BIGINT) AS s_sum,
+               CAST(count(*) AS BIGINT) AS n_tr
+        FROM scored s JOIN lab USING (doc_id) WHERE lab.is_train = 1
+    )
+    SELECT nn.doc_id, nn.n_tokens_raw, nn.n_tokens_norm, s.score,
+           CAST(CASE WHEN s.score * n_tr > s_sum THEN 1 ELSE 0 END
+                AS INTEGER) AS pred
+    FROM scored s
+    JOIN surv USING (doc_id)
+    JOIN nn USING (doc_id)
+    CROSS JOIN thr
+    ORDER BY nn.doc_id
+    """.format(coeffs=_CURATION_COEFFS_SQL, m=_CURATION_M),
+    "bench",
+)
+def docs_curation_e2e(spark, sf_dir):
+    """The FULL production curation chain under the oracle, end to end
+    (streaming/curation.py — the r8 flagship): normalize → Bloom
+    seen-set probe → persisted-classifier scoring, executed as the
+    fused single-Arrow-pass body that the streaming deployment runs
+    (batch and stream share the plan; stream parity is pinned in
+    test_streaming.py). The entry builds BOTH persisted artifacts
+    in-process — write_bloom_table over the canonical text of the
+    even-doc_id seen split (glassflow's cross-wave dedup shape,
+    dedup_component.go:210-225, at the 100-TB artifact tier) and
+    write_classifier_table over the full canonical corpus — then
+    probes/scores every document through the parquet round-trip.
+
+    The oracle replays the BIT-EXACT semantics: the bloom bitmap IS
+    the set of affine positions, so membership = probe-position ⊆
+    seen-position-set (false positives reproduce exactly, not
+    approximately); char-fold of md5 hex, 7 fixed MINHASH_COEFFS, m =
+    capacity·10; classifier weights/threshold re-derived in exact
+    BIGINT arithmetic over text_norm (the docs_trained_classifier CTE
+    family). Token-less canonical texts and all-unseen-bucket docs
+    drop on both sides (the inner-join contract)."""
+    import os
+
+    from .dataops.dedup import release_bloom_cache, write_bloom_table
+    from .dataops.text import normalize_text, write_classifier_table
+    from .streaming.curation import curation_scored_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        f"/tmp/curation_e2e_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    bloom, clf = f"{base}/bloom", f"{base}/clf"
+    write_bloom_table(
+        normalize_text(docs.filter(F.col("doc_id") % 2 == 0)),
+        bloom, capacity=_CURATION_BLOOM_CAP, text_col="text_norm",
+        mode="overwrite",
+    )
+    write_classifier_table(
+        normalize_text(docs), clf, text_col="text_norm", mode="overwrite"
+    )
+    release_bloom_cache(bloom)  # re-read the fresh artifact, not a prior run's
+    out = curation_scored_stream(docs, bloom, clf)
+    return out.select(
+        "doc_id", "n_tokens_raw", "n_tokens_norm", "score", "pred"
+    ).orderBy("doc_id")
+
+
 _CLUSTER_SAMPLE_SQL = f"""
     WITH smp AS (
         SELECT rn - 1 AS c,
