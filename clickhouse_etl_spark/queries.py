@@ -5908,6 +5908,7 @@ def docs_curation_e2e(spark, sf_dir):
 
     from .dataops.dedup import release_bloom_cache, write_bloom_table
     from .dataops.text import normalize_text, write_classifier_table
+    from .dataops.util import scale_out
     from .streaming.curation import curation_scored_stream
 
     docs = _t(spark, sf_dir, "documents")
@@ -5916,13 +5917,18 @@ def docs_curation_e2e(spark, sf_dir):
         f"{os.path.basename(os.path.normpath(sf_dir))}"
     )
     bloom, clf = f"{base}/bloom", f"{base}/clf"
+    # both artifact builds consume the SAME normalized frame — one
+    # checkpoint instead of two normalize passes (the two-consumer
+    # lesson); the fused pass still normalizes per-row itself, that IS
+    # the op under test
+    normed = scale_out(normalize_text(docs)).localCheckpoint()
     write_bloom_table(
-        normalize_text(docs.filter(F.col("doc_id") % 2 == 0)),
+        normed.filter(F.col("doc_id") % 2 == 0),
         bloom, capacity=_CURATION_BLOOM_CAP, text_col="text_norm",
         mode="overwrite",
     )
     write_classifier_table(
-        normalize_text(docs), clf, text_col="text_norm", mode="overwrite"
+        normed, clf, text_col="text_norm", mode="overwrite"
     )
     release_bloom_cache(bloom)  # re-read the fresh artifact, not a prior run's
     out = curation_scored_stream(docs, bloom, clf)
