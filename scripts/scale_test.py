@@ -826,6 +826,21 @@ def section_r8(spark) -> None:
         n_d_s, n_d_b, unit="docs",
     )
 
+    # the FULL fused curation body (normalize -> bloom probe ->
+    # classifier scoring — the streaming deployment's per-batch work)
+    # at both doc scales. The raw-text blooms rarely match canonical
+    # digests, which is the WORST case: probe cost is identical per
+    # row and ~every doc flows on to the scorer
+    from clickhouse_etl_spark.streaming.curation import curation_scored_stream
+
+    release_bloom_cache()
+    _pair(
+        "curation_fused_body",
+        curation_scored_stream(docs_small, bs, model),
+        curation_scored_stream(docs_big, bb, model),
+        n_d_s, n_d_b, unit="docs",
+    )
+
 
 def main() -> None:
     if len(sys.argv) > 1:
