@@ -296,6 +296,39 @@ def otlp_rollup_bench(spark) -> None:
         )
     )
 
+    # the histogram family (VERDICT r7 #6): scalar + per-bucket grains,
+    # two watermarked branches unioned into one append query
+    from clickhouse_etl_spark.streaming.rollup import histogram_rollup_stream
+
+    ckpt_h = f"{BASE}/otlp_hist_ckpt"
+    shutil.rmtree(ckpt_h, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    rolled = histogram_rollup_stream(flatten_metrics(stream))
+    t0 = time.perf_counter()
+    q = (
+        rolled.writeStream.format("noop")
+        .option("checkpointLocation", ckpt_h)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "otlp_histogram_rollup_stream_throughput",
+                "payload_rows_in": n_in,
+                "seconds": round(dt, 2),
+                "payload_rows_per_sec": int(n_in / dt),
+            }
+        )
+    )
+
 
 def digest_lifecycle_bench(spark) -> None:
     """Cross-wave dedup in the live chain (VERDICT r5 #7): stream the
