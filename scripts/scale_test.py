@@ -780,6 +780,34 @@ def section_r8(spark) -> None:
         dedup_windowed(ev_big, "user_id", "ts", 3600, ["event_id"]),
         n_ev_s, n_ev_b,
     )
+
+    # temporal join: the probe side scales 10x against the same 1.5M
+    # orders build side
+    from clickhouse_etl_spark.operators.join import temporal_join_batch
+    from clickhouse_etl_spark.spec.model import (
+        JoinConfig,
+        JoinOutputField,
+        JoinSourceConfig,
+    )
+
+    bord = spark.read.parquet(f"{BASE}/orders")
+    cfg = JoinConfig(
+        left=JoinSourceConfig("e", "user_id", 0, "left"),
+        right=JoinSourceConfig("o", "o_custkey", 0, "right"),
+        output_fields=(
+            JoinOutputField("e", "event_id", "event_id"),
+            JoinOutputField("e", "user_id", "user_id"),
+            JoinOutputField("o", "o_totalprice", "total_price"),
+        ),
+    )
+    _pair(
+        "temporal_join",
+        temporal_join_batch(ev_small, bord, cfg, right_ts_col="o_orderdate",
+                            right_tiebreak=["o_orderkey"]),
+        temporal_join_batch(ev_big, bord, cfg, right_ts_col="o_orderdate",
+                            right_tiebreak=["o_orderkey"]),
+        n_ev_s, n_ev_b,
+    )
     # the windowed-dedup ratio above ~1 is the per-partition sort's
     # n·log n at a FIXED partition count (10x rows into the same 32
     # shuffle partitions); production sizes shuffle partitions to the

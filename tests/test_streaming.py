@@ -754,3 +754,92 @@ def test_sum_rollup_int_cents_exact_past_2e53(spark):
     g = metric_rollup_stream(flat, metric_type="gauge").collect()
     assert len(g) == 1
     assert g[0]["n_points"] == 1 and g[0]["sum_cents"] is None
+
+
+def test_curation_stream_to_idempotent_sink_with_replay(spark, tmp_path):
+    """The flagship deployment end to end THROUGH the sink contract:
+    curation rollup -> ClickHouseSink.foreach_batch with _batch_id
+    idempotency stamping. A checkpoint-resumed replay of the same
+    source must not duplicate sink rows per (batch, key) — the
+    reference's commit-after-write guarantee (sink/clickhouse.go
+    batch dedup) on the curation stream."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        release_bloom_cache,
+        write_bloom_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        normalize_text,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.sinks import ClickHouseSink
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.streaming.curation import curation_rollup_stream
+
+    from tests.conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(1_700_000_000 + F.col("doc_id") * 13).alias("ts"),
+        )
+    )
+    bloom = str(tmp_path / "sink_bloom")
+    write_bloom_table(
+        normalize_text(docs.filter("doc_id % 2 = 0")),
+        bloom, capacity=1000, text_col="text_norm",
+    )
+    weights = str(tmp_path / "sink_weights")
+    write_classifier_table(normalize_text(docs), weights, text_col="text_norm")
+
+    src = str(tmp_path / "sink_src")
+    docs.coalesce(2).write.parquet(src)
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = ClickHouseSink(table="curation_rollup", parquet_fallback_path=out_dir)
+        q = (
+            curation_rollup_stream(stream, bloom, weights)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    # the corpus spans ~108 minutes of event time across two files, so
+    # the second micro-batch's watermark closes most windows — rows
+    # MUST land (idempotency on an empty sink would be vacuous); the
+    # trailing windows legitimately stay open on a bounded run
+    assert n_first > 0
+    batches_first = {
+        r["_batch_id"]
+        for r in spark.read.option("basePath", out_dir).parquet(out_dir)
+        .select(F.col("_batch_id")).distinct().collect()
+    } if n_first else set()
+
+    # replay from the SAME checkpoint: no new input -> no new batches,
+    # no duplicated rows
+    run_once()
+    again = spark.read.parquet(out_dir)
+    assert again.count() == n_first
+    if n_first:
+        batches_again = {
+            r["_batch_id"]
+            for r in spark.read.option("basePath", out_dir).parquet(out_dir)
+            .select(F.col("_batch_id")).distinct().collect()
+        }
+        assert batches_again == batches_first
+    release_bloom_cache(bloom)
