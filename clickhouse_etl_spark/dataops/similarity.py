@@ -1354,6 +1354,52 @@ def pq_index_build(
     return meta
 
 
+#: loaded-index caches keyed by index path, valued (file-listing
+#: signature of meta/centroids/codebooks, meta dict, books, cents) —
+#: online serving answers a query stream per micro-batch, and the
+#: driver-side artifact loads (3 parquet reads + collects) would
+#: otherwise repeat per batch; invalidated when the artifact listing
+#: changes (rebuild rewrites all three; append reuses them), released
+#: via :func:`release_index_cache` (the bloom/digest cache lifecycle)
+_INDEX_CACHES: dict = {}
+
+
+def release_index_cache(path: str | None = None) -> int:
+    """Drop the loaded-index cache for ``path`` (or ALL when None).
+    Returns the number released."""
+    paths = [path] if path is not None else list(_INDEX_CACHES)
+    released = 0
+    for p in paths:
+        if _INDEX_CACHES.pop(p, None) is not None:
+            released += 1
+    return released
+
+
+def _load_index(spark, path: str):
+    """(meta, books, cents) for the :func:`pq_index_build` artifact at
+    ``path`` — cached per path (see ``_INDEX_CACHES``)."""
+    frames = {
+        part: spark.read.parquet(f"{path}/{part}")
+        for part in ("meta", "centroids", "codebooks")
+    }
+    sig = tuple(sorted(f for fr in frames.values() for f in fr.inputFiles()))
+    entry = _INDEX_CACHES.get(path)
+    if entry is not None and entry[0] == sig:
+        return entry[1], entry[2], entry[3]
+    meta = frames["meta"].collect()[0].asDict()
+    books_rows = frames["codebooks"].collect()
+    books: list[list[list[float]]] = [
+        [None] * meta["n_codes"] for _ in range(meta["m"])
+    ]
+    for r in books_rows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    books = [[c for c in sub if c is not None] for sub in books]
+    cents_rows = sorted(frames["centroids"].collect(), key=lambda r: r["cell"])
+    cents = [list(r["centroid"]) for r in cents_rows]
+    _INDEX_CACHES[path] = (sig, meta, books, cents)
+    return meta, books, cents
+
+
 def pq_index_query(
     spark,
     path: str,
@@ -1375,21 +1421,13 @@ def pq_index_query(
     parameters on the same corpus: the index stores the same
     deterministic centroids/codebooks/codes, and both paths share
     :func:`_ivf_adc_answer` for the answer stage (equality pinned by
-    tests/test_dataops.py).
+    tests/test_dataops.py). The loaded artifacts (meta, codebooks,
+    centroids) are cached per path, so repeat calls — and every
+    micro-batch of :func:`pq_index_serve_foreach_batch` — skip the
+    driver-side artifact reads.
     """
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    meta, books, cents = _load_index(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    books_rows = spark.read.parquet(f"{path}/codebooks").collect()
-    books: list[list[list[float]]] = [
-        [None] * meta["n_codes"] for _ in range(meta["m"])
-    ]
-    for r in books_rows:
-        books[r["subspace"]][r["code"]] = list(r["centroid"])
-    books = [[c for c in sub if c is not None] for sub in books]
-    cents_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
-    )
-    cents = [list(r["centroid"]) for r in cents_rows]
 
     qsel = queries.select(query_id_col, vec_col)
     qrows = _collect_query_set(qsel, max_queries, "pq_index_query")
@@ -1434,6 +1472,48 @@ def pq_index_query(
         cells_codes, q, vecs, queries, qrows, books, k, shortlist_factor,
         id_col, vec_col, query_id_col,
     )
+
+
+def pq_index_serve_foreach_batch(
+    spark,
+    path: str,
+    sink,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist_factor: int = 32,
+    query_id_col: str = "query_id",
+    max_queries: "int | None" = 10_000,
+):
+    """ONLINE ANN serving: answer a STREAM of query vectors against a
+    persisted :func:`pq_index_build` index, one micro-batch at a time —
+    the query-time half of the build-once/serve-many deployment
+    (vector search over a live request stream).
+
+    Returns a ``foreachBatch`` function: each micro-batch runs the
+    exact :func:`pq_index_query` path (probe → pruned partition scan →
+    ADC → shortlist → exact re-rank) and hands the standard
+    (query_id, neighbor_id, rank, sim) frame plus the batch id to
+    ``sink``. Per-batch answers are therefore IDENTICAL to the batch
+    op on the same query set (pinned by test). The index artifacts
+    load once per session (``_load_index`` cache), not per batch; the
+    corpus-side work stays partition-pruned per batch, so request
+    latency tracks ``n_probe`` cell sizes, not index size.
+
+    Wire it like the ClickHouse sink::
+
+        q = (queries_stream.writeStream
+             .foreachBatch(pq_index_serve_foreach_batch(spark, path, sink))
+             .start())
+    """
+    def answer(batch_df: DataFrame, batch_id: int) -> None:
+        ans = pq_index_query(
+            spark, path, batch_df, k=k, n_probe=n_probe,
+            shortlist_factor=shortlist_factor, query_id_col=query_id_col,
+            max_queries=max_queries,
+        )
+        sink(ans, batch_id)
+
+    return answer
 
 
 def mean_center(

@@ -95,6 +95,93 @@ def main() -> None:
     otlp_rollup_bench(spark)
     classifier_inference_bench(spark)
     curation_chain_bench(spark)
+    ann_serving_bench(spark)
+
+
+def ann_serving_bench(spark) -> None:
+    """Online ANN serving over the persisted 1M-vector IVF+PQ index
+    (pq_index_serve_foreach_batch): a stream of query micro-batches
+    answered per batch — the request-serving shape. Reports per-batch
+    answer latency (the serving metric; the index loads once via the
+    _load_index cache)."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        pq_index_build,
+        pq_index_query,
+        pq_index_serve_foreach_batch,
+        release_index_cache,
+    )
+
+    n_vec = 1_000_000
+    path = "/tmp/scale_pq_index"
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.col("id") * 131 + i * 65537) % 1000).cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    if not os.path.isdir(f"{path}/meta"):
+        t0 = time.perf_counter()
+        pq_index_build(vecs, path, n_centroids=16, m=8, n_codes=16)
+        print(f"ann_serving index build (one-time): {time.perf_counter()-t0:.1f}s")
+
+    n_batches, per_batch = 8, 5
+    qsrc = f"{BASE}/ann_queries"
+    shutil.rmtree(qsrc, ignore_errors=True)
+    for i in range(n_batches):
+        (
+            vecs.filter(
+                (F.col("vec_id") >= i * per_batch)
+                & (F.col("vec_id") < (i + 1) * per_batch)
+            )
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(qsrc)
+        )
+    release_index_cache(path)
+    # warm: one batch answer pays codegen + the one-time artifact load
+    pq_index_query(
+        spark, path,
+        spark.read.parquet(qsrc).limit(1), k=10, n_probe=4,
+    ).write.mode("overwrite").format("noop").save()
+
+    answered = []
+    ckpt = f"{BASE}/ann_serve_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(qsrc).schema
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qsrc)
+        .writeStream.foreachBatch(
+            pq_index_serve_foreach_batch(
+                spark, path,
+                lambda ans, bid: answered.append(ans.count()),
+                k=10, n_probe=4,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    n_q = n_batches * per_batch
+    print(
+        json.dumps(
+            {
+                "metric": "ann_serving_latency",
+                "index_vectors": n_vec,
+                "query_batches": len(answered),
+                "queries": n_q,
+                "answers": int(sum(answered)),
+                "seconds": round(dt, 2),
+                "sec_per_batch": round(dt / max(len(answered), 1), 3),
+            }
+        )
+    )
 
 
 def curation_chain_bench(spark) -> None:

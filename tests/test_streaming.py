@@ -843,3 +843,61 @@ def test_curation_stream_to_idempotent_sink_with_replay(spark, tmp_path):
         }
         assert batches_again == batches_first
     release_bloom_cache(bloom)
+
+
+def test_pq_index_online_serving_parity(spark, tmp_path):
+    """Online ANN serving (pq_index_serve_foreach_batch): a STREAM of
+    query vectors answered per micro-batch against the persisted index
+    must reproduce the batch pq_index_query answers exactly, and the
+    loaded-index cache must serve every batch from one artifact load
+    (invalidating only when the artifact is rebuilt)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops import similarity as sim
+    from clickhouse_etl_spark.sources import load_table
+
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "serve_index")
+    sim.pq_index_build(emb, path)
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = sorted(
+        tuple(r) for r in sim.pq_index_query(spark, path, queries).collect()
+    )
+    assert truth
+    entry0 = sim._INDEX_CACHES[path]
+
+    src = str(tmp_path / "serve_queries")
+    # two files -> two micro-batches
+    queries.filter("query_id < 4").coalesce(1).write.mode("overwrite").parquet(src)
+    queries.filter("query_id >= 4").coalesce(1).write.mode("append").parquet(src)
+
+    got = []
+    q = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            sim.pq_index_serve_foreach_batch(
+                spark, path,
+                lambda ans, bid: got.extend(tuple(r) for r in ans.collect()),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "serve_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == truth
+    # every batch served from the ONE cached artifact load
+    assert sim._INDEX_CACHES[path] is entry0
+    # rebuild rotates the cache (new artifact listing)
+    sim.pq_index_build(emb.filter("vec_id % 2 = 0"), path)
+    sim.pq_index_query(spark, path, queries.limit(1))
+    assert sim._INDEX_CACHES[path] is not entry0
+    assert sim.release_index_cache(path) == 1
+    assert sim.release_index_cache(path) == 0
