@@ -808,6 +808,22 @@ def section_r8(spark) -> None:
                             right_tiebreak=["o_orderkey"]),
         n_ev_s, n_ev_b,
     )
+
+    from clickhouse_etl_spark.operators.join import asof_join
+
+    def _asof(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_event_id"), "user_id", "ts"
+        )
+        return asof_join(
+            clicks, purch, "user_id", "ts", "ts",
+            right_cols=["p_event_id"], how="left",
+        )
+
+    _pair("asof_join", _asof(ev_small), _asof(ev_big), n_ev_s, n_ev_b)
     # the windowed-dedup ratio above ~1 is the per-partition sort's
     # n·log n at a FIXED partition count (10x rows into the same 32
     # shuffle partitions); production sizes shuffle partitions to the
