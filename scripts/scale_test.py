@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b"]
 
 
 def materialize(spark) -> None:
@@ -886,6 +886,54 @@ def section_r8(spark) -> None:
     )
 
 
+def section_r8b(spark) -> None:
+    """TWO decades up — 1B rows, synthetic generator input: spark.range
+    is a perfectly parallel leaf, so there is no materialization cost
+    and no parquet scan; what remains is exactly the part that decides
+    100-TB behavior — codegen throughput, partial aggregation, and the
+    full-corpus shuffle. Shuffle partitions are sized to the data
+    (1024) per the section_r8 partition-sizing rule; the windowed dedup
+    shuffles the full ~30 GB row payload through /dev/shm."""
+    n = 1_000_000_000
+    spark.conf.set("spark.sql.shuffle.partitions", "1024")
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10_000_000).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("click", "view", "purchase", "scroll", "hover")]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        F.timestamp_seconds(1_700_000_000 + (F.col("id") % 31_536_000)).alias("ts"),
+        ((F.col("id") * 7919) % 100_000).cast("double").alias("value"),
+    )
+
+    def _best2(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    filt = ev.filter((F.col("value") > 50_000) & (F.col("event_type") == "click"))
+    filt.limit(1000).write.mode("overwrite").format("noop").save()  # codegen warm
+    dt = _best2(filt)
+    print(f"filter_project_1B: {dt:.1f}s ({n/dt/1e6:.0f}M rows/s)")
+
+    agg = ev.groupBy("event_type").agg(
+        F.sum("value"), F.countDistinct("user_id")
+    )
+    dt = _best2(agg)
+    print(f"group_agg_1B: {dt:.1f}s ({n/dt/1e6:.0f}M rows/s)")
+
+    from clickhouse_etl_spark.operators.dedup import dedup_windowed
+
+    dd = dedup_windowed(ev, "user_id", "ts", 3600, ["event_id"])
+    dt = _best2(dd)
+    print(f"dedup_windowed_1B: {dt:.1f}s ({n/dt/1e6:.1f}M rows/s)")
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -898,7 +946,7 @@ def main() -> None:
          "multimodal": section_multimodal, "new": section_new,
          "r4": section_r4, "r5": section_r5, "r6": section_r6,
          "r7": section_r7, "r7b": section_r7b,
-         "r8": section_r8}[section](spark)
+         "r8": section_r8, "r8b": section_r8b}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:
