@@ -927,6 +927,24 @@ def section_r8b(spark) -> None:
     dt = _best2(agg)
     print(f"group_agg_1B: {dt:.1f}s ({n/dt/1e6:.0f}M rows/s)")
 
+    # distinct-cardinality scale paths at 1B: native HLL
+    # (approx_count_distinct) is the O(k)-state compute path — its
+    # partial aggregate never materializes the distinct pairs; the
+    # portable KMV sketch pays a distinct-pair shuffle like the exact
+    # form (its value is cross-engine verifiability + a mergeable
+    # artifact, not compute)
+    hll = ev.groupBy("event_type").agg(
+        F.sum("value"), F.approx_count_distinct("user_id")
+    )
+    dt = _best2(hll)
+    print(f"group_agg_hll_1B: {dt:.1f}s ({n/dt/1e6:.0f}M rows/s)")
+
+    from clickhouse_etl_spark.dataops.sketches import kmv_distinct
+
+    kmv = kmv_distinct(ev, "user_id", group_col="event_type", k=64)
+    dt = _best2(kmv)
+    print(f"kmv_distinct_1B: {dt:.1f}s ({n/dt/1e6:.0f}M rows/s)")
+
     from clickhouse_etl_spark.operators.dedup import dedup_windowed
 
     dd = dedup_windowed(ev, "user_id", "ts", 3600, ["event_id"])
