@@ -2228,3 +2228,40 @@ def test_score_kernel_chunking_identical(spark, monkeypatch):
     # at least one doc must hit a trained bucket and at least one must
     # be droppable for the test to mean anything
     assert 0 < len(sel) <= len(tok_lists)
+
+
+def test_index_cache_survives_append_rotates_on_rebuild(spark, sf_dir, tmp_path):
+    """The loaded-index cache (meta/codebooks/centroids) must SURVIVE
+    pq_index_append — append reuses the stored codebooks and only
+    grows codes/, and queries re-scan codes fresh each call so new
+    vectors are visible — and must ROTATE on a rebuild (all three
+    artifact listings change)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "cache_idx")
+    sim.release_index_cache()
+    sim.pq_index_build(emb.filter("vec_id < 400"), path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sim.pq_index_query(spark, path, queries).collect()
+    assert before
+    entry0 = sim._INDEX_CACHES[path]
+
+    # append new vectors: cache entry reused, appended ids queryable
+    sim.pq_index_append(spark, path, emb.filter("vec_id >= 400"))
+    after = sim.pq_index_query(spark, path, queries)
+    ids_after = {r["neighbor_id"] for r in after.collect()}
+    assert sim._INDEX_CACHES[path] is entry0
+    n_codes = spark.read.parquet(f"{path}/codes").count()
+    assert n_codes == emb.count()  # append landed
+    assert ids_after  # answers still flow over the grown index
+
+    # rebuild: listings change -> cache rotates
+    sim.pq_index_build(emb, path)
+    sim.pq_index_query(spark, path, queries.limit(1)).collect()
+    assert sim._INDEX_CACHES[path] is not entry0
+    sim.release_index_cache(path)
