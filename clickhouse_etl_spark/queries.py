@@ -6150,10 +6150,32 @@ _R07_CHECKED = frozenset({
     "transform_scalars", "validate_dlq_counts",
 })
 
+_R08_CHECKED = frozenset({
+    "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
+    "docs_bigram_pmi", "docs_corpus_report", "docs_curation_e2e",
+    "docs_curation_v3", "docs_curation_v4", "docs_decontamination",
+    "docs_dedup_agreement", "docs_dup_clusters", "docs_dup_keep_best",
+    "docs_exact_dedup", "docs_fingerprint", "docs_kgram_novelty",
+    "docs_langid", "docs_lm_familiarity", "docs_minhash_lsh_pairs",
+    "docs_ngram_containment_pairs", "docs_ngram_jaccard_pairs",
+    "docs_normalize_text", "docs_pipeline_e2e", "docs_quality_score",
+    "docs_repetition_signals", "docs_sequence_packing", "docs_simhash",
+    "docs_snapshot_diff", "docs_split_report", "docs_token_stats",
+    "docs_trained_classifier", "emb_cosine_topk",
+    "emb_matryoshka_ann_topk", "emb_mean_center", "emb_near_dup_pairs",
+    "emb_pq_index_ann_topk", "emb_truncate_renorm", "filter_project",
+    "json_props_extract", "otlp_flatten_metrics", "otlp_flatten_traces",
+    "pipeline_canonical", "session_window_agg", "sessionize_events",
+    "sink_mapping_casts", "temporal_join_enrich",
+    "topk_orders_per_priority", "transform_query_params",
+    "transform_scalars", "tumbling_window_agg", "validate_dlq_counts",
+})
+
 # Newest-signature round per entry, derived from the artifact key sets.
 # Newer rounds shadow older ones; entries in no set have never been
 # driver-checked (priority 0).
 _CHECKED_ROUNDS = (
+    (8, _R08_CHECKED),
     (7, _R07_CHECKED),
     (6, _R06_CHECKED),
     (5, _R05_CHECKED),
@@ -6173,34 +6195,15 @@ def _newest_signature(name: str) -> int:
 # Entries whose implementing code changed after their newest driver-signed
 # CORRECTNESS row. MECHANICALLY ENFORCED: tests/test_rotation.py compares
 # each entry's transitive implementing-source hash (impl_hash.py) against
-# clickhouse_etl_spark/impl_hashes_signed.json (snapshotted at the r6-signed
+# clickhouse_etl_spark/impl_hashes_signed.json (snapshotted at the r8-signed
 # commit via scripts/snapshot_impl_hashes.py) and fails if a changed entry
 # is missing from this set. Re-snapshot at the start of each round, then add
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r8 edits after an r3..r7 signature — keep EXACTLY equal to the
-    # mechanical changed-set (tests/test_rotation.py).
-    # ADVICE-r7 _shingle_stream id-dtype fix flips every pair-engine
-    # consumer's hash (value-identical for the registry's bigint ids):
-    "docs_ngram_jaccard_pairs",
-    "docs_ngram_containment_pairs",
-    "docs_dup_clusters",
-    "docs_dup_keep_best",
-    "docs_pipeline_e2e",
-    "docs_dedup_agreement",
-    "docs_decontamination",
-    "docs_curation_v3",
-    "docs_curation_v4",
-    "pipeline_canonical",  # reaches the dataop registry
-    # classifier threshold terms widened to DECIMAL(38,0) (VERDICT r7
-    # nit #2; pred values unchanged — boundary-tested past 2^63):
-    "docs_trained_classifier",
-    # normalize_text pandas engine now calls the shared
-    # _normalize_kernel (review de-triplication; value-identical,
-    # engines equality-pinned):
-    "docs_normalize_text",
-    # per-pid persisted-index artifact path (VERDICT r7 nit #1):
-    "emb_pq_index_ann_topk",
+    # r9 edits after an r3..r8 signature — keep EXACTLY equal to the
+    # mechanical changed-set (tests/test_rotation.py). Empty at round
+    # start: impl hashes re-snapshotted from the r9-start tree (the
+    # r8-signed commit 0e68cc8 plus driver artifacts only).
 })
 
 
