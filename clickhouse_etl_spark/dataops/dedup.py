@@ -112,10 +112,19 @@ def _shingle_stream(
             StructField("g", StringType(), True),
         ]
     )
-    id_dtype = {
+    # nullable int ids must use pandas NULLABLE dtypes (ADVICE r8: a
+    # numpy int64 Series raises on a NULL id where the catalyst engine
+    # flows it through; Arrow round-trips Int64/... with nulls intact)
+    _np_int = {
         "bigint": "int64", "int": "int32", "smallint": "int16",
         "tinyint": "int8",
-    }.get(id_field.dataType.simpleString(), "object")
+    }
+    _pd_int = {
+        "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+        "tinyint": "Int8",
+    }
+    simple = id_field.dataType.simpleString()
+    id_dtype = (_pd_int if id_field.nullable else _np_int).get(simple, "object")
 
     def gen(batches):
         for pdf in batches:

@@ -1173,12 +1173,17 @@ def _classifier_threshold(scored: DataFrame) -> DataFrame:
 
 
 def _calibrated_pred() -> Column:
-    """``score·n_train > Σ train scores`` with both terms widened to
-    DECIMAL(38,0) — exact across the full int64 score range and any
-    train count (the int64 ceiling the r7 docstring documented)."""
+    """``score·n_train > Σ train scores`` exact across the full int64
+    range of BOTH factors: each is cast to DECIMAL(19,0) (int64 ⊂
+    10^19), so Spark types the product DECIMAL(38,0) and the worst case
+    (~9.2e18)² ≈ 8.5e37 stays strictly under 10^38 — no silent
+    ANSI-off NULL is reachable (ADVICE r8; a 38×38 product was capped
+    at precision 38 and could overflow for inputs past int64). ``_ss``
+    remains DECIMAL(38,0): it only saturates past ~2·10^19 worst-case
+    train documents, far beyond any real corpus."""
     return (
-        F.col("score").cast("decimal(38,0)")
-        * F.col("_nt").cast("decimal(38,0)")
+        F.col("score").cast("decimal(19,0)")
+        * F.col("_nt").cast("decimal(19,0)")
         > F.col("_ss")
     ).cast("int")
 
@@ -1339,6 +1344,17 @@ def _score_kernel(dim: int, wt: dict, s_sum: int, n_tr: int):
     import numpy as np
 
     from .hashing import char_fold_hash_py
+
+    # |score| <= dim * 2^40 (per-bucket |f*wt| <= 2^20 * 2^20); the dot
+    # accumulates in numpy int64, so dim must keep that bound inside
+    # int64 — fail loud at kernel construction instead of wrapping
+    # silently on a huge-dim artifact (ADVICE r8).
+    if dim >= (1 << 22):
+        raise ValueError(
+            f"classifier dim={dim} risks int64 overflow in the "
+            "vectorized scorer (|score| <= dim * 2^40 must stay under "
+            "2^63); retrain with dim < 2^22 buckets"
+        )
 
     fp = _CLF_FP
     wt_vec = np.zeros(dim, dtype=np.int64)

@@ -6201,9 +6201,26 @@ def _newest_signature(name: str) -> int:
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
     # r9 edits after an r3..r8 signature — keep EXACTLY equal to the
-    # mechanical changed-set (tests/test_rotation.py). Empty at round
-    # start: impl hashes re-snapshotted from the r9-start tree (the
-    # r8-signed commit 0e68cc8 plus driver artifacts only).
+    # mechanical changed-set (tests/test_rotation.py). Reset empty at
+    # round start (impl hashes re-snapshotted from the r9-start tree =
+    # the r8-signed commit 0e68cc8 plus driver artifacts only).
+    # ADVICE-r8 fixes (all value-identical for registry inputs,
+    # equality/regression-tested):
+    # _shingle_stream nullable-int id dtypes — flips every pair-engine
+    # consumer's hash:
+    "docs_ngram_jaccard_pairs",
+    "docs_ngram_containment_pairs",
+    "docs_dup_clusters",
+    "docs_dup_keep_best",
+    "docs_pipeline_e2e",
+    "docs_dedup_agreement",
+    "docs_decontamination",
+    "docs_curation_v3",
+    "docs_curation_v4",
+    "pipeline_canonical",  # reaches the dataop registry
+    # _score_kernel dim guard + _calibrated_pred decimal(19,0) factors:
+    "docs_trained_classifier",
+    "docs_curation_e2e",
 })
 
 

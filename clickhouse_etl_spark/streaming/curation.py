@@ -63,6 +63,17 @@ def curation_scored_stream(
     staged 17.0k docs/s end-to-end — fused is the default; staged is
     the composition-of-tested-ops reference form.
     """
+    # the clash guard applies to BOTH engines (ADVICE r8: staged's
+    # normalize_text would silently overwrite a pre-existing
+    # text_norm/n_tokens_* column, diverging from fused's rejection)
+    clash = {"text_norm", "n_tokens_raw", "n_tokens_norm", "score", "pred"} & set(
+        docs.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input already carries {sorted(clash)} — rename those "
+            "columns before the curation pass"
+        )
     if engine == "staged":
         from ..dataops.dedup import dedup_against_bloom_path
         from ..dataops.text import classify_against_path, normalize_text
@@ -89,14 +100,6 @@ def curation_scored_stream(
     from ..dataops.text import _load_classifier, _normalize_kernel, _score_kernel
     from ..dataops.util import scale_out
 
-    clash = {"text_norm", "n_tokens_raw", "n_tokens_norm", "score", "pred"} & set(
-        docs.columns
-    )
-    if clash:
-        raise ValueError(
-            f"input already carries {sorted(clash)} — rename those "
-            "columns before the curation pass"
-        )
     spark = docs.sparkSession
     bc_words, m, k, n_shards = _bloom_broadcast(spark, bloom_path)
     dim, s_sum, n_tr, wt = _load_classifier(spark, weights_path)

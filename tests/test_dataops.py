@@ -2199,6 +2199,85 @@ def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
     release_bloom_cache(bloom)
 
 
+def test_shingle_stream_null_id_both_engines(spark):
+    """ADVICE r8: a NULL id must flow through the Arrow shingle engine
+    exactly like the catalyst form (the numpy int dtypes raised on
+    construction; nullable ids now use pandas nullable dtypes)."""
+    from clickhouse_etl_spark.dataops.dedup import _shingle_stream
+
+    text = "one two three four five six seven"
+    for id_type in ["int", "long", "string"]:
+        df = spark.createDataFrame(
+            [("1" if id_type == "string" else 1, text), (None, text)],
+            f"doc_id {id_type}, text string",
+        )
+        a = _shingle_stream(df, "text", "doc_id", 5, engine="pandas")
+        b = _shingle_stream(df, "text", "doc_id", 5, engine="catalyst")
+        assert a.schema["id"].dataType == b.schema["id"].dataType, id_type
+        from collections import Counter
+
+        ra = Counter(map(tuple, a.collect()))
+        rb = Counter(map(tuple, b.collect()))
+        assert ra == rb, id_type
+        assert any(k[0] is None for k in ra), id_type  # NULL id survived
+
+
+def test_score_kernel_rejects_overflow_dim():
+    """ADVICE r8: |score| <= dim * 2^40 must stay inside the int64 the
+    vectorized scorer accumulates in — a huge-dim artifact fails loud
+    at kernel construction instead of wrapping silently."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.text import _score_kernel
+
+    with _pytest.raises(ValueError, match="int64 overflow"):
+        _score_kernel(1 << 22, {}, 0, 1)
+    # just under the bound constructs fine
+    assert _score_kernel((1 << 22) - 1, {0: 1}, 0, 1) is not None
+
+
+def test_calibrated_pred_product_exact_across_int64():
+    """ADVICE r8: the threshold comparison's product term must be
+    exact for the FULL int64 range of score and n_train — decimal
+    19x19 -> 38 cannot overflow ((9.2e18)^2 < 10^38), where the old
+    38x38 product could silently NULL under ANSI-off."""
+    from clickhouse_etl_spark.dataops.text import _calibrated_pred
+    from clickhouse_etl_spark.session import get_spark
+
+    from decimal import Decimal
+
+    spark = get_spark()
+    big = 2**63 - 1
+    # NB: build the exact 38-digit value with PYTHON int multiply —
+    # Decimal(big)*big rounds at the decimal context's 28-digit default
+    df = spark.createDataFrame(
+        [
+            (big, big, Decimal(big * big - 1)),
+            (big, big, Decimal(big * big)),
+        ],
+        "score long, _nt long, _ss decimal(38,0)",
+    )
+    preds = [r["p"] for r in df.select(_calibrated_pred().alias("p")).collect()]
+    # product == big^2 exactly: > (big^2 - 1) but not > big^2
+    assert preds == [1, 0]
+
+
+def test_curation_clash_guard_both_engines(spark):
+    """ADVICE r8: the output-column clash guard applies to BOTH
+    engines — staged must reject the same inputs fused does instead of
+    silently overwriting text_norm."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.streaming.curation import curation_scored_stream
+
+    df = spark.createDataFrame(
+        [(1, "some text", "stale")], ["doc_id", "text", "text_norm"]
+    )
+    for engine in ["staged", "fused"]:
+        with _pytest.raises(ValueError, match="already carries"):
+            curation_scored_stream(df, "/nonexistent", "/nonexistent", engine=engine)
+
+
 def test_score_kernel_chunking_identical(spark, monkeypatch):
     """The vectorized scorer builds dense matrices in bounded row
     chunks (memory independent of the artifact's dim); 1-row chunks
