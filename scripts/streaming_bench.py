@@ -416,6 +416,47 @@ def otlp_rollup_bench(spark) -> None:
         )
     )
 
+    # the remaining two families (VERDICT r8 #3): exp-histogram scalars
+    # (associative) and summary latest-snapshot merges — rollup now
+    # covers all five OTLP datapoint families
+    from clickhouse_etl_spark.streaming.rollup import (
+        exp_histogram_rollup_stream,
+        summary_rollup_stream,
+    )
+
+    for fam, fn in (
+        ("exp_histogram", exp_histogram_rollup_stream),
+        ("summary", summary_rollup_stream),
+    ):
+        ckpt_f = f"{BASE}/otlp_{fam}_ckpt"
+        shutil.rmtree(ckpt_f, ignore_errors=True)
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+        )
+        rolled = fn(flatten_metrics(stream))
+        t0 = time.perf_counter()
+        q = (
+            rolled.writeStream.format("noop")
+            .option("checkpointLocation", ckpt_f)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": f"otlp_{fam}_rollup_stream_throughput",
+                    "payload_rows_in": n_in,
+                    "seconds": round(dt, 2),
+                    "payload_rows_per_sec": int(n_in / dt),
+                }
+            )
+        )
+
 
 def digest_lifecycle_bench(spark) -> None:
     """Cross-wave dedup in the live chain (VERDICT r5 #7): stream the

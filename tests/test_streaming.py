@@ -639,6 +639,110 @@ def test_streaming_otlp_sum_and_histogram_rollup(spark, tmp_path):
     assert got_hist == truth_hist
 
 
+def test_streaming_otlp_exp_hist_and_summary_rollup(spark, tmp_path):
+    """VERDICT r8 #3: the rollup covers all five OTLP datapoint
+    families — exponential-histogram scalars (count/sum/min/max,
+    associative, the flattened record carries no bucket runs) and
+    summary snapshots (cumulative temporality: the window merge is
+    latest-snapshot via lexicographic struct max, not addition). Every
+    closed window equals the batch form on the same payloads."""
+    import datetime as _dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.queries import _otlp_metrics_payload
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.sources.otlp import flatten_metrics
+    from clickhouse_etl_spark.streaming.rollup import (
+        exp_histogram_rollup_stream,
+        summary_rollup_stream,
+    )
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") % 7 == 0)
+    payloads = ev.select(_otlp_metrics_payload().alias("value"))
+    flat_b = flatten_metrics(payloads)
+
+    truth_eh = {
+        (r["host"], r["window_start_us"]): (
+            r["n_points"], r["total_count"], r["sum_cents"],
+            r["min_cents"], r["max_cents"],
+        )
+        for r in exp_histogram_rollup_stream(flat_b, window_duration="1 day", watermark="2 days").collect()
+    }
+    truth_sm = {
+        (r["host"], r["window_start_us"]): (
+            r["n_points"], r["last_count"], r["last_sum_cents"],
+        )
+        for r in summary_rollup_stream(flat_b, window_duration="1 day", watermark="2 days").collect()
+    }
+    assert truth_eh, "no exp-histogram rollup rows in the batch truth"
+    assert truth_sm, "no summary rollup rows in the batch truth"
+    # the synthetic summary snapshot count is the constant 9 — the
+    # latest-snapshot merge must surface it, not a sum of snapshots
+    assert all(v[1] == 9 for v in truth_sm.values())
+    # windows with >1 snapshot prove the merge is NOT addition
+    assert any(v[0] > 1 for v in truth_sm.values())
+
+    # all-family sentinel (each branch filters metric_type BEFORE the
+    # watermark, so the sentinel must reach every branch)
+    src = str(tmp_path / "otlp_stream_eh_sm")
+    payloads.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # file-mtime order drives parquet-source batching
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [(max_ts + _dt.timedelta(days=30), "__sentinel__", 1.0, 1)],
+        "ts timestamp, event_type string, value double, user_id long",
+    ).select(_otlp_metrics_payload().alias("value"))
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flat_s = flatten_metrics(stream)
+    q1 = (
+        exp_histogram_rollup_stream(flat_s, window_duration="1 day", watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("otlp_eh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_eh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        summary_rollup_stream(flat_s, window_duration="1 day", watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("otlp_sm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+    q2.awaitTermination(180)
+    got_eh = {
+        (r["host"], r["window_start_us"]): (
+            r["n_points"], r["total_count"], r["sum_cents"],
+            r["min_cents"], r["max_cents"],
+        )
+        for r in spark.sql("SELECT * FROM otlp_eh_out").collect()
+        if r["host"] != "__sentinel__"
+    }
+    got_sm = {
+        (r["host"], r["window_start_us"]): (
+            r["n_points"], r["last_count"], r["last_sum_cents"],
+        )
+        for r in spark.sql("SELECT * FROM otlp_sm_out").collect()
+        if r["host"] != "__sentinel__"
+    }
+    assert got_eh == truth_eh
+    assert got_sm == truth_sm
+
+
 def test_streaming_curation_chain_parity_with_batch(spark, tmp_path):
     """VERDICT r7 #2: the full production curation chain — normalize →
     bloom dedup_against → classify_against scoring → windowed rollup —
