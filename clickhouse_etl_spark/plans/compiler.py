@@ -113,12 +113,14 @@ DATAOPS = frozenset({
     "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
     "dedup_against", "normalize_text", "hash_embedding",
     "trained_classifier", "cluster_sample", "classify_against",
+    "ann_serve",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
 REQUIRED_DATAOP_PARAMS = {
     "dedup_against": ("seen_path",),
     "classify_against": ("weights_path",),
+    "ann_serve": ("index_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -143,10 +145,19 @@ REQUIRED_DATAOP_PARAMS = {
 # (write_classifier_table) — is one row-local Arrow pass with the
 # dim-bounded weight table in the task closure, so it joins
 # dedup_against as a train-offline/score-online streaming op.
+# ann_serve — answering a query stream against a PERSISTED pq_index —
+# is streamable, but NOT as a mid-chain transform: pq_index_query
+# collects the (bounded) query set driver-side to prune the codes scan,
+# which a mid-chain streaming frame cannot do. The streaming runner
+# wires it SINK-SIDE instead (terminal position only): each micro-batch
+# of queries runs the exact pq_index_query path inside foreachBatch and
+# the ANSWER frame reaches the sink — the reference's config-in/plan-out
+# thesis applied to build-once/serve-many ANN (VERDICT r8 #4).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
     "hash_embedding", "trained_classifier", "cluster_sample",
+    "ann_serve",
 }
 
 
@@ -190,6 +201,30 @@ def resolve_dataop(op: str):
         # label embedding-side defaults) — ADVICE r4: a plan declaring
         # the op without params must not fail only at runtime
         return balanced_sample(df, label_col=label_col, id_col=id_col, **kw)
+
+    def ann_serve_op(
+        df,
+        index_path,
+        k=10,
+        n_probe=4,
+        shortlist_factor=32,
+        query_id_col="query_id",
+        max_queries=10_000,
+    ):
+        # batch form of sink-side ANN serving: the chain's frame is the
+        # QUERY set; the op maps it to the standard (query_id,
+        # neighbor_id, rank, sim) answer frame via the persisted-index
+        # query path (partition-pruned codes scan, session-cached
+        # artifacts). Streaming wires the same op per micro-batch in
+        # foreachBatch (streaming/runner.py) — answers are identical by
+        # construction (both run pq_index_query).
+        from ..dataops.similarity import pq_index_query
+
+        return pq_index_query(
+            df.sparkSession, index_path, df, k=k, n_probe=n_probe,
+            shortlist_factor=shortlist_factor, query_id_col=query_id_col,
+            max_queries=max_queries,
+        )
 
     def cluster_sample_docs(
         df, cap=20, n_centroids=16, id_col="doc_id", vec_col="embedding", **kw
@@ -237,6 +272,7 @@ def resolve_dataop(op: str):
         "trained_classifier": trained_quality_classifier,
         "cluster_sample": cluster_sample_docs,
         "classify_against": classify_against_path,
+        "ann_serve": ann_serve_op,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

@@ -862,3 +862,132 @@ def test_multi_wave_curation_lifecycle(spark, tmp_path):
     )
     assert a == b
     release_bloom_cache()
+
+
+def test_ann_serve_on_spec_surface(spark, sf_dir, tmp_path):
+    """VERDICT r8 #4: online ANN serving is config-in/plan-out like
+    every other dataop. Parse-time: index_path is required. Batch: the
+    ann_serve dataop maps the chain's query frame to the standard
+    answer frame, equal to a direct pq_index_query call. Streaming: a
+    TERMINAL ann_serve on a joinless single-source pipeline is wired
+    sink-side by StreamingPipeline (per-micro-batch answers == the
+    batch op); any other placement raises at assembly time."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        pq_index_build,
+        pq_index_query,
+        release_index_cache,
+    )
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.sinks import ClickHouseSink
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.spec.model import (
+        DataopConfig,
+        SourceConfig,
+        SpecError,
+    )
+    from clickhouse_etl_spark.streaming import StreamingPipeline
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "ann_serve" in DATAOPS
+    assert "ann_serve" not in STREAM_SAFE_DATAOPS  # mid-chain: rejected
+
+    # parse-time: index_path required (no usable default)
+    doc = {
+        "version": "v3", "pipeline_id": "p", "name": "p",
+        "sources": [{
+            "type": "kafka", "source_id": "queries", "topic": "queries",
+            "schema_fields": [{"name": "query_id", "type": "int64"}],
+        }],
+        "transforms": [{"type": "dataop", "source_id": "queries",
+                        "config": {"op": "ann_serve"}}],
+    }
+    with _pytest.raises(SpecError, match="index_path"):
+        parse_pipeline_json(doc)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = str(tmp_path / "serve_idx")
+    release_index_cache()
+    pq_index_build(emb.filter("vec_id < 400"), index_path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = sorted(
+        map(tuple, pq_index_query(spark, index_path, queries, k=5).collect())
+    )
+    assert truth, "direct pq_index_query returned no answers"
+
+    # batch chain: the dataop's answers == the direct call
+    batch_ans = sorted(
+        map(
+            tuple,
+            resolve_dataop("ann_serve")(queries, index_path=index_path, k=5)
+            .collect(),
+        )
+    )
+    assert batch_ans == truth
+
+    # streaming, terminal position: spec-built query answers == batch
+    qdir = str(tmp_path / "query_stream")
+    queries.write.parquet(qdir)
+    qschema = spark.read.parquet(qdir).schema
+    sdoc = {
+        "version": "v3", "pipeline_id": "serve", "name": "ann-serve",
+        "sources": [{
+            "type": "kafka", "source_id": "queries", "topic": "queries",
+        }],
+        "transforms": [{"type": "dataop", "source_id": "queries",
+                        "config": {"op": "ann_serve",
+                                   "index_path": index_path, "k": 5}}],
+        "sink": {
+            "type": "clickhouse", "table": "answers",
+            "max_delay_time": "1s",
+            "mapping": [
+                {"name": "query_id", "column_name": "query_id", "column_type": "Int64"},
+                {"name": "neighbor_id", "column_name": "neighbor_id", "column_type": "Int64"},
+                {"name": "rank", "column_name": "rank", "column_type": "Int32"},
+                {"name": "sim", "column_name": "sim", "column_type": "Float64"},
+            ],
+        },
+    }
+    spec = parse_pipeline_json(json.dumps(sdoc))
+    sink = ClickHouseSink(
+        table="answers", parquet_fallback_path=str(tmp_path / "answers_out")
+    )
+    pipe = StreamingPipeline(spec=spec, checkpoint_dir=str(tmp_path / "serve_ckpt"))
+    q = pipe.start(
+        spark,
+        sources={"queries": spark.readStream.schema(qschema).parquet(qdir)},
+        ts_cols={"queries": "query_id"},
+        sink_fn=sink.foreach_batch(),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in spark.read.parquet(str(tmp_path / "answers_out"))
+        .drop("_batch_id")
+        .collect()
+    )
+    assert got == truth
+
+    # any non-terminal placement raises at assembly, with the sink-side
+    # contract named
+    stream = spark.readStream.schema(qschema).parquet(qdir)
+    cfg = SourceConfig(
+        source_id="queries",
+        dataops=(
+            DataopConfig(op="ann_serve", params={"index_path": index_path}),
+            DataopConfig(op="normalize_text", params={}),
+        ),
+    )
+    with _pytest.raises(SpecError, match="SINK-SIDE"):
+        streaming_source_chain(cfg, "query_id", value_is_json=False)(stream)
+    release_index_cache()
