@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9"]
 
 
 def materialize(spark) -> None:
@@ -719,7 +719,18 @@ def section_r8(spark) -> None:
         (
             ev_small.crossJoin(mult)
             .withColumn("event_id", F.col("event_id") + F.col("rep") * 1_000_000_000)
-            .withColumn("user_id", F.col("user_id") + (F.col("rep") % 10) * 100_000_000)
+            # user keys derive by HASHING (user_id, rep) — additive
+            # shifts would leave the key distribution 10 exact clones of
+            # the sf-corpus distribution, flattering decade-up group-agg
+            # (VERDICT r8 nit #1); the hash keeps each user's per-key
+            # event count but decorrelates the clone populations
+            .withColumn(
+                "user_id",
+                F.pmod(
+                    F.xxhash64(F.col("user_id"), F.col("rep")),
+                    F.lit(1_000_000_000_000),
+                ),
+            )
             .drop("rep")
             .repartition(256)
             .write.mode("overwrite")
@@ -952,6 +963,112 @@ def section_r8b(spark) -> None:
     print(f"dedup_windowed_1B: {dt:.1f}s ({n/dt/1e6:.1f}M rows/s)")
 
 
+def section_r9(spark) -> None:
+    """Docs-side decade evidence to 10M documents (VERDICT r8 #6): the
+    events side reached 1B rows in r8 but the curation body stopped at
+    1M docs. One JVM, per-row-cost ratios of the row-local curation ops
+    (exact dedup, bloom probe, classifier scoring, the fused curation
+    body) at 10M docs vs their 1M baselines — linear reads as ratio ≈ 1,
+    anything past ~2 prints SUPER-LINEAR and needs the section_r8-style
+    attribution. The corpus replicates the 100k generator docs 100×
+    (additive doc_id shifts are fine here: none of these ops group by
+    doc_id; exact dedup groups by text digest, so the replicated corpus
+    is its all-dup WORST case — every text collapses 100+ ways)."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        dedup_against_path,
+        exact_dedup,
+        release_bloom_cache,
+        write_bloom_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        classify_against_path,
+        write_classifier_table,
+    )
+    from clickhouse_etl_spark.streaming.curation import curation_scored_stream
+
+    docs_small = spark.read.parquet(f"{BASE}/docs")
+    p_1m = f"{BASE}/docs_1m"
+    p_10m = f"{BASE}/docs_10m"
+    for path, reps, parts in ((p_1m, 10, 64), (p_10m, 100, 256)):
+        if not os.path.isdir(path):
+            t0 = time.perf_counter()
+            mult = spark.range(reps).select(F.col("id").alias("rep"))
+            (
+                docs_small.crossJoin(mult)
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.col("rep") * 1_000_000_000
+                )
+                .drop("rep")
+                .repartition(parts)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            print(
+                f"materialized {reps/10:.0f}M docs in "
+                f"{time.perf_counter()-t0:.1f}s"
+            )
+    d1 = spark.read.parquet(p_1m)
+    d10 = spark.read.parquet(p_10m)
+    n1, n10 = 1_000_000, 10_000_000
+    # shuffle partitions sized to the data (the section_r8 rule): the
+    # exact-dedup digest shuffle moves ~10x the rows
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+
+    def _best2(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def _pair(name, small_df, big_df) -> None:
+        small_df.limit(1000).write.mode("overwrite").format("noop").save()
+        dt_s = _best2(small_df)
+        dt_b = _best2(big_df)
+        ratio = (dt_b / n10) / (dt_s / n1)
+        flag = "  ** SUPER-LINEAR **" if ratio > 2.0 else ""
+        print(
+            f"{name}: 1M->10M docs in {dt_s:.1f}s/{dt_b:.1f}s "
+            f"({n1/dt_s/1000:.0f}/{n10/dt_b/1000:.0f}k docs/s), "
+            f"per-row-cost ratio {ratio:.2f}{flag}"
+        )
+
+    _pair("exact_dedup", exact_dedup(d1), exact_dedup(d10))
+
+    # bloom filters sized to the TRUE distinct-text count (identical at
+    # both scales — replication adds no new texts), so probe cost is
+    # the only thing scaling
+    n_keys = d10.select(F.md5(F.coalesce("text", F.lit("")))).distinct().count()
+    b1, b10 = f"{BASE}/bloom_r9_1m", f"{BASE}/bloom_r9_10m"
+    write_bloom_table(d1, b1, capacity=n_keys, mode="overwrite")
+    write_bloom_table(d10, b10, capacity=n_keys, mode="overwrite")
+    release_bloom_cache()
+    _pair(
+        "bloom_probe",
+        dedup_against_path(d1, b1, seen_format="bloom"),
+        dedup_against_path(d10, b10, seen_format="bloom"),
+    )
+
+    model = f"{BASE}/clf_r9"
+    if not os.path.isdir(model):
+        t0 = time.perf_counter()
+        write_classifier_table(d10, model, mode="overwrite")
+        print(f"classifier train (one-time, 10M docs): {time.perf_counter()-t0:.1f}s")
+    _pair(
+        "classifier_scoring",
+        classify_against_path(d1, model),
+        classify_against_path(d10, model),
+    )
+
+    release_bloom_cache()
+    _pair(
+        "curation_fused_body",
+        curation_scored_stream(d1, b1, model),
+        curation_scored_stream(d10, b10, model),
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -964,7 +1081,8 @@ def main() -> None:
          "multimodal": section_multimodal, "new": section_new,
          "r4": section_r4, "r5": section_r5, "r6": section_r6,
          "r7": section_r7, "r7b": section_r7b,
-         "r8": section_r8, "r8b": section_r8b}[section](spark)
+         "r8": section_r8, "r8b": section_r8b,
+         "r9": section_r9}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:
