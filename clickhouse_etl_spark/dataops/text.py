@@ -100,6 +100,120 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the published Gopher "required words" — a doc must contain at least
+#: two of these to pass the stopword rule (Rae et al. 2021, table A1)
+GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    required_stops: "list[str] | None" = None,
+) -> DataFrame:
+    """The full published Gopher quality-rule battery (Rae et al. 2021
+    — public paper; complements :func:`quality_score`'s weighted score
+    with the per-rule REJECTION flags production curation pipelines
+    gate on):
+
+    - ``r_word_count``: 50 ≤ words ≤ 100 000;
+    - ``r_mean_word_len``: mean word length in [3, 10] — compared as
+      ``3·n ≤ Σlen ≤ 10·n`` (exact integer cross-multiplication, no
+      float division anywhere in the battery);
+    - ``r_symbol_ratio``: symbol-word ratio ≤ 0.1 (words containing
+      ``#`` or ``...``) — ``10·n_sym ≤ n_words``;
+    - ``r_bullet`` / ``r_ellipsis``: ≤10% of lines start with a bullet
+      / ≤30% end with an ellipsis;
+    - ``r_alpha``: ≥80% of words contain an alphabetic character —
+      ``5·n_alpha ≥ 4·n_words``;
+    - ``r_stopwords``: ≥2 distinct required words present —
+      ``required_stops`` defaults to the paper's published list
+      (``GOPHER_REQUIRED_STOPS``); corpora whose vocabulary doesn't
+      cover it (synthetic, non-English) pass their own list, e.g. the
+      langid ``STOPWORDS`` entry for the corpus language;
+    - ``pass_gopher``: conjunction of all seven.
+
+    Row-local (one pass over per-row token/line arrays, no shuffle, no
+    state) — stream-safe on the spec surface, and at 100 TB the battery
+    rides whatever scan partitioning the input already has. Counters
+    are BIGINT, flags INTEGER 0/1 — every comparison is integer
+    arithmetic, so the DuckDB oracle reproduces the battery exactly.
+    """
+    # null-text docs gate like empty docs (the digest-lifecycle rule),
+    # not as all-NULL counters that diverge between engines
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    lines = F.filter(F.split(text, "\n"), lambda li: F.length(li) > 0)
+
+    n_words = F.size(toks).cast("bigint")
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_symbol_words = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda li: F.substring(li, 1, 2).isin("- ", "* "))
+    ).cast("bigint")
+    n_ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda li: (F.length(li) >= 3)
+            & (li.substr(F.length(li) - 2, F.lit(3)) == "..."),
+        )
+    ).cast("bigint")
+    req = F.array(
+        *[F.lit(w) for w in (required_stops or GOPHER_REQUIRED_STOPS)]
+    )
+    n_req_stops = F.size(
+        F.array_intersect(F.array_distinct(toks), req)
+    ).cast("bigint")
+
+    def flag(cond: Column) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    out = df.withColumns({
+        "n_words": n_words,
+        "sum_word_len": sum_word_len,
+        "n_symbol_words": n_symbol_words,
+        "n_alpha_words": n_alpha_words,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet_lines,
+        "n_ellipsis_lines": n_ellipsis_lines,
+        "n_req_stops": n_req_stops,
+    })
+    out = out.withColumns({
+        "r_word_count": flag(
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        ),
+        "r_mean_word_len": flag(
+            (F.col("n_words") > 0)
+            & (F.col("sum_word_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_word_len") <= 10 * F.col("n_words"))
+        ),
+        "r_symbol_ratio": flag(
+            10 * F.col("n_symbol_words") <= F.col("n_words")
+        ),
+        "r_bullet": flag(10 * F.col("n_bullet_lines") <= F.col("n_lines")),
+        "r_ellipsis": flag(
+            10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")
+        ),
+        "r_alpha": flag(5 * F.col("n_alpha_words") >= 4 * F.col("n_words")),
+        "r_stopwords": flag(F.col("n_req_stops") >= 2),
+    })
+    rule_cols = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stopwords",
+    ]
+    all_pass: Column = F.lit(True)
+    for rc in rule_cols:
+        all_pass = all_pass & (F.col(rc) == 1)
+    return out.withColumn("pass_gopher", flag(all_pass))
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, chars,
     BPE-ish subword estimate (ceil(chars/4) — the common LLM rule of
@@ -407,6 +521,82 @@ def mixture_sample(
         affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B) % 10000
     ) < rate_bp
     return df.withColumn("rate_bp", rate_bp).withColumn("keep", keep)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    keep_fraction_bp: int = 5000,
+    fp: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-based source mixing (the standard multilingual /
+    multi-source pretraining recipe): target source shares follow
+    ``count^alpha`` with alpha = 0.5 instead of raw counts, so
+    long-tail sources are upweighted and the head source stops
+    dominating. Unlike :func:`mixture_sample` (explicit recipe in) the
+    rates here DERIVE from the measured corpus in the same plan.
+
+    alpha is fixed at 0.5 because ``sqrt`` is the one power IEEE-754
+    specifies exactly (correctly rounded in every engine) — the weights
+    ``w_s = floor(sqrt(c_s) · 2^20)`` are therefore bit-identical
+    BIGINTs in Spark and DuckDB, and everything downstream is integer
+    arithmetic: with ``N = Σc_s``, ``W = Σw_s``, a source's sampling
+    rate in basis points is ``min(10000, (N·keep_fraction_bp·w_s) //
+    (W·c_s))``, and a doc is kept iff its id-hash falls under the rate
+    (the same ``(a·id+b) mod P mod 10^4`` gate as mixture_sample — the
+    mixture is reproducible across re-runs and engines).
+
+    Overflow design: ``N·keep_fraction_bp`` stays BIGINT (bound: N ≤
+    2^63/10^4 ≈ 9·10^14 docs), then one DECIMAL(19,0)×DECIMAL(19,0)
+    product per side of the division — products stay under 10^38 for
+    any corpus within that bound, so ANSI-off silent decimal NULLs
+    cannot occur (the ADVICE-r8 product-bound lesson).
+
+    Scale shape: one map-side-combined groupBy(source) to a
+    source-bounded rate table, broadcast back; the gate itself is
+    row-local. Adds ``rate_bp`` and ``keep``; filter on ``keep``.
+    """
+    c = F.count("*").cast("bigint")
+    counts = df.groupBy(source_col).agg(
+        c.alias("_n_src"),
+        F.floor(F.sqrt(c.cast("double")) * F.lit(float(fp)))
+        .cast("bigint")
+        .alias("_w_fp"),
+    )
+    totals = counts.agg(
+        F.sum("_n_src").cast("bigint").alias("_n_total"),
+        F.sum("_w_fp").cast("bigint").alias("_w_total"),
+    )
+    num = (
+        (F.col("_n_total") * F.lit(int(keep_fraction_bp))).cast("decimal(19,0)")
+        * F.col("_w_fp").cast("decimal(19,0)")
+    )
+    den = (
+        F.col("_w_total").cast("decimal(19,0)")
+        * F.col("_n_src").cast("decimal(19,0)")
+    )
+    # exact floor division of the two non-negative decimals ( _clf_idiv
+    # generalizes: a - a%b is exactly divisible, the decimal quotient
+    # has zero remainder, no rounding can occur)
+    rate = ((num - num % den) / den).cast("bigint")
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            "_n_src",
+            "_w_fp",
+            F.least(F.lit(10000).cast("bigint"), rate).alias("rate_bp"),
+        )
+    )
+    gate = (
+        affine_hash(F.col(id_col).cast("bigint"), SAMPLE_A, SAMPLE_B) % 10000
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("keep", gate < F.col("rate_bp"))
+        .drop("_n_src", "_w_fp")
+    )
 
 
 def plan_mixture_rates(

@@ -113,7 +113,7 @@ DATAOPS = frozenset({
     "balanced_sample", "quality_deciles", "epoch_shuffle", "upsample_mixture",
     "dedup_against", "normalize_text", "hash_embedding",
     "trained_classifier", "cluster_sample", "classify_against",
-    "ann_serve",
+    "ann_serve", "gopher_rules", "temperature_mixture",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -145,6 +145,11 @@ REQUIRED_DATAOP_PARAMS = {
 # (write_classifier_table) — is one row-local Arrow pass with the
 # dim-bounded weight table in the task closure, so it joins
 # dedup_against as a train-offline/score-online streaming op.
+# gopher_rules is row-local (per-row token/line array folds, no
+# shuffle) — stream-safe; temperature_mixture derives its per-source
+# rates from the measured corpus (a corpus-global aggregate) —
+# batch-only (the streaming analogue is mixture_sample with rates
+# planned offline, the classify_against train-offline pattern).
 # ann_serve — answering a query stream against a PERSISTED pq_index —
 # is streamable, but NOT as a mid-chain transform: pq_index_query
 # collects the (bounded) query set driver-side to prune the codes scan,
@@ -157,7 +162,7 @@ STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
     "hash_embedding", "trained_classifier", "cluster_sample",
-    "ann_serve",
+    "ann_serve", "temperature_mixture",
 }
 
 
@@ -181,6 +186,7 @@ def resolve_dataop(op: str):
     from ..dataops.text import (
         classify_against_path,
         doc_fingerprint,
+        gopher_rules,
         hash_embedding,
         language_id,
         normalize_text,
@@ -190,6 +196,7 @@ def resolve_dataop(op: str):
         rare_token_ratio,
         repetition_signals,
         split_assign,
+        temperature_mixture,
         token_stats,
         trained_quality_classifier,
         upsample_mixture,
@@ -273,6 +280,8 @@ def resolve_dataop(op: str):
         "cluster_sample": cluster_sample_docs,
         "classify_against": classify_against_path,
         "ann_serve": ann_serve_op,
+        "gopher_rules": gopher_rules,
+        "temperature_mixture": temperature_mixture,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

@@ -5994,6 +5994,305 @@ def emb_cluster_sample(spark, sf_dir):
     ).orderBy("cell", "sample_rank")
 
 
+_GOPHER_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           t -> t != '') AS toks,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> l != '') AS lines
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, t -> length(t))),
+                             0) AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(toks,
+                        t -> contains(t, '#') OR contains(t, '...')))
+                    AS BIGINT) AS n_symbol_words,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        l -> substr(l, 1, 2) IN ('- ', '* ')))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(lines,
+                        l -> length(l) >= 3
+                             AND substr(l, length(l) - 2, 3) = '...'))
+                    AS BIGINT) AS n_ellipsis_lines,
+               CAST(len(list_intersect(toks,
+                        ['the','a','is','of','and','to','in','that','it',
+                         'for'])) AS BIGINT) AS n_req_stops
+        FROM d
+    )
+    SELECT doc_id, n_words, sum_word_len, n_symbol_words, n_alpha_words,
+           n_lines, n_bullet_lines, n_ellipsis_lines, n_req_stops,
+           CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS r_word_count,
+           CAST(n_words > 0 AND sum_word_len >= 3 * n_words
+                AND sum_word_len <= 10 * n_words AS INTEGER)
+               AS r_mean_word_len,
+           CAST(10 * n_symbol_words <= n_words AS INTEGER) AS r_symbol_ratio,
+           CAST(10 * n_bullet_lines <= n_lines AS INTEGER) AS r_bullet,
+           CAST(10 * n_ellipsis_lines <= 3 * n_lines AS INTEGER)
+               AS r_ellipsis,
+           CAST(5 * n_alpha_words >= 4 * n_words AS INTEGER) AS r_alpha,
+           CAST(n_req_stops >= 2 AS INTEGER) AS r_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND n_words > 0 AND sum_word_len >= 3 * n_words
+                AND sum_word_len <= 10 * n_words
+                AND 10 * n_symbol_words <= n_words
+                AND 10 * n_bullet_lines <= n_lines
+                AND 10 * n_ellipsis_lines <= 3 * n_lines
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_req_stops >= 2 AS INTEGER) AS pass_gopher
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+@q("docs_gopher_rules", _GOPHER_SQL, "bench")
+def docs_gopher_rules(spark, sf_dir):
+    """The full published Gopher quality-rule battery (dataops/
+    text.gopher_rules; Rae et al. 2021 — public paper): per-document
+    counters + the seven per-rule rejection flags + the conjunction,
+    all in exact integer arithmetic (every ratio threshold is a
+    cross-multiplication — 3 ≤ mean word len ≤ 10 is ``3n ≤ Σlen ≤
+    10n`` — so the DuckDB oracle reproduces the battery bit-exactly).
+    Row-local, zero shuffle; the production rejection-gate complement
+    to docs_quality_score's weighted score. The required-word rule
+    runs with the engine's langid English stopword list: the synthetic
+    corpus's bounded vocabulary covers only two of the paper's eight
+    published required words, so the published default (which stays
+    the dataop default) would reject every document here — the
+    parameterization every non-English / domain corpus needs anyway.
+    """
+    from .dataops.text import STOPWORDS, gopher_rules
+
+    return gopher_rules(
+        _t(spark, sf_dir, "documents"), required_stops=STOPWORDS["en"]
+    ).select(
+        "doc_id", "n_words", "sum_word_len", "n_symbol_words",
+        "n_alpha_words", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        "n_req_stops", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords", "pass_gopher",
+    ).orderBy("doc_id")
+
+
+_TEMP_MIX_SQL = f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576)
+                    AS BIGINT) AS w_fp
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST(sum(w_fp) AS BIGINT) AS w_total
+        FROM c
+    ), r AS (
+        SELECT c.source, c.n_docs, c.w_fp,
+               least(CAST(10000 AS BIGINT),
+                     CAST((CAST(t.n_total * 5000 AS HUGEINT) * c.w_fp)
+                          // (CAST(t.w_total AS HUGEINT) * c.n_docs)
+                          AS BIGINT)) AS rate_bp
+        FROM c, t
+    ), k AS (
+        SELECT d.source,
+               CAST(count(*) FILTER (
+                   WHERE {affine_hash_sql('d.doc_id', SAMPLE_A, SAMPLE_B)}
+                         % 10000 < r.rate_bp) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(d.doc_id) FILTER (
+                   WHERE {affine_hash_sql('d.doc_id', SAMPLE_A, SAMPLE_B)}
+                         % 10000 < r.rate_bp), 0) AS BIGINT) AS kept_id_sum
+        FROM documents d JOIN r USING (source)
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.w_fp, r.rate_bp, k.n_kept, k.kept_id_sum
+    FROM r JOIN k USING (source)
+    ORDER BY r.source
+"""
+
+
+@q("docs_temperature_mixture", _TEMP_MIX_SQL, "bench")
+def docs_temperature_mixture(spark, sf_dir):
+    """Temperature-based source mixing (dataops/text.temperature_
+    mixture): target shares follow count^0.5 instead of raw counts —
+    the standard pretraining upweighting of long-tail sources — with
+    the whole rate derivation in engine-portable arithmetic (sqrt is
+    the one power IEEE-754 specifies exactly, then fixed-point floor
+    and integer cross-multiplied floor-division; see the dataop
+    docstring for the DECIMAL(19,0) overflow design). The entry emits
+    the per-source audit: measured size, fixed-point weight, derived
+    rate, kept count, and a kept-id checksum pinning the exact member
+    set the hash gate selects."""
+    from .dataops.text import temperature_mixture
+
+    mixed = temperature_mixture(_t(spark, sf_dir, "documents"))
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("rate_bp").cast("bigint").alias("rate_bp"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("w_fp"),
+            "rate_bp",
+            "n_kept",
+            "kept_id_sum",
+        )
+        .orderBy("source")
+    )
+
+
+_OTLP_ALL_FAMILIES_SQL = """
+    WITH e AS (
+        SELECT event_type AS host,
+               (epoch_us(ts) // 300000000) * 300000000 AS wsu,
+               epoch_us(ts) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               user_id
+        FROM events WHERE event_id % 37 = 0
+    ), g AS (
+        SELECT host, CAST(wsu AS BIGINT) AS window_start_us,
+               'gauge' AS metric_type, CAST(-1 AS INTEGER) AS bucket_idx,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(NULL AS BIGINT) AS total_count,
+               CAST(sum(vc) AS BIGINT) AS sum_cents,
+               CAST(min(vc) AS BIGINT) AS min_cents,
+               CAST(max(vc) AS BIGINT) AS max_cents,
+               CAST(NULL AS BIGINT) AS bucket_n,
+               CAST(NULL AS BIGINT) AS last_count,
+               CAST(NULL AS BIGINT) AS last_sum_cents
+        FROM e GROUP BY host, wsu
+    ), s AS (
+        SELECT host, wsu, 'sum', -1, count(*), NULL,
+               CAST(sum(user_id * 100) AS BIGINT),
+               CAST(min(user_id * 100) AS BIGINT),
+               CAST(max(user_id * 100) AS BIGINT),
+               NULL, NULL, NULL
+        FROM e GROUP BY host, wsu
+    ), h AS (
+        SELECT host, wsu, 'histogram', -1, count(*),
+               CAST(5 * count(*) AS BIGINT),
+               CAST(sum(vc) AS BIGINT),
+               CAST(25 AS BIGINT), CAST(950 AS BIGINT),
+               NULL, NULL, NULL
+        FROM e GROUP BY host, wsu
+    ), hb AS (
+        SELECT host, wsu, 'histogram', b.i, NULL, NULL, NULL, NULL, NULL,
+               CAST(CASE WHEN b.i = 0 THEN count(*)
+                         ELSE 4 * count(*) END AS BIGINT),
+               NULL, NULL
+        FROM e, (SELECT unnest([0, 1]) AS i) b
+        GROUP BY host, wsu, b.i
+    ), eh AS (
+        SELECT host, wsu, 'exp_histogram', -1, count(*),
+               CAST(7 * count(*) AS BIGINT),
+               CAST(sum(vc) AS BIGINT),
+               CAST(50 AS BIGINT), CAST(NULL AS BIGINT),
+               NULL, NULL, NULL
+        FROM e GROUP BY host, wsu
+    ), sm0 AS (
+        SELECT host, wsu, vc,
+               count(*) OVER (PARTITION BY host, wsu) AS np,
+               row_number() OVER (PARTITION BY host, wsu
+                                  ORDER BY ts_us DESC, vc DESC) AS rn
+        FROM e
+    ), sm AS (
+        SELECT host, wsu, 'summary', -1, CAST(np AS BIGINT), NULL,
+               NULL, NULL, NULL, NULL,
+               CAST(9 AS BIGINT), CAST(vc AS BIGINT)
+        FROM sm0 WHERE rn = 1
+    )
+    SELECT * FROM (
+        SELECT * FROM g UNION ALL SELECT * FROM s
+        UNION ALL SELECT * FROM h UNION ALL SELECT * FROM hb
+        UNION ALL SELECT * FROM eh UNION ALL SELECT * FROM sm
+    )
+    ORDER BY host, metric_type, bucket_idx, window_start_us
+"""
+
+
+@q("otlp_rollup_all_families", _OTLP_ALL_FAMILIES_SQL, "bench")
+def otlp_rollup_all_families(spark, sf_dir):
+    """ALL FIVE OTLP datapoint families rolled up per (host, 5-minute
+    window) in one frame — the batch mirror of the five streaming
+    rollup functions (streaming/rollup.py), called HERE on a batch
+    frame (withWatermark no-ops in batch, F.window's epoch-aligned
+    buckets equal the oracle's integer window arithmetic), so the
+    exact code the streams run is what the DuckDB oracle pins: gauge/
+    sum number points, histogram dual-grain (scalars + per-bucket
+    counts via posexplode-before-agg), exp-histogram scalars (the
+    flattened record carries no bucket runs — flattener/metrics.go:
+    144-178), and summary latest-snapshot merge (lexicographic struct
+    max). Wide-row nulls mark members a family never sets. One flatten
+    pass feeds all six aggregates via localCheckpoint.
+
+    Reference: flattener/metrics.go:13-203 (the five families)."""
+    from .sources.otlp import flatten_metrics
+    from .streaming.rollup import (
+        exp_histogram_rollup_stream,
+        histogram_rollup_stream,
+        metric_rollup_stream,
+        summary_rollup_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    flat = flatten_metrics(
+        ev.select(_otlp_metrics_payload().alias("value"))
+    ).localCheckpoint()
+
+    def _n(name):  # typed null for the wide-row members
+        return F.lit(None).cast("bigint").alias(name)
+
+    gauge = metric_rollup_stream(flat, metric_type="gauge").select(
+        "host", "window_start_us", F.lit("gauge").alias("metric_type"),
+        F.lit(-1).cast("int").alias("bucket_idx"), "n_points",
+        _n("total_count"), "sum_cents", "min_cents", "max_cents",
+        _n("bucket_n"), _n("last_count"), _n("last_sum_cents"),
+    )
+    summ = metric_rollup_stream(flat, metric_type="sum").select(
+        "host", "window_start_us", F.lit("sum").alias("metric_type"),
+        F.lit(-1).cast("int").alias("bucket_idx"), "n_points",
+        _n("total_count"), "sum_cents", "min_cents", "max_cents",
+        _n("bucket_n"), _n("last_count"), _n("last_sum_cents"),
+    )
+    hist = histogram_rollup_stream(flat).select(
+        "host", "window_start_us", F.lit("histogram").alias("metric_type"),
+        "bucket_idx", "n_points", "total_count", "sum_cents", "min_cents",
+        "max_cents", "bucket_n", _n("last_count"), _n("last_sum_cents"),
+    )
+    ehist = exp_histogram_rollup_stream(flat).select(
+        "host", "window_start_us",
+        F.lit("exp_histogram").alias("metric_type"),
+        F.lit(-1).cast("int").alias("bucket_idx"), "n_points",
+        "total_count", "sum_cents", "min_cents", "max_cents",
+        _n("bucket_n"), _n("last_count"), _n("last_sum_cents"),
+    )
+    summary = summary_rollup_stream(flat).select(
+        "host", "window_start_us", F.lit("summary").alias("metric_type"),
+        F.lit(-1).cast("int").alias("bucket_idx"), "n_points",
+        _n("total_count"), _n("sum_cents"), _n("min_cents"),
+        _n("max_cents"), _n("bucket_n"), "last_count", "last_sum_cents",
+    )
+    return (
+        gauge.unionByName(summ)
+        .unionByName(hist)
+        .unionByName(ehist)
+        .unionByName(summary)
+        .orderBy("host", "metric_type", "bucket_idx", "window_start_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness harness walks ``queries()`` in
 # registration order and has a bounded per-round budget (~50 entries).  The

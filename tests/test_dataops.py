@@ -2437,3 +2437,73 @@ def test_pq_index_cell_skew_report_and_rebalance(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="store_vectors"):
         sim.pq_index_rebalance(spark, lean)
     sim.release_index_cache()
+
+
+def test_gopher_rules_battery(spark):
+    """Each Gopher rule trips on a purpose-built doc and the clean doc
+    passes the whole battery (r9: dataops/text.gopher_rules)."""
+    from clickhouse_etl_spark.dataops.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs away "
+        "with great speed to be seen of all in town here today now "
+    ) * 3  # ~66 words, mean len in [3,10], two+ required stops
+    docs = [
+        (0, good),
+        (1, "too few words"),  # word count < 50
+        (2, " ".join(["a"] * 60)),  # mean word length < 3
+        (3, " ".join(["#tag"] * 30 + ["word"] * 30)),  # symbol ratio > 0.1
+        (4, "\n".join(["- bullet line"] * 5 + ["plain line"] * 2)),
+        (5, "\n".join(["ends like this..."] * 5 + ["plain line"] * 5)),
+        (6, " ".join(["12345"] * 60)),  # alpha fraction < 0.8
+        (7, " ".join(["zork"] * 60)),  # no required stopwords
+        (8, None),  # null text gates like empty
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["pass_gopher"] == 1, out[0]
+    assert out[1]["r_word_count"] == 0
+    assert out[2]["r_mean_word_len"] == 0
+    assert out[3]["r_symbol_ratio"] == 0 and out[3]["n_symbol_words"] == 30
+    assert out[4]["r_bullet"] == 0 and out[4]["n_bullet_lines"] == 5
+    assert out[5]["r_ellipsis"] == 0 and out[5]["n_ellipsis_lines"] == 5
+    assert out[6]["r_alpha"] == 0
+    assert out[7]["r_stopwords"] == 0 and out[7]["n_req_stops"] == 0
+    assert out[8]["n_words"] == 0 and out[8]["pass_gopher"] == 0
+    for i in range(1, 9):
+        assert out[i]["pass_gopher"] == 0, i
+
+
+def test_temperature_mixture_rates_and_gate(spark):
+    """count^0.5 shares: the small source's rate caps at 10000 bp, the
+    big source's rate matches the exact integer formula, and keep is
+    the deterministic id-hash gate (r9: dataops/text.temperature_
+    mixture)."""
+    from clickhouse_etl_spark.dataops.hashing import HASH_MOD
+    from clickhouse_etl_spark.dataops.text import (
+        SAMPLE_A,
+        SAMPLE_B,
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df).collect()
+    assert len(out) == 1000
+
+    # N=1000, W = (30+10)*2^20; rate_big = 1000*5000*30/(40*900) -> 4166
+    rates = {r["source"]: r["rate_bp"] for r in out}
+    assert rates == {"big": 4166, "small": 10000}
+
+    for r in out:
+        gate = ((r["doc_id"] * SAMPLE_A + SAMPLE_B) % HASH_MOD) % 10000
+        assert r["keep"] == (gate < r["rate_bp"]), r
+    # every small-source doc is kept at the 10000-bp cap
+    assert all(r["keep"] for r in out if r["source"] == "small")
+    n_kept_big = sum(1 for r in out if r["source"] == "big" and r["keep"])
+    # hash gate tracks the rate (binomial-ish tolerance)
+    assert abs(n_kept_big - 0.4166 * 900) < 60, n_kept_big

@@ -991,3 +991,61 @@ def test_ann_serve_on_spec_surface(spark, sf_dir, tmp_path):
     with _pytest.raises(SpecError, match="SINK-SIDE"):
         streaming_source_chain(cfg, "query_id", value_is_json=False)(stream)
     release_index_cache()
+
+
+def test_r9_dataops_on_spec_surface(spark, tmp_path):
+    """r9 ops as declarable dataops: gopher_rules is row-local (per-row
+    token/line folds) and stream-safe; temperature_mixture derives its
+    rates from a corpus-global aggregate — batch-only, rejected at
+    streaming assembly time."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert {"gopher_rules", "temperature_mixture"} <= DATAOPS
+    assert "gopher_rules" in STREAM_SAFE_DATAOPS
+    assert "temperature_mixture" not in STREAM_SAFE_DATAOPS
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog that have been with us", "web"),
+         (2, "short", "web")],
+        ["doc_id", "text", "source"],
+    )
+    flagged = resolve_dataop("gopher_rules")(docs)
+    got = {r["doc_id"]: r["r_word_count"] for r in flagged.collect()}
+    assert got == {1: 0, 2: 0}  # both under 50 words — flags computed
+    mixed = resolve_dataop("temperature_mixture")(docs)
+    assert {"rate_bp", "keep"} <= set(mixed.columns)
+    assert mixed.count() == 2
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "docs_gopher_in")
+    spark.createDataFrame(
+        [(1, "the cat and that dog", "web", dt.datetime(2024, 1, 1, 10))],
+        schema,
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="gopher_rules"),)
+    )
+    out = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out.isStreaming and "pass_gopher" in out.columns
+    unsafe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="temperature_mixture"),)
+    )
+    with _pytest.raises(SpecError, match="batch-only"):
+        streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)

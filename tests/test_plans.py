@@ -164,7 +164,12 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
                     # the per-supplier revenue view (replaced the global
                     # Window per the r6 judge nit — same bounded 1xn
                     # pattern as q22)
-                    "q15_top_supplier"}
+                    "q15_top_supplier",
+                    # docs_temperature_mixture: the SINGLE-ROW (N, W)
+                    # corpus-totals aggregate crossJoined onto the
+                    # source-bounded rate table (a 1x|sources| broadcast
+                    # — the docs_quality_deciles bounded 1xn pattern)
+                    "docs_temperature_mixture"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
