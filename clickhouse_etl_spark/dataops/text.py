@@ -553,6 +553,15 @@ def temperature_mixture(
     any corpus within that bound, so ANSI-off silent decimal NULLs
     cannot occur (the ADVICE-r8 product-bound lesson).
 
+    Rates are one-shot: a long-tail source whose formula rate exceeds
+    100% saturates at 10000 bp (kept whole, never upsampled — that is
+    :func:`upsample_mixture`'s job), and the saturated mass is NOT
+    redistributed to other sources, so the realized total can
+    undershoot ``keep_fraction_bp`` when caps bind. That keeps the
+    derivation a single closed-form pass (the iterative water-filling
+    renormalization is a driver-side loop over the source-bounded
+    summary if a deployment needs the exact budget).
+
     Scale shape: one map-side-combined groupBy(source) to a
     source-bounded rate table, broadcast back; the gate itself is
     row-local. Adds ``rate_bp`` and ``keep``; filter on ``keep``.
@@ -1198,11 +1207,17 @@ def _classifier_feats(
     label_col: str,
     train_col: str,
     engine: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Sparse labeled fixed-point features (id, _tr, _y, _n, _b, _c,
     _f), localCheckpointed — the shared corpus stage of
     :func:`hash_feature_classifier` and
-    :func:`write_classifier_table`."""
+    :func:`write_classifier_table`. ``checkpoint=False`` returns the
+    lazy frame for callers that materialize it themselves (the offline
+    train path spills to parquet instead: localCheckpoint blocks live
+    in executor storage, and a decade-scale feature frame evicts them
+    — an unrecoverable 'Block rdd_N does not exist' failure, hit at
+    10M docs in scale_test section_r9)."""
     from .hashing import char_fold_hash
 
     fp = F.lit(_CLF_FP).cast("bigint")
@@ -1310,7 +1325,8 @@ def _classifier_feats(
     # feats feeds THREE consumers (weights, scoring, and the threshold
     # via scored) — without a checkpoint each one re-derives the whole
     # explode/distinct/agg chain (the q15/curation two-consumer lesson)
-    return scale_out(feats).localCheckpoint()
+    feats = scale_out(feats)
+    return feats.localCheckpoint() if checkpoint else feats
 
 
 def _classifier_model(feats: DataFrame, id_col: str):
@@ -1467,28 +1483,48 @@ def write_classifier_table(
     waves you ship the model, not the corpus, exactly like
     :func:`~clickhouse_etl_spark.dataops.dedup.write_digest_table`
     ships digests. Labels/split derive via the stopword-distillation
-    defaults when absent (:func:`_derive_stop_labels`)."""
+    defaults when absent (:func:`_derive_stop_labels`).
+
+    The multi-consumer feature frame spills to a TEMP PARQUET next to
+    the artifact (not localCheckpoint): checkpoint blocks live in
+    executor storage and a decade-scale corpus's feature frame evicts
+    them — an unrecoverable failure at 10M docs on a 32g heap. Disk-
+    backed spill makes train memory independent of corpus size; the
+    interactive :func:`trained_quality_classifier` keeps the in-heap
+    checkpoint (registry-SF corpora, no artifact directory to spill
+    into)."""
+    import os as _os
+    import shutil as _shutil
+
     df = _derive_stop_labels(df, text_col, id_col, label_col, train_col)
-    feats = _classifier_feats(
-        df, dim, text_col, id_col, label_col, train_col, engine
+    lazy_feats = _classifier_feats(
+        df, dim, text_col, id_col, label_col, train_col, engine,
+        checkpoint=False,
     )
-    w, _scored, thr = _classifier_model(feats, id_col)
-    (
-        w.crossJoin(F.broadcast(thr))
-        .select(
-            F.col("_b").cast("bigint").alias("bucket"),
-            F.col("_wt").cast("bigint").alias("wt"),
-            # DECIMAL(38,0): the Σ-train-scores term outgrows int64 on
-            # huge train splits; the online scorer reads it back as an
-            # arbitrary-precision Python int
-            F.col("_ss").cast("decimal(38,0)").alias("s_sum"),
-            F.col("_nt").cast("bigint").alias("n_tr"),
-            F.lit(dim).cast("int").alias("dim"),
+    spark = df.sparkSession
+    tmp = f"{path}_feats_tmp_{_os.getpid()}"
+    try:
+        lazy_feats.write.mode("overwrite").parquet(tmp)
+        feats = spark.read.parquet(tmp)
+        w, _scored, thr = _classifier_model(feats, id_col)
+        (
+            w.crossJoin(F.broadcast(thr))
+            .select(
+                F.col("_b").cast("bigint").alias("bucket"),
+                F.col("_wt").cast("bigint").alias("wt"),
+                # DECIMAL(38,0): the Σ-train-scores term outgrows int64 on
+                # huge train splits; the online scorer reads it back as an
+                # arbitrary-precision Python int
+                F.col("_ss").cast("decimal(38,0)").alias("s_sum"),
+                F.col("_nt").cast("bigint").alias("n_tr"),
+                F.lit(dim).cast("int").alias("dim"),
+            )
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(path)
         )
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(path)
-    )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _normalize_kernel():
