@@ -51,9 +51,10 @@ def _default_queries() -> list[str]:
     """Top-10 slowest from the newest BENCH_r*.json tail capture."""
     benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     for path in reversed(benches):
-        raw = open(path).read()
         # the driver may store tail-captured bytes under {"tail": ...}
-        # or the raw line; find the LAST "slowest" map in either
+        # (quotes backslash-escaped inside the JSON string) or the raw
+        # line; unescape and find the LAST "slowest" map in either
+        raw = open(path).read().replace('\\"', '"')
         m = None
         for m in re.finditer(r'"slowest"\s*:\s*\{([^}]*)\}', raw):
             pass
