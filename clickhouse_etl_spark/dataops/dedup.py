@@ -112,9 +112,13 @@ def _shingle_stream(
             StructField("g", StringType(), True),
         ]
     )
-    # nullable int ids must use pandas NULLABLE dtypes (ADVICE r8: a
-    # numpy int64 Series raises on a NULL id where the catalyst engine
-    # flows it through; Arrow round-trips Int64/... with nulls intact)
+    # nullable int ids must use pandas NULLABLE dtypes on the OUTPUT
+    # (ADVICE r8: a numpy int64 Series raises on a NULL id where the
+    # catalyst engine flows it through) — AND a non-null carrier on the
+    # INPUT: Arrow→pandas converts an int column containing any NULL to
+    # float64, silently rounding ids past 2^53 (review r9), so nullable
+    # int ids travel as coalesce(id, 0) + an isNull flag and the kernel
+    # reconstructs None exactly.
     _np_int = {
         "bigint": "int64", "int": "int32", "smallint": "int16",
         "tinyint": "int8",
@@ -124,14 +128,33 @@ def _shingle_stream(
         "tinyint": "Int8",
     }
     simple = id_field.dataType.simpleString()
+    nullable_int = id_field.nullable and simple in _np_int
     id_dtype = (_pd_int if id_field.nullable else _np_int).get(simple, "object")
+    if nullable_int:
+        src = df.select(
+            F.coalesce(F.col(id_col), F.lit(0))
+            .cast(id_field.dataType)
+            .alias("_id_c"),
+            F.col(id_col).isNull().alias("_id_n"),
+            F.col(text_col).alias("_txt_c"),
+        )
+    else:
+        src = df.select(
+            F.col(id_col).alias("_id_c"),
+            F.lit(False).alias("_id_n"),
+            F.col(text_col).alias("_txt_c"),
+        )
 
     def gen(batches):
         for pdf in batches:
             ids: list = []
             szs: list = []
             gs: list = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            for did, id_null, text in zip(
+                pdf["_id_c"], pdf["_id_n"], pdf["_txt_c"]
+            ):
+                if id_null:
+                    did = None
                 if text is None:
                     continue  # split(NULL) -> NULL, explode drops the row
                 w = text.split(" ")
@@ -154,7 +177,7 @@ def _shingle_stream(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    return src.mapInPandas(gen, out_schema)
 
 
 def _shared_shingle_pairs(

@@ -1506,7 +1506,7 @@ def pq_index_serve_foreach_batch(
              .start())
     """
     def answer(batch_df: DataFrame, batch_id: int) -> None:
-        ans = pq_index_query(
+        ans = pq_index_query_chunked(
             spark, path, batch_df, k=k, n_probe=n_probe,
             shortlist_factor=shortlist_factor, query_id_col=query_id_col,
             max_queries=max_queries,
@@ -1514,6 +1514,75 @@ def pq_index_serve_foreach_batch(
         sink(ans, batch_id)
 
     return answer
+
+
+def pq_index_query_chunked(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist_factor: int = 32,
+    query_id_col: str = "query_id",
+    max_queries: "int | None" = 10_000,
+    max_serve_chunks: int = 64,
+) -> DataFrame:
+    """:func:`pq_index_query` for SERVING callers: an oversized query
+    set is hash-split into chunks under the ``max_queries`` driver-LUT
+    bound and the chunk answers union into ONE frame (review r9: the
+    raw guard raising inside ``foreachBatch`` killed the whole serving
+    StreamingQuery on the first backlog micro-batch — e.g. a Kafka
+    source started at ``earliest`` with no ``maxOffsetsPerTrigger`` —
+    and restart replays the same batch, so the query stayed down; the
+    sink must also be called once per batch, not per chunk, because
+    replay idempotency keys on the batch id).
+
+    Chunks target ``max_queries // 2`` rows (2× hash-skew headroom; the
+    inner guard still backstops a pathological split). Each chunk holds
+    a driver-side LUT until the unioned frame executes, so the chunk
+    count is capped — past ``max_serve_chunks`` the right fix is
+    bounding the trigger, and the error says so.
+    """
+    if max_queries is None:
+        return pq_index_query(
+            spark, path, queries, k=k, n_probe=n_probe,
+            shortlist_factor=shortlist_factor, query_id_col=query_id_col,
+            max_queries=None,
+        )
+    n = queries.count()
+    if n <= max_queries:
+        return pq_index_query(
+            spark, path, queries, k=k, n_probe=n_probe,
+            shortlist_factor=shortlist_factor, query_id_col=query_id_col,
+            max_queries=max_queries,
+        )
+    target = max(1, max_queries // 2)
+    n_chunks = -(-n // target)
+    if n_chunks > max_serve_chunks:
+        raise ValueError(
+            f"serving batch of {n} queries needs {n_chunks} chunks "
+            f"(> max_serve_chunks={max_serve_chunks}); bound the source "
+            "trigger (maxOffsetsPerTrigger / maxFilesPerTrigger) so "
+            "micro-batches stay near max_queries, or raise "
+            "max_serve_chunks if driver memory allows"
+        )
+    # checkpoint once so the per-chunk filters don't re-read the source
+    chunked = queries.withColumn(
+        "_serve_chunk", F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_chunks))
+    ).localCheckpoint()
+    parts = [
+        pq_index_query(
+            spark, path,
+            chunked.filter(F.col("_serve_chunk") == i).drop("_serve_chunk"),
+            k=k, n_probe=n_probe, shortlist_factor=shortlist_factor,
+            query_id_col=query_id_col, max_queries=max_queries,
+        )
+        for i in range(n_chunks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def pq_index_cell_report(spark, path: str) -> DataFrame:
@@ -1598,11 +1667,15 @@ def pq_index_rebalance(
     reason about a rebalance exactly like a from-scratch rebuild,
     minus re-shipping the corpus.
 
-    The new index builds at ``{path}_rebalancing`` and atomically
-    replaces ``path`` by rename (local filesystems; on an object store,
-    build to a versioned prefix and swap the serving pointer the same
-    way). The serving cache rotates on the swap — both via the
-    file-listing signature and an explicit :func:`release_index_cache`.
+    The new index builds at a per-pid staging prefix and replaces
+    ``path`` via TWO renames (live → ``_old``, staging → live) so the
+    live path is never absent longer than the instant between them and
+    a crash at any point leaves a complete index on disk (at worst
+    under the ``_old`` name — a failed build never touches the live
+    index at all; local filesystems — on an object store, build to a
+    versioned prefix and swap the serving pointer the same way). The
+    serving cache rotates on the swap — both via the file-listing
+    signature and an explicit :func:`release_index_cache`.
     """
     import os
     import shutil
@@ -1617,20 +1690,26 @@ def pq_index_rebalance(
         corpus = spark.read.parquet(f"{path}/codes").select(
             meta["id_col"], meta["vec_col"]
         )
-    staging = f"{path}_rebalancing"
+    staging = f"{path}_rebalancing_{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
-    new_meta = pq_index_build(
-        corpus,
-        staging,
-        n_centroids=n_centroids or meta["n_centroids"],
-        m=m or meta["m"],
-        n_codes=n_codes or meta["n_codes"],
-        id_col=meta["id_col"],
-        vec_col=meta["vec_col"],
-        store_vectors=meta["store_vectors"],
-    )
-    shutil.rmtree(path)
+    try:
+        new_meta = pq_index_build(
+            corpus,
+            staging,
+            n_centroids=n_centroids or meta["n_centroids"],
+            m=m or meta["m"],
+            n_codes=n_codes or meta["n_codes"],
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+            store_vectors=meta["store_vectors"],
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    old = f"{path}_old_{os.getpid()}"
+    os.rename(path, old)
     os.rename(staging, path)
+    shutil.rmtree(old)
     release_index_cache(path)
     return new_meta
 

@@ -121,8 +121,9 @@ def gopher_rules(
       float division anywhere in the battery);
     - ``r_symbol_ratio``: symbol-word ratio ≤ 0.1 (words containing
       ``#`` or ``...``) — ``10·n_sym ≤ n_words``;
-    - ``r_bullet`` / ``r_ellipsis``: ≤10% of lines start with a bullet
-      / ≤30% end with an ellipsis;
+    - ``r_bullet`` / ``r_ellipsis``: ≤90% of lines start with a bullet
+      / ≤30% end with an ellipsis (the paper rejects bullet-DOMINATED
+      docs, not docs merely containing lists);
     - ``r_alpha``: ≥80% of words contain an alphabetic character —
       ``5·n_alpha ≥ 4·n_words``;
     - ``r_stopwords``: ≥2 distinct required words present —
@@ -197,7 +198,9 @@ def gopher_rules(
         "r_symbol_ratio": flag(
             10 * F.col("n_symbol_words") <= F.col("n_words")
         ),
-        "r_bullet": flag(10 * F.col("n_bullet_lines") <= F.col("n_lines")),
+        "r_bullet": flag(
+            10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines")
+        ),
         "r_ellipsis": flag(
             10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")
         ),
@@ -567,12 +570,16 @@ def temperature_mixture(
     row-local. Adds ``rate_bp`` and ``keep``; filter on ``keep``.
     """
     c = F.count("*").cast("bigint")
+    # counts feeds TWO consumers (the rate rows and the (N, W) totals)
+    # — checkpoint the source-bounded frame so the corpus is scanned
+    # and aggregated ONCE, not re-derived per consumer (the q15
+    # checkpoint-then-broadcast scalar lesson; review r9)
     counts = df.groupBy(source_col).agg(
         c.alias("_n_src"),
         F.floor(F.sqrt(c.cast("double")) * F.lit(float(fp)))
         .cast("bigint")
         .alias("_w_fp"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("_n_src").cast("bigint").alias("_n_total"),
         F.sum("_w_fp").cast("bigint").alias("_w_total"),

@@ -6032,7 +6032,7 @@ _GOPHER_SQL = """
                 AND sum_word_len <= 10 * n_words AS INTEGER)
                AS r_mean_word_len,
            CAST(10 * n_symbol_words <= n_words AS INTEGER) AS r_symbol_ratio,
-           CAST(10 * n_bullet_lines <= n_lines AS INTEGER) AS r_bullet,
+           CAST(10 * n_bullet_lines <= 9 * n_lines AS INTEGER) AS r_bullet,
            CAST(10 * n_ellipsis_lines <= 3 * n_lines AS INTEGER)
                AS r_ellipsis,
            CAST(5 * n_alpha_words >= 4 * n_words AS INTEGER) AS r_alpha,
@@ -6041,7 +6041,7 @@ _GOPHER_SQL = """
                 AND n_words > 0 AND sum_word_len >= 3 * n_words
                 AND sum_word_len <= 10 * n_words
                 AND 10 * n_symbol_words <= n_words
-                AND 10 * n_bullet_lines <= n_lines
+                AND 10 * n_bullet_lines <= 9 * n_lines
                 AND 10 * n_ellipsis_lines <= 3 * n_lines
                 AND 5 * n_alpha_words >= 4 * n_words
                 AND n_req_stops >= 2 AS INTEGER) AS pass_gopher

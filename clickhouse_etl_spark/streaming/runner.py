@@ -245,9 +245,11 @@ class StreamingPipeline:
             mapping = self.spec.sink.mapping
 
             def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
-                from ..dataops.similarity import pq_index_query
+                # chunked wrapper: a backlog micro-batch over the LUT
+                # bound splits instead of killing the StreamingQuery
+                from ..dataops.similarity import pq_index_query_chunked
 
-                ans = pq_index_query(
+                ans = pq_index_query_chunked(
                     batch_df.sparkSession, index_path, batch_df, **params
                 )
                 if mapping:

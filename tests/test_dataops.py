@@ -2221,6 +2221,21 @@ def test_shingle_stream_null_id_both_engines(spark):
         assert ra == rb, id_type
         assert any(k[0] is None for k in ra), id_type  # NULL id survived
 
+    # review r9: Arrow->pandas converts a nullable int64 column to
+    # float64, rounding ids past 2^53 — the non-null-carrier + flag
+    # path must keep the id EXACT next to a NULL in the same batch
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(big, text), (None, text)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]
+        for r in _shingle_stream(
+            df, "text", "doc_id", 5, engine="pandas"
+        ).collect()
+    }
+    assert big in got and None in got, got
+
 
 def test_score_kernel_rejects_overflow_dim():
     """ADVICE r8: |score| <= dim * 2^40 must stay inside the int64 the
@@ -2453,7 +2468,7 @@ def test_gopher_rules_battery(spark):
         (1, "too few words"),  # word count < 50
         (2, " ".join(["a"] * 60)),  # mean word length < 3
         (3, " ".join(["#tag"] * 30 + ["word"] * 30)),  # symbol ratio > 0.1
-        (4, "\n".join(["- bullet line"] * 5 + ["plain line"] * 2)),
+        (4, "\n".join(["- bullet line"] * 10 + ["plain line"])),  # >90%
         (5, "\n".join(["ends like this..."] * 5 + ["plain line"] * 5)),
         (6, " ".join(["12345"] * 60)),  # alpha fraction < 0.8
         (7, " ".join(["zork"] * 60)),  # no required stopwords
@@ -2469,7 +2484,16 @@ def test_gopher_rules_battery(spark):
     assert out[1]["r_word_count"] == 0
     assert out[2]["r_mean_word_len"] == 0
     assert out[3]["r_symbol_ratio"] == 0 and out[3]["n_symbol_words"] == 30
-    assert out[4]["r_bullet"] == 0 and out[4]["n_bullet_lines"] == 5
+    assert out[4]["r_bullet"] == 0 and out[4]["n_bullet_lines"] == 10
+    # 5/10 bullet lines is list-BEARING, not list-dominated — the
+    # published 90% threshold keeps it (the 10% misread would reject)
+    extra = gopher_rules(
+        spark.createDataFrame(
+            [(90, "\n".join(["- item"] * 5 + ["plain line"] * 5))],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert extra["r_bullet"] == 1, extra
     assert out[5]["r_ellipsis"] == 0 and out[5]["n_ellipsis_lines"] == 5
     assert out[6]["r_alpha"] == 0
     assert out[7]["r_stopwords"] == 0 and out[7]["n_req_stops"] == 0
@@ -2507,3 +2531,47 @@ def test_temperature_mixture_rates_and_gate(spark):
     n_kept_big = sum(1 for r in out if r["source"] == "big" and r["keep"])
     # hash gate tracks the rate (binomial-ish tolerance)
     assert abs(n_kept_big - 0.4166 * 900) < 60, n_kept_big
+
+
+def test_serving_chunks_oversized_query_batch(spark, sf_dir, tmp_path):
+    """Review r9: a serving micro-batch over the max_queries LUT bound
+    must split into chunks and answer identically to the unchunked
+    query path — the raw guard raising inside foreachBatch killed the
+    whole serving StreamingQuery on the first backlog batch."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "serve_chunk_idx")
+    sim.release_index_cache()
+    sim.pq_index_build(emb.filter("vec_id < 400"), path)
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.pq_index_query(
+            spark, path, queries, k=3, max_queries=None
+        ).collect()
+    }
+    # 25 queries over a 10-query bound -> 5-row chunk target, 5 chunks
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.pq_index_query_chunked(
+            spark, path, queries, k=3, max_queries=10
+        ).collect()
+    }
+    assert got == want
+    # under the bound: the single direct call path
+    small = sim.pq_index_query_chunked(
+        spark, path, queries.limit(5), k=3, max_queries=10
+    )
+    assert small.count() == 15
+    # chunk-count cap fails loud with trigger guidance, not OOM
+    with _pytest.raises(ValueError, match="bound the source trigger"):
+        sim.pq_index_query_chunked(
+            spark, path, queries, k=3, max_queries=10, max_serve_chunks=2
+        )
+    sim.release_index_cache()
