@@ -1068,6 +1068,23 @@ def section_r9(spark) -> None:
         curation_scored_stream(d10, b10, model),
     )
 
+    # r9 ops at decade scale: the Gopher battery is row-local (per-row
+    # token/line folds, zero shuffle); temperature mixing is one
+    # map-side groupBy to a source-bounded rate table + a row-local
+    # hash gate (the replicated corpus keeps the source cardinality of
+    # the generator corpus, so the rate table stays tiny at both SFs)
+    from clickhouse_etl_spark.dataops.text import (
+        gopher_rules,
+        temperature_mixture,
+    )
+
+    _pair("gopher_rules", gopher_rules(d1), gopher_rules(d10))
+    _pair(
+        "temperature_mixture",
+        temperature_mixture(d1),
+        temperature_mixture(d10),
+    )
+
 
 def main() -> None:
     if len(sys.argv) > 1:
