@@ -1294,6 +1294,64 @@ def span_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact LINE dedup — keep only the FIRST corpus
+    occurrence of every distinct non-empty line and reassemble each
+    document from its surviving lines in original order.
+
+    This is the line-grain stage the published web-corpus pipelines
+    run between document-level dedup and span-level dedup: C4's
+    repeated-span removal at line grain, RefinedWeb's "line-wise
+    corrections" (boilerplate lines — headers, nav bars, cookie
+    banners — repeat verbatim across pages and are removed wherever
+    they recur). :func:`span_dedup` reports aligned token-span
+    repetition per doc; ``line_dedup`` actually REWRITES the corpus.
+
+    Global first-occurrence is well-defined: total order
+    ``(doc_id, pos)`` over exploded lines. Documents whose every line
+    is a repeat of an earlier line vanish from the output (their
+    ``text_dedup`` would be empty) — the caller's survivor set.
+
+    Scale shape: posexplode to corpus-line rows, ONE hash-shuffle
+    keyed by the line string for the per-line top-1 (row_number + rn=1
+    filter → WindowGroupLimit applies map-side partial limiting, so a
+    boilerplate line repeated a billion times ships O(partitions) rows
+    to its reducer, not a billion), then one groupBy(doc) to
+    reassemble. Batch-only on the spec surface (needs the corpus);
+    the streaming analogue is probing a persisted line-digest set
+    (dedup_against at line grain).
+    """
+    from pyspark.sql import Window
+
+    df = scale_out(df)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).filter(F.col("line") != "")
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+
+
 def _simhash_sigs_arrow(
     df: DataFrame,
     text_col: str,

@@ -217,6 +217,115 @@ def gopher_rules(
     return out.withColumn("pass_gopher", flag(all_pass))
 
 
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    bad_words: "list[str] | None" = None,
+) -> DataFrame:
+    """The published C4 cleaning battery (Raffel et al. 2020, public
+    paper — the line-level complement to :func:`gopher_rules`'
+    document-level thresholds):
+
+    line-level KEEP rules (surviving lines are reassembled into
+    ``text_clean`` in original order):
+
+    - the line ends in a terminal punctuation mark (``.``, ``!``,
+      ``?``, or a closing double quote);
+    - the line contains at least 3 words;
+    - the line does not mention ``javascript`` (case-insensitive —
+      the paper drops any line with the word Javascript);
+
+    document-level flags (over the ORIGINAL page text, as published):
+
+    - ``r_sentences``: the CLEANED text retains ≥5 sentences
+      (sentence count = terminal-punctuation count, an exact
+      character-class count);
+    - ``r_lorem``: the page does not contain the phrase
+      ``lorem ipsum`` (case-insensitive);
+    - ``r_brace``: the page does not contain a curly brace ``{``
+      (the paper's code-page heuristic);
+    - ``r_bad_words``: the page contains no word from ``bad_words``
+      (the paper uses a public blocklist; parameterized here,
+      constant-pass when ``None`` so the output schema is stable);
+    - ``pass_c4``: conjunction of the four.
+
+    Row-local (per-row line/token array folds — no shuffle, no state):
+    stream-safe on the spec surface, and at 100 TB the battery rides
+    the scan partitioning like gopher_rules. Every rule is exact
+    string/integer arithmetic, so the DuckDB oracle reproduces it
+    bit-exactly. The paper's final stage — removing any THREE-SENTENCE
+    SPAN that repeats across the corpus — is corpus-global and lives
+    separately as dataops.dedup.span_dedup / line_dedup.
+
+    Reference parity: beyond-reference LLM-pipeline op (the reference
+    engine has no document-quality stage; its row-local transform slot
+    is operators/transform.py — cf. glassflow-api internal/pipeline
+    transform stage).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    raw_lines = F.split(text, "\n")
+
+    def _line_ok(li: Column) -> Column:
+        words = F.filter(
+            F.split(F.lower(li), " "), lambda w: F.length(w) > 0
+        )
+        last = li.substr(F.length(li), F.lit(1))
+        return (
+            last.isin(".", "!", "?", '"')
+            & (F.size(words) >= 3)
+            & ~F.lower(li).contains("javascript")
+        )
+
+    kept = F.filter(raw_lines, _line_ok)
+    text_clean = F.array_join(kept, "\n")
+    # exact terminal-punct count: length delta under nested replace —
+    # identical in Spark and DuckDB (no translate(): DuckDB lacks it)
+    def _strip_punct(c: Column) -> Column:
+        for ch in (".", "!", "?"):
+            c = F.replace(c, F.lit(ch), F.lit(""))
+        return c
+
+    lower_text = F.lower(text)
+    n_sentences = (
+        F.length(text_clean) - F.length(_strip_punct(text_clean))
+    ).cast("bigint")
+    if bad_words:
+        toks = F.array_distinct(
+            F.filter(F.split(lower_text, " "), lambda w: F.length(w) > 0)
+        )
+        bad = F.array(*[F.lit(w) for w in bad_words])
+        r_bad = F.when(
+            F.size(F.array_intersect(toks, bad)) == 0, F.lit(1)
+        ).otherwise(F.lit(0))
+    else:
+        r_bad = F.lit(1)
+
+    def flag(cond: Column) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    out = df.withColumns({
+        "n_lines": F.size(raw_lines).cast("bigint"),
+        "n_kept_lines": F.size(kept).cast("bigint"),
+        "n_sentences": n_sentences,
+        "text_clean": text_clean,
+        "r_bad_words": r_bad.cast("int"),
+    })
+    out = out.withColumns({
+        "r_sentences": flag(F.col("n_sentences") >= 5),
+        "r_lorem": flag(~F.lower(F.coalesce(F.col(text_col), F.lit(""))).contains("lorem ipsum")),
+        "r_brace": flag(~F.coalesce(F.col(text_col), F.lit("")).contains("{")),
+    })
+    return out.withColumn(
+        "pass_c4",
+        flag(
+            (F.col("r_sentences") == 1)
+            & (F.col("r_lorem") == 1)
+            & (F.col("r_brace") == 1)
+            & (F.col("r_bad_words") == 1)
+        ),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, chars,
     BPE-ish subword estimate (ceil(chars/4) — the common LLM rule of

@@ -114,6 +114,7 @@ DATAOPS = frozenset({
     "dedup_against", "normalize_text", "hash_embedding",
     "trained_classifier", "cluster_sample", "classify_against",
     "ann_serve", "gopher_rules", "temperature_mixture",
+    "c4_filters", "line_dedup",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -158,11 +159,16 @@ REQUIRED_DATAOP_PARAMS = {
 # of queries runs the exact pq_index_query path inside foreachBatch and
 # the ANSWER frame reaches the sink — the reference's config-in/plan-out
 # thesis applied to build-once/serve-many ANN (VERDICT r8 #4).
+# c4_filters is row-local like gopher_rules (per-row line/token array
+# folds) — stream-safe; line_dedup needs the corpus-global
+# first-occurrence order (a line-keyed window) — batch-only (the
+# streaming analogue is dedup_against over a persisted line-digest
+# set).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
     "hash_embedding", "trained_classifier", "cluster_sample",
-    "ann_serve", "temperature_mixture",
+    "ann_serve", "temperature_mixture", "line_dedup",
 }
 
 
@@ -179,11 +185,13 @@ def resolve_dataop(op: str):
     from ..dataops.dedup import (
         dedup_against_path,
         exact_dedup_keep,
+        line_dedup,
         simhash,
         span_dedup,
     )
     from ..dataops.similarity import balanced_sample, cluster_balanced_sample
     from ..dataops.text import (
+        c4_filters,
         classify_against_path,
         doc_fingerprint,
         gopher_rules,
@@ -282,6 +290,8 @@ def resolve_dataop(op: str):
         "ann_serve": ann_serve_op,
         "gopher_rules": gopher_rules,
         "temperature_mixture": temperature_mixture,
+        "c4_filters": c4_filters,
+        "line_dedup": line_dedup,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

@@ -6078,6 +6078,196 @@ def docs_gopher_rules(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# deterministic "lineation" view over the punctuation-free single-line
+# synthetic corpus: sentence/line/marker structure keyed on word
+# position by IDENTICAL integer arithmetic in both engines, so the
+# line-grain ops (C4 battery, corpus line dedup) have real structure
+# to chew on. Shared by _C4_SQL and _LINE_DEDUP_SQL.
+_LINEATE_CTE = """w AS (
+        SELECT doc_id,
+               list_filter(string_split(coalesce(text, ''), ' '),
+                           x -> x != '') AS words
+        FROM documents
+    ), lt AS (
+        SELECT doc_id,
+               coalesce(array_to_string(list_transform(
+                   generate_series(1, len(words)),
+                   i -> (CASE WHEN i % 23 = 0 THEN 'javascript'
+                              WHEN i % 83 = 0 THEN 'lorem ipsum'
+                              WHEN i % 97 = 0 THEN '{x}'
+                              ELSE words[i] END)
+                        || (CASE WHEN i % 7 = 0 THEN '.' || chr(10)
+                                 WHEN i % 11 = 0 THEN chr(10)
+                                 WHEN i % 13 = 0 THEN '?' || chr(10)
+                                 WHEN i % 17 = 0 THEN '! '
+                                 ELSE ' ' END)), ''), '') AS text
+        FROM w
+    )"""
+
+def _lineated_docs(spark, sf_dir):
+    """Spark half of the lineation view (see ``_LINEATE_CTE``): the
+    same word-position-keyed sentence/line/marker structure, built
+    with the same integer arithmetic.
+
+    ``zip_with(words, 1..n, ...)`` hands each lambda call the word
+    VALUE — an ``element_at(words, i)`` form would embed the whole
+    split+filter tree in the lambda and re-evaluate it per element
+    (interpreted HOF, O(words²) per doc: measured 5.8 s vs ~1 s at
+    sf0.1)."""
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    # F.sequence(1, n) DESCENDS for n < 1 — guard (CLAUDE.md r5 note)
+    seq = F.when(
+        F.size(words) >= 1, F.sequence(F.lit(1), F.size(words))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _tok(w, i):
+        return (
+            F.when(i % 23 == 0, F.lit("javascript"))
+            .when(i % 83 == 0, F.lit("lorem ipsum"))
+            .when(i % 97 == 0, F.lit("{x}"))
+            .otherwise(w)
+        )
+
+    def _sfx(i):
+        return (
+            F.when(i % 7 == 0, F.lit(".\n"))
+            .when(i % 11 == 0, F.lit("\n"))
+            .when(i % 13 == 0, F.lit("?\n"))
+            .when(i % 17 == 0, F.lit("! "))
+            .otherwise(F.lit(" "))
+        )
+
+    lined = F.array_join(
+        F.zip_with(words, seq, lambda w, i: F.concat(_tok(w, i), _sfx(i))),
+        "",
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lined.alias("text")
+    )
+
+
+_C4_SQL = "WITH " + _LINEATE_CTE + """, d AS (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               string_split(coalesce(text, ''), chr(10)) AS raw_lines
+        FROM lt
+    ), k AS (
+        SELECT doc_id, t, raw_lines,
+               list_filter(raw_lines,
+                   l -> substr(l, length(l), 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(string_split(lower(l), ' '),
+                                            w -> w != '')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM d
+    ), c AS (
+        SELECT doc_id, t,
+               CAST(len(raw_lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+        FROM k
+    ), s AS (
+        SELECT doc_id, t, n_lines, n_kept_lines, text_clean,
+               CAST(length(text_clean)
+                    - length(replace(replace(replace(text_clean, '.', ''),
+                                             '!', ''), '?', ''))
+                    AS BIGINT) AS n_sentences,
+               CAST(NOT contains(lower(t), 'lorem ipsum') AS INTEGER)
+                   AS r_lorem,
+               CAST(NOT contains(t, '{') AS INTEGER) AS r_brace
+        FROM c
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, text_clean,
+           CAST(1 AS INTEGER) AS r_bad_words,
+           CAST(n_sentences >= 5 AS INTEGER) AS r_sentences,
+           r_lorem, r_brace,
+           CAST(n_sentences >= 5 AND r_lorem = 1 AND r_brace = 1
+                AS INTEGER) AS pass_c4
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+@q("docs_c4_filters", _C4_SQL, "bench")
+def docs_c4_filters(spark, sf_dir):
+    """The published C4 cleaning battery (dataops/text.c4_filters;
+    Raffel et al. 2020 — public paper): line-level keep rules
+    (terminal punctuation, ≥3 words, no 'javascript') with the
+    surviving lines reassembled into ``text_clean``, plus the
+    document-level page flags (≥5 sentences retained, no 'lorem
+    ipsum', no curly brace) and their conjunction. Every rule is exact
+    string/integer arithmetic — the DuckDB oracle reproduces the
+    battery (including the reassembled text) bit-exactly. Row-local,
+    zero shuffle; stream-safe on the spec surface next to
+    gopher_rules.
+
+    The synthetic corpus is punctuation-free single-line prose, which
+    would make every rule degenerate (the gopher_rules stopword
+    situation) — so the entry derives a deterministic LINEATED view
+    first: sentence/line/marker structure keyed on word position
+    (breaks at i%7 '.', i%11 bare, i%13 '?', '!' at i%17; marker words
+    'javascript'/'lorem ipsum'/'{x}' at i%23/83/97), computed by the
+    IDENTICAL integer arithmetic in both engines, so every rule fires
+    both ways on real variation. The bad-word blocklist rule stays
+    parameterized and constant-pass (the dataop takes ``bad_words``).
+    """
+    from .dataops.text import c4_filters
+
+    return c4_filters(_lineated_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences", "text_clean",
+        "r_bad_words", "r_sentences", "r_lorem", "r_brace", "pass_c4",
+    ).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = "WITH " + _LINEATE_CTE + """, d AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), chr(10)) AS lines
+        FROM lt
+    ), l AS (
+        SELECT doc_id, t.i AS pos, lines[t.i] AS line
+        FROM d, LATERAL unnest(generate_series(1, len(lines))) AS t(i)
+        WHERE lines[t.i] != ''
+    ), k AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, pos) AS rn
+        FROM l
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+    FROM k
+    WHERE rn = 1
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@q("docs_line_dedup", _LINE_DEDUP_SQL, "bench")
+def docs_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (dataops/dedup.line_dedup — C4's
+    repeated-span removal at line grain / RefinedWeb's line-wise
+    corrections): keep only the globally-first occurrence of every
+    distinct non-empty line (total order (doc_id, pos)) and reassemble
+    each document from its surviving lines in original order. The
+    corpus REWRITE complement to span_dedup's per-doc repetition
+    report. One line-keyed shuffle (row_number + rn=1 →
+    WindowGroupLimit map-side partial top-1, so boilerplate lines
+    repeated across the whole corpus don't hotspot their reducer) plus
+    one groupBy(doc) reassembly. Runs over the deterministic lineated
+    view (see docs_c4_filters): short bounded-vocabulary lines repeat
+    across documents exactly like web boilerplate, so first-occurrence
+    semantics and whole-document vanishing are genuinely exercised.
+    Oracle: identical explode/window/string_agg pipeline in DuckDB —
+    exact string equality end to end.
+    """
+    from .dataops.dedup import line_dedup
+
+    return line_dedup(_lineated_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _TEMP_MIX_SQL = f"""
     WITH c AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

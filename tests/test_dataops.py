@@ -2575,3 +2575,83 @@ def test_serving_chunks_oversized_query_batch(spark, sf_dir, tmp_path):
             spark, path, queries, k=3, max_queries=10, max_serve_chunks=2
         )
     sim.release_index_cache()
+
+
+def test_c4_filters_battery(spark):
+    """Each C4 rule trips on a purpose-built page and the clean page
+    passes the whole battery (r9: dataops/text.c4_filters)."""
+    from clickhouse_etl_spark.dataops.text import c4_filters
+
+    good = "\n".join(["this line is long enough and fine."] * 6)
+    docs = [
+        (0, good),
+        (1, "no terminal punctuation on this line\n" + good),
+        (2, "too short.\n" + good),  # < 3 words: line dropped
+        (3, "this page uses JavaScript heavily.\n" + good),
+        (4, "classic Lorem Ipsum placeholder text here.\n" + good),
+        (5, "code sample with a { brace inside it.\n" + good),
+        (6, "\n".join(["only four sentences remain here."] * 4)),
+        (7, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in c4_filters(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["pass_c4"] == 1 and out[0]["n_kept_lines"] == 6
+    assert out[0]["text_clean"] == good and out[0]["n_sentences"] == 6
+    # dropped lines never reach text_clean; doc flags still pass
+    assert out[1]["n_kept_lines"] == 6 and out[1]["pass_c4"] == 1
+    assert out[2]["n_kept_lines"] == 6 and "too short." not in out[2]["text_clean"]
+    assert out[3]["n_kept_lines"] == 6  # javascript line dropped
+    assert out[3]["pass_c4"] == 1  # page-level flags unaffected
+    assert out[4]["r_lorem"] == 0 and out[4]["pass_c4"] == 0
+    assert out[5]["r_brace"] == 0 and out[5]["pass_c4"] == 0
+    assert out[6]["r_sentences"] == 0 and out[6]["n_sentences"] == 4
+    assert out[7]["n_kept_lines"] == 0 and out[7]["pass_c4"] == 0
+    assert out[7]["text_clean"] == ""
+
+    # parameterized blocklist: page-level kill, schema unchanged
+    blocked = c4_filters(
+        spark.createDataFrame(
+            [(90, "a badword appears right here."), (91, good)],
+            "doc_id long, text string",
+        ),
+        bad_words=["badword"],
+    ).collect()
+    got = {r["doc_id"]: r for r in blocked}
+    assert got[90]["r_bad_words"] == 0 and got[90]["pass_c4"] == 0
+    assert got[91]["r_bad_words"] == 1
+
+
+def test_line_dedup_first_occurrence(spark):
+    """Corpus line dedup keeps only the globally-first copy of every
+    line ((doc_id, pos) order), rewrites documents in original line
+    order, and drops documents with no surviving lines (r9:
+    dataops/dedup.line_dedup)."""
+    from clickhouse_etl_spark.dataops.dedup import line_dedup
+
+    docs = [
+        (0, "alpha one two.\nshared boilerplate line."),
+        (1, "shared boilerplate line.\nunique second line."),
+        (2, "shared boilerplate line."),  # fully deduped -> vanishes
+        (3, "rep line here.\nrep line here.\nother line stays."),
+        (4, "first kept.\n\nsecond kept."),  # empty line ignored
+        (5, None),  # null text -> no lines -> vanishes
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {0, 1, 3, 4}
+    assert out[0]["text_dedup"] == "alpha one two.\nshared boilerplate line."
+    assert out[1]["n_lines_kept"] == 1
+    assert out[1]["text_dedup"] == "unique second line."
+    # within-doc repeat: first copy survives, order preserved
+    assert out[3]["n_lines_kept"] == 2
+    assert out[3]["text_dedup"] == "rep line here.\nother line stays."
+    assert out[4]["n_lines_kept"] == 2
+    assert out[4]["text_dedup"] == "first kept.\nsecond kept."

@@ -1049,3 +1049,59 @@ def test_r9_dataops_on_spec_surface(spark, tmp_path):
     )
     with _pytest.raises(SpecError, match="batch-only"):
         streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
+
+
+def test_c4_and_line_dedup_on_spec_surface(spark, tmp_path):
+    """r9 wave-2 ops as declarable dataops: c4_filters is row-local
+    (per-row line/token folds) and stream-safe next to gopher_rules;
+    line_dedup needs the corpus-global first-occurrence order —
+    batch-only, rejected at streaming assembly time."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert {"c4_filters", "line_dedup"} <= DATAOPS
+    assert "c4_filters" in STREAM_SAFE_DATAOPS
+    assert "line_dedup" not in STREAM_SAFE_DATAOPS
+
+    docs = spark.createDataFrame(
+        [(1, "a fine long sentence here.\nshared line stays once."),
+         (2, "shared line stays once.")],
+        ["doc_id", "text"],
+    )
+    flagged = resolve_dataop("c4_filters")(docs)
+    got = {r["doc_id"]: r["n_kept_lines"] for r in flagged.collect()}
+    assert got == {1: 2, 2: 1}
+    kept = resolve_dataop("line_dedup")(docs)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "docs_c4_in")
+    spark.createDataFrame(
+        [(1, "one good line right here.", dt.datetime(2024, 1, 1, 10))],
+        schema,
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="c4_filters"),)
+    )
+    out = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out.isStreaming and "pass_c4" in out.columns
+    unsafe = SourceConfig(
+        source_id="documents", dataops=(DataopConfig(op="line_dedup"),)
+    )
+    with _pytest.raises(SpecError, match="batch-only"):
+        streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
