@@ -1082,6 +1082,73 @@ def hash_bucket_counts(
     return buckets.groupBy(id_col, "_b").agg(F.count("*").alias("_c"))
 
 
+def importance_weights(
+    df: DataFrame,
+    target_sources: "list[str]",
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style data selection via importance weighting (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public paper), in the engine's exact ratio form: how
+    much does each document's hashed-token distribution look like the
+    TARGET domain rather than the raw corpus?
+
+    - featurize every doc with the hashing trick
+      (:func:`hash_bucket_counts` — portable char-fold hash % dim);
+    - per-bucket counts ``n_t`` over the target docs (``source_col``
+      ∈ ``target_sources``) and ``n_r`` over the whole corpus;
+    - bucket weight ``wt = floor((n_t+1)·2^20 / (n_r+1))`` — add-one
+      smoothed target/raw ratio in 2^20 fixed point, computed in
+      DECIMAL(38,0) so it is exact for ANY corpus size (the paper uses
+      log-ratios; sums of fixed-point ratios keep the same ordering
+      signal while staying libm-free and oracle-exact — the BM25/PMI
+      lesson);
+    - per-doc ``score = Σ_b f_b·wt_b`` (≤ n_tokens·2^20, int64-safe).
+
+    Output: (id, n_tokens, score). Gate downstream with
+    :func:`percentile_threshold_gate` or rank-k selection; zero-token
+    docs produce no features and are omitted (the span_dedup rule).
+
+    Scale shape: the corpus crosses one explode + one (doc, bucket)
+    aggregation; the bucket-weight table is dim-bounded and broadcast
+    back — no corpus-side join. The target pass re-featurizes only the
+    (small) target slice. Corpus-global (the weight table is a corpus
+    aggregate) — batch-only on the spec surface; the train-offline/
+    score-online split is :func:`write_classifier_table` /
+    ``classify_against`` with these weights when serving streams.
+    """
+    if not target_sources:
+        raise ValueError("importance_weights needs >=1 target source")
+    db = hash_bucket_counts(
+        df, dim=dim, text_col=text_col, id_col=id_col
+    ).localCheckpoint()  # two consumers: n_r aggregate + final score
+    n_r = db.groupBy("_b").agg(F.sum("_c").cast("bigint").alias("_nr"))
+    n_t = (
+        hash_bucket_counts(
+            df.filter(F.col(source_col).isin(*[str(s) for s in target_sources])),
+            dim=dim, text_col=text_col, id_col=id_col,
+        )
+        .groupBy("_b")
+        .agg(F.sum("_c").cast("bigint").alias("_nt"))
+    )
+    bw = n_r.join(n_t, "_b", "left").fillna(0, subset=["_nt"])
+    a_dec = (F.col("_nt") + 1).cast("decimal(38,0)") * F.lit(_CLF_FP)
+    b_dec = (F.col("_nr") + 1).cast("decimal(38,0)")
+    wt = ((a_dec - a_dec % b_dec) / b_dec).cast("bigint")
+    w = bw.select("_b", wt.alias("_wt"))
+    return (
+        db.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_c") * F.col("_wt")).cast("bigint").alias("score"),
+        )
+    )
+
+
 def hash_embedding(
     df: DataFrame,
     dim: int = 64,

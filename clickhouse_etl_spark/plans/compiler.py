@@ -114,7 +114,7 @@ DATAOPS = frozenset({
     "dedup_against", "normalize_text", "hash_embedding",
     "trained_classifier", "cluster_sample", "classify_against",
     "ann_serve", "gopher_rules", "temperature_mixture",
-    "c4_filters", "line_dedup",
+    "c4_filters", "line_dedup", "importance_weights",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -122,6 +122,7 @@ REQUIRED_DATAOP_PARAMS = {
     "dedup_against": ("seen_path",),
     "classify_against": ("weights_path",),
     "ann_serve": ("index_path",),
+    "importance_weights": ("target_sources",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -163,12 +164,15 @@ REQUIRED_DATAOP_PARAMS = {
 # folds) — stream-safe; line_dedup needs the corpus-global
 # first-occurrence order (a line-keyed window) — batch-only (the
 # streaming analogue is dedup_against over a persisted line-digest
-# set).
+# set); importance_weights derives its bucket-weight table from a
+# corpus-global aggregate — batch-only (serve streams by persisting
+# the weights and scoring with classify_against's pattern).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
     "hash_embedding", "trained_classifier", "cluster_sample",
     "ann_serve", "temperature_mixture", "line_dedup",
+    "importance_weights",
 }
 
 
@@ -196,6 +200,7 @@ def resolve_dataop(op: str):
         doc_fingerprint,
         gopher_rules,
         hash_embedding,
+        importance_weights,
         language_id,
         normalize_text,
         mixture_sample,
@@ -292,6 +297,7 @@ def resolve_dataop(op: str):
         "temperature_mixture": temperature_mixture,
         "c4_filters": c4_filters,
         "line_dedup": line_dedup,
+        "importance_weights": importance_weights,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

@@ -6268,6 +6268,68 @@ def docs_line_dedup(spark, sf_dir):
     return line_dedup(_lineated_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+_DSIR_DIM = 256
+_DSIR_TARGETS = ("src0", "src1")
+_DSIR_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, source, u.tok
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split(lower(coalesce(text, '')),
+                                              ' '), t -> t != '') AS toks
+              FROM documents) d,
+             LATERAL unnest(d.toks) AS u(tok)
+    ), vb AS (
+        SELECT tok,
+               CAST({char_fold_hash_sql('tok')} % {_DSIR_DIM} AS INTEGER)
+                   AS b
+        FROM (SELECT DISTINCT tok FROM tok)
+    ), db AS (
+        SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS f
+        FROM tok JOIN vb USING (tok)
+        GROUP BY doc_id, source, b
+    ), bw AS (
+        SELECT b,
+               CAST(coalesce(sum(f) FILTER (
+                   WHERE source IN {_DSIR_TARGETS!r}), 0) AS BIGINT) AS n_t,
+               CAST(sum(f) AS BIGINT) AS n_r
+        FROM db GROUP BY b
+    ), w AS (
+        SELECT b,
+               CAST((CAST(n_t + 1 AS HUGEINT) * 1048576)
+                    // CAST(n_r + 1 AS HUGEINT) AS BIGINT) AS wt
+        FROM bw
+    )
+    SELECT db.doc_id,
+           CAST(sum(db.f) AS BIGINT) AS n_tokens,
+           CAST(sum(db.f * w.wt) AS BIGINT) AS score
+    FROM db JOIN w USING (b)
+    GROUP BY db.doc_id
+    ORDER BY db.doc_id
+"""
+
+
+@q("docs_importance_weights", _DSIR_SQL, "bench")
+def docs_importance_weights(spark, sf_dir):
+    """DSIR-style importance weighting (dataops/text.importance_
+    weights; Xie et al. 2023, public paper): hashed-token bucket
+    counts, add-one-smoothed target/raw bucket ratios in 2^20 fixed
+    point (DECIMAL(38,0) floor division — exact at any corpus size),
+    per-doc target-affinity score as the f·wt dot product. src0+src1
+    stand in as the target domain. The corpus crosses one explode +
+    one (doc, bucket) aggregation; the dim-bounded weight table is
+    broadcast back — no corpus-side join. Ratio form instead of the
+    paper's log-ratios keeps the score libm-free (the BM25/PMI rule)
+    so the DuckDB oracle replays it bit-exactly.
+    """
+    from .dataops.text import importance_weights
+
+    return importance_weights(
+        _t(spark, sf_dir, "documents"),
+        target_sources=list(_DSIR_TARGETS),
+        dim=_DSIR_DIM,
+    ).orderBy("doc_id")
+
+
 _TEMP_MIX_SQL = f"""
     WITH c AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -2655,3 +2655,35 @@ def test_line_dedup_first_occurrence(spark):
     assert out[3]["text_dedup"] == "rep line here.\nother line stays."
     assert out[4]["n_lines_kept"] == 2
     assert out[4]["text_dedup"] == "first kept.\nsecond kept."
+
+
+def test_importance_weights_target_affinity(spark):
+    """DSIR-style importance weighting: docs matching the target
+    domain's hashed-token distribution score strictly higher per token
+    than off-target docs; the exact fixed-point weight formula is
+    replayed for one bucket (r9: dataops/text.importance_weights)."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.text import importance_weights
+
+    rows = (
+        [(i, "aaa aaa aaa", "tgt") for i in range(3)]
+        + [(i + 10, "bbb bbb bbb", "web") for i in range(3)]
+        + [(20, "aaa bbb", "web"), (21, "", "web")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(df, target_sources=["tgt"], dim=64).collect()
+    }
+    assert 21 not in out  # zero-token doc omitted
+    # n_t[aaa]=9, n_r[aaa]=10 -> wt = (10*2^20)//11 = 953250
+    # n_t[bbb]=0, n_r[bbb]=10 -> wt = (1*2^20)//11  =  95325
+    assert out[0]["score"] == 3 * 953250 and out[0]["n_tokens"] == 3
+    assert out[10]["score"] == 3 * 95325
+    assert out[20]["score"] == 953250 + 95325 and out[20]["n_tokens"] == 2
+    # per-token affinity orders target > mixed > off-target
+    per_tok = {k: v["score"] / v["n_tokens"] for k, v in out.items()}
+    assert per_tok[0] > per_tok[20] > per_tok[10]
+    with _pytest.raises(ValueError, match="target"):
+        importance_weights(df, target_sources=[])

@@ -1105,3 +1105,55 @@ def test_c4_and_line_dedup_on_spec_surface(spark, tmp_path):
     )
     with _pytest.raises(SpecError, match="batch-only"):
         streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
+
+
+def test_importance_weights_on_spec_surface(spark):
+    """importance_weights is declarable, requires target_sources at
+    PARSE time, and is corpus-global -> batch-only."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        REQUIRED_DATAOP_PARAMS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SpecError
+
+    assert "importance_weights" in DATAOPS
+    assert "importance_weights" not in STREAM_SAFE_DATAOPS
+    assert REQUIRED_DATAOP_PARAMS["importance_weights"] == ("target_sources",)
+    import json as _json
+
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+
+    def _doc(cfg):
+        return _json.dumps({
+            "version": "v3", "pipeline_id": "p", "name": "n",
+            "sources": [{"type": "kafka", "source_id": "documents",
+                         "topic": "documents",
+                         "schema_fields": [
+                             {"name": "doc_id", "type": "int64"},
+                             {"name": "text", "type": "string"},
+                             {"name": "source", "type": "string"}]}],
+            "transforms": [{"type": "dataop", "source_id": "documents",
+                            "config": cfg}],
+            "sink": {"type": "clickhouse", "database": "d", "table": "t",
+                     "table_mapping": [
+                         {"source_id": "documents", "column_name": "doc_id",
+                          "field_name": "doc_id", "column_type": "Int64"}]},
+        })
+
+    with _pytest.raises(SpecError, match="target_sources"):
+        parse_pipeline_json(_doc({"op": "importance_weights"}))
+    spec = parse_pipeline_json(
+        _doc({"op": "importance_weights", "target_sources": ["web"]})
+    )
+    cfg = spec.sources[0].dataops[0]
+    assert cfg.params == {"target_sources": ["web"]}
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa", "web"), (2, "bbb bbb", "cc")],
+        ["doc_id", "text", "source"],
+    )
+    out = resolve_dataop(cfg.op)(docs, **cfg.params)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
