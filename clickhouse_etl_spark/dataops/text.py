@@ -1089,6 +1089,7 @@ def importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    engine: str = "pandas",
 ) -> DataFrame:
     """DSIR-style data selection via importance weighting (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -1112,41 +1113,141 @@ def importance_weights(
     :func:`percentile_threshold_gate` or rank-k selection; zero-token
     docs produce no features and are omitted (the span_dedup rule).
 
-    Scale shape: the corpus crosses one explode + one (doc, bucket)
-    aggregation; the bucket-weight table is dim-bounded and broadcast
-    back — no corpus-side join. The target pass re-featurizes only the
-    (small) target slice. Corpus-global (the weight table is a corpus
-    aggregate) — batch-only on the spec surface; the train-offline/
-    score-online split is :func:`write_classifier_table` /
-    ``classify_against`` with these weights when serving streams.
+    Scale shape: the weight build aggregates straight to BUCKET grain
+    (map-side partial combine → a dim-bounded shuffle; the target pass
+    re-featurizes only the small target slice), and the scoring pass
+    — ``engine="pandas"``, the default — is ONE row-local Arrow
+    ``mapInPandas`` with the collected weight dict in the task closure
+    (the classify_against pattern): no corpus-side (doc, bucket)
+    shuffle, no join, memory independent of corpus size. The frame is
+    deliberately never localCheckpointed: an in-heap checkpoint of a
+    corpus-scale frame evicts under pressure and dies at 10M docs (the
+    write_classifier_table lesson — measured OOM in scale_test
+    section_r9b before this shape). ``engine="catalyst"`` keeps the
+    explode → broadcast-join → groupBy reference form, equality-pinned
+    by test. Corpus-global (the weight table is a corpus aggregate) —
+    batch-only on the spec surface; the train-offline/score-online
+    split is :func:`write_classifier_table` / ``classify_against``
+    with these weights when serving streams.
     """
     if not target_sources:
         raise ValueError("importance_weights needs >=1 target source")
-    db = hash_bucket_counts(
-        df, dim=dim, text_col=text_col, id_col=id_col
-    ).localCheckpoint()  # two consumers: n_r aggregate + final score
-    n_r = db.groupBy("_b").agg(F.sum("_c").cast("bigint").alias("_nr"))
-    n_t = (
-        hash_bucket_counts(
-            df.filter(F.col(source_col).isin(*[str(s) for s in target_sources])),
-            dim=dim, text_col=text_col, id_col=id_col,
+    from .hashing import char_fold_hash
+
+    targets = [str(s) for s in target_sources]
+
+    def _totals(frame: DataFrame, alias: str) -> DataFrame:
+        # bucket-grain occurrence totals: explode -> per-DISTINCT-token
+        # hash dict broadcast back -> count per bucket (partial agg
+        # combines map-side, the shuffle carries <= dim rows/partition)
+        toks = F.filter(
+            _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda t: F.length(t) > 0,
         )
-        .groupBy("_b")
-        .agg(F.sum("_c").cast("bigint").alias("_nt"))
-    )
+        exploded = scale_out(frame).select(F.explode(toks).alias("_tok"))
+        tok_dict = exploded.select("_tok").distinct().select(
+            "_tok", (char_fold_hash(F.col("_tok")) % dim).cast("int").alias("_b")
+        )
+        return (
+            exploded.join(F.broadcast(tok_dict), "_tok")
+            .groupBy("_b")
+            .agg(F.count("*").cast("bigint").alias(alias))
+        )
+
+    n_r = _totals(df, "_nr")
+    n_t = _totals(df.filter(F.col(source_col).isin(*targets)), "_nt")
     bw = n_r.join(n_t, "_b", "left").fillna(0, subset=["_nt"])
     a_dec = (F.col("_nt") + 1).cast("decimal(38,0)") * F.lit(_CLF_FP)
     b_dec = (F.col("_nr") + 1).cast("decimal(38,0)")
     wt = ((a_dec - a_dec % b_dec) / b_dec).cast("bigint")
     w = bw.select("_b", wt.alias("_wt"))
-    return (
-        db.join(F.broadcast(w), "_b")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_c").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("_c") * F.col("_wt")).cast("bigint").alias("score"),
+
+    if engine == "catalyst":
+        db = hash_bucket_counts(df, dim=dim, text_col=text_col, id_col=id_col)
+        return (
+            db.join(F.broadcast(w), "_b")
+            .groupBy(id_col)
+            .agg(
+                F.sum("_c").cast("bigint").alias("n_tokens"),
+                F.sum(F.col("_c") * F.col("_wt")).cast("bigint").alias("score"),
+            )
         )
-    )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine {engine!r}; use 'pandas' or 'catalyst'")
+
+    from pyspark.sql import types as T
+
+    # dense weight vector memory per task is dim*8 bytes — same loud
+    # bound as the classifier scorer (ADVICE r8)
+    if dim >= (1 << 22):
+        raise ValueError(
+            f"importance_weights dim={dim} exceeds the vectorized "
+            "scorer bound; use dim < 2^22 buckets"
+        )
+    wt_map = {r["_b"]: r["_wt"] for r in w.collect()}  # <= dim rows
+    id_field = df.schema[id_col]
+    schema = T.StructType([
+        T.StructField(id_col, id_field.dataType, id_field.nullable),
+        T.StructField("n_tokens", T.LongType(), True),
+        T.StructField("score", T.LongType(), True),
+    ])
+
+    def score_batches(batches):
+        import numpy as np
+
+        from .hashing import char_fold_hash_py
+
+        # buckets with zero corpus occurrences get the add-one-smoothed
+        # default (1*2^20)//1 — unreachable when scoring the corpus
+        # that built the table (every scored bucket has n_r >= 1)
+        wt_vec = np.full(dim, _CLF_FP, dtype=np.int64)
+        for b, v in wt_map.items():
+            wt_vec[b] = v
+        memo: dict[str, int] = {}
+
+        def tok_bucket(t: str) -> int:
+            b = memo.get(t)
+            if b is None:
+                b = char_fold_hash_py(t) % dim
+                memo[t] = b
+            return b
+
+        rows_per_chunk = max(1, _SCORE_CHUNK_BYTES // (dim * 8))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [
+                [t for t in (x or "").lower().split(" ") if t]
+                for x in pdf[text_col]
+            ]
+            keep = [i for i, tl in enumerate(tok_lists) if tl]
+            if not keep:
+                continue  # token-less docs drop, as in the catalyst form
+            n_toks: list[int] = []
+            scores: list[int] = []
+            for lo in range(0, len(keep), rows_per_chunk):
+                idxs = keep[lo : lo + rows_per_chunk]
+                tls = [tok_lists[i] for i in idxs]
+                lens = np.fromiter(
+                    (len(tl) for tl in tls), dtype=np.int64, count=len(tls)
+                )
+                rows = np.repeat(np.arange(len(tls)), lens)
+                flat = np.fromiter(
+                    (tok_bucket(t) for tl in tls for t in tl),
+                    dtype=np.int64, count=int(lens.sum()),
+                )
+                mat = np.bincount(
+                    rows * dim + flat, minlength=len(tls) * dim
+                ).reshape(len(tls), dim)
+                # score = sum_b f_b * wt_b <= n_tokens * 2^20: int64-exact
+                scores.extend(int(s) for s in mat @ wt_vec)
+                n_toks.extend(int(n) for n in lens)
+            out = pdf.iloc[keep][[id_col]].copy()
+            out["n_tokens"] = np.asarray(n_toks, dtype=np.int64)
+            out["score"] = np.asarray(scores, dtype=np.int64)
+            yield out
+
+    return df.mapInPandas(score_batches, schema)
 
 
 def hash_embedding(

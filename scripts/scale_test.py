@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9", "r9b"]
 
 
 def materialize(spark) -> None:
@@ -963,6 +963,54 @@ def section_r8b(spark) -> None:
     print(f"dedup_windowed_1B: {dt:.1f}s ({n/dt/1e6:.1f}M rows/s)")
 
 
+def _decade_docs(spark):
+    """Materialize (once) and return the 1M / 10M replicated docs
+    corpora shared by the r9 sections."""
+    docs_small = spark.read.parquet(f"{BASE}/docs")
+    p_1m = f"{BASE}/docs_1m"
+    p_10m = f"{BASE}/docs_10m"
+    for path, reps, parts in ((p_1m, 10, 64), (p_10m, 100, 256)):
+        if not os.path.isdir(path):
+            t0 = time.perf_counter()
+            mult = spark.range(reps).select(F.col("id").alias("rep"))
+            (
+                docs_small.crossJoin(mult)
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.col("rep") * 1_000_000_000
+                )
+                .drop("rep")
+                .repartition(parts)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            print(
+                f"materialized {reps/10:.0f}M docs in "
+                f"{time.perf_counter()-t0:.1f}s"
+            )
+    return spark.read.parquet(p_1m), spark.read.parquet(p_10m)
+
+
+def _decade_pair(name, small_df, big_df, n1=1_000_000, n10=10_000_000):
+    def _best2(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    small_df.limit(1000).write.mode("overwrite").format("noop").save()
+    dt_s = _best2(small_df)
+    dt_b = _best2(big_df)
+    ratio = (dt_b / n10) / (dt_s / n1)
+    flag = "  ** SUPER-LINEAR **" if ratio > 2.0 else ""
+    print(
+        f"{name}: 1M->10M docs in {dt_s:.1f}s/{dt_b:.1f}s "
+        f"({n1/dt_s/1000:.0f}/{n10/dt_b/1000:.0f}k docs/s), "
+        f"per-row-cost ratio {ratio:.2f}{flag}"
+    )
+
+
 def section_r9(spark) -> None:
     """Docs-side decade evidence to 10M documents (VERDICT r8 #6): the
     events side reached 1B rows in r8 but the curation body stopped at
@@ -986,53 +1034,11 @@ def section_r9(spark) -> None:
     )
     from clickhouse_etl_spark.streaming.curation import curation_scored_stream
 
-    docs_small = spark.read.parquet(f"{BASE}/docs")
-    p_1m = f"{BASE}/docs_1m"
-    p_10m = f"{BASE}/docs_10m"
-    for path, reps, parts in ((p_1m, 10, 64), (p_10m, 100, 256)):
-        if not os.path.isdir(path):
-            t0 = time.perf_counter()
-            mult = spark.range(reps).select(F.col("id").alias("rep"))
-            (
-                docs_small.crossJoin(mult)
-                .withColumn(
-                    "doc_id", F.col("doc_id") + F.col("rep") * 1_000_000_000
-                )
-                .drop("rep")
-                .repartition(parts)
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-            print(
-                f"materialized {reps/10:.0f}M docs in "
-                f"{time.perf_counter()-t0:.1f}s"
-            )
-    d1 = spark.read.parquet(p_1m)
-    d10 = spark.read.parquet(p_10m)
-    n1, n10 = 1_000_000, 10_000_000
+    d1, d10 = _decade_docs(spark)
     # shuffle partitions sized to the data (the section_r8 rule): the
     # exact-dedup digest shuffle moves ~10x the rows
     spark.conf.set("spark.sql.shuffle.partitions", "256")
-
-    def _best2(df) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    def _pair(name, small_df, big_df) -> None:
-        small_df.limit(1000).write.mode("overwrite").format("noop").save()
-        dt_s = _best2(small_df)
-        dt_b = _best2(big_df)
-        ratio = (dt_b / n10) / (dt_s / n1)
-        flag = "  ** SUPER-LINEAR **" if ratio > 2.0 else ""
-        print(
-            f"{name}: 1M->10M docs in {dt_s:.1f}s/{dt_b:.1f}s "
-            f"({n1/dt_s/1000:.0f}/{n10/dt_b/1000:.0f}k docs/s), "
-            f"per-row-cost ratio {ratio:.2f}{flag}"
-        )
+    _pair = _decade_pair
 
     _pair("exact_dedup", exact_dedup(d1), exact_dedup(d10))
 
@@ -1086,6 +1092,45 @@ def section_r9(spark) -> None:
     )
 
 
+def section_r9b(spark) -> None:
+    """r9 wave-2 ops at decade scale (1M → 10M docs, same replicated
+    corpora as section_r9, fresh JVM): the C4 line battery (row-local
+    string folds — rides the scan), corpus-level exact line dedup (the
+    one NEW shuffle shape this wave: a line-keyed window top-1 + a
+    doc-keyed reassembly; on the single-line replicated corpus every
+    text repeats 100+ ways, so this is its all-dup worst case, like
+    exact_dedup's), and DSIR importance weighting (one explode + one
+    (doc,bucket) aggregation over ~540M token rows at 10M docs; the
+    weight table stays dim-bounded and broadcast). Linear reads as
+    per-row-cost ratio ≈ 1; > 2 prints SUPER-LINEAR."""
+    from clickhouse_etl_spark.dataops.dedup import line_dedup
+    from clickhouse_etl_spark.dataops.text import (
+        c4_filters,
+        importance_weights,
+    )
+
+    d1, d10 = _decade_docs(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    _pair = _decade_pair
+
+    # the dim-bounded weight table is collected at plan build (the
+    # classify_against pattern) — report it like the classifier's
+    # one-time train; _pair later times the row-local scoring pass.
+    # Builds run FIRST in the fresh JVM: the long-session degradation
+    # (CLAUDE.md r3 note) inflated them ~40% when sequenced third.
+    iw = {}
+    for tag, frame in (("1M", d1), ("10M", d10)):
+        t0 = time.perf_counter()
+        iw[tag] = importance_weights(frame, target_sources=["src0", "src1"])
+        print(
+            f"importance_weights build (one-time, {tag} docs): "
+            f"{time.perf_counter()-t0:.1f}s"
+        )
+    _pair("c4_filters", c4_filters(d1), c4_filters(d10))
+    _pair("line_dedup", line_dedup(d1), line_dedup(d10))
+    _pair("importance_weights_scoring", iw["1M"], iw["10M"])
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -1099,7 +1144,7 @@ def main() -> None:
          "r4": section_r4, "r5": section_r5, "r6": section_r6,
          "r7": section_r7, "r7b": section_r7b,
          "r8": section_r8, "r8b": section_r8b,
-         "r9": section_r9}[section](spark)
+         "r9": section_r9, "r9b": section_r9b}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

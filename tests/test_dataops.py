@@ -2687,3 +2687,28 @@ def test_importance_weights_target_affinity(spark):
     assert per_tok[0] > per_tok[20] > per_tok[10]
     with _pytest.raises(ValueError, match="target"):
         importance_weights(df, target_sources=[])
+
+
+def test_importance_weights_engine_equality(spark):
+    """The Arrow scoring pass (default) is value-identical to the
+    catalyst explode/join/groupBy reference form, including null/empty
+    text drops and repeated-token counting (r9 wave 2)."""
+    from clickhouse_etl_spark.dataops.text import importance_weights
+
+    rows = [
+        (0, "aaa bbb aaa ccc aaa", "tgt"),
+        (1, "bbb bbb", "web"),
+        (2, None, "web"),
+        (3, "", "tgt"),
+        (4, "ccc " * 50, "web"),
+        (5, "zzz yyy xxx www", "tgt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kw = dict(target_sources=["tgt"], dim=32)
+    a = sorted(
+        map(tuple, importance_weights(df, engine="pandas", **kw).collect())
+    )
+    b = sorted(
+        map(tuple, importance_weights(df, engine="catalyst", **kw).collect())
+    )
+    assert a == b and len(a) == 4  # null/empty text dropped by both
