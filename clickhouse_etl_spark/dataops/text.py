@@ -1127,11 +1127,39 @@ def importance_weights(
     explode → broadcast-join → groupBy reference form, equality-pinned
     by test. Corpus-global (the weight table is a corpus aggregate) —
     batch-only on the spec surface; the train-offline/score-online
-    split is :func:`write_classifier_table` / ``classify_against``
-    with these weights when serving streams.
+    split is :func:`write_importance_table` /
+    :func:`importance_against_path` (score parity equality-pinned).
     """
     if not target_sources:
         raise ValueError("importance_weights needs >=1 target source")
+    w = _importance_table(df, target_sources, dim, text_col, source_col)
+
+    if engine == "catalyst":
+        db = hash_bucket_counts(df, dim=dim, text_col=text_col, id_col=id_col)
+        return (
+            db.join(F.broadcast(w), "_b")
+            .groupBy(id_col)
+            .agg(
+                F.sum("_c").cast("bigint").alias("n_tokens"),
+                F.sum(F.col("_c") * F.col("_wt")).cast("bigint").alias("score"),
+            )
+        )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine {engine!r}; use 'pandas' or 'catalyst'")
+    wt_map = {r["_b"]: r["_wt"] for r in w.collect()}  # <= dim rows
+    return _iw_score_frame(df, dim, wt_map, text_col, id_col, keep_input=False)
+
+
+def _importance_table(
+    df: DataFrame,
+    target_sources: "list[str]",
+    dim: int,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """The dim-bounded DSIR bucket-weight frame (_b, _wt) — the shared
+    build of :func:`importance_weights` (inline) and
+    :func:`write_importance_table` (persisted)."""
     from .hashing import char_fold_hash
 
     targets = [str(s) for s in target_sources]
@@ -1160,59 +1188,110 @@ def importance_weights(
     a_dec = (F.col("_nt") + 1).cast("decimal(38,0)") * F.lit(_CLF_FP)
     b_dec = (F.col("_nr") + 1).cast("decimal(38,0)")
     wt = ((a_dec - a_dec % b_dec) / b_dec).cast("bigint")
-    w = bw.select("_b", wt.alias("_wt"))
+    return bw.select("_b", wt.alias("_wt"))
 
-    if engine == "catalyst":
-        db = hash_bucket_counts(df, dim=dim, text_col=text_col, id_col=id_col)
-        return (
-            db.join(F.broadcast(w), "_b")
-            .groupBy(id_col)
-            .agg(
-                F.sum("_c").cast("bigint").alias("n_tokens"),
-                F.sum(F.col("_c") * F.col("_wt")).cast("bigint").alias("score"),
-            )
-        )
-    if engine != "pandas":
-        raise ValueError(f"unknown engine {engine!r}; use 'pandas' or 'catalyst'")
 
-    from pyspark.sql import types as T
+def _iw_kernel(dim: int, wt_map: dict):
+    """Vectorized importance scorer over per-doc token lists —
+    ``tok_lists → (n_tokens, scores)``: memoized char-fold buckets,
+    bincount count matrix, exact int64 dot with the dense weight
+    vector (score ≤ n_tokens·2^20). The ONE definition shared by
+    :func:`importance_weights` and :func:`importance_against_path`.
+    Token lists must be non-empty (token-less docs drop at the
+    caller)."""
+    import numpy as np
+
+    from .hashing import char_fold_hash_py
 
     # dense weight vector memory per task is dim*8 bytes — same loud
     # bound as the classifier scorer (ADVICE r8)
     if dim >= (1 << 22):
         raise ValueError(
-            f"importance_weights dim={dim} exceeds the vectorized "
-            "scorer bound; use dim < 2^22 buckets"
+            f"importance dim={dim} exceeds the vectorized scorer "
+            "bound; use dim < 2^22 buckets"
         )
-    wt_map = {r["_b"]: r["_wt"] for r in w.collect()}  # <= dim rows
-    id_field = df.schema[id_col]
-    schema = T.StructType([
-        T.StructField(id_col, id_field.dataType, id_field.nullable),
+    # buckets with zero corpus occurrences get the add-one-smoothed
+    # default (1*2^20)//1 — unreachable when scoring the corpus that
+    # built the table (every scored bucket has n_r >= 1), reachable
+    # (and principled) when scoring NEW docs against a persisted table
+    wt_vec = np.full(dim, _CLF_FP, dtype=np.int64)
+    for b, v in wt_map.items():
+        wt_vec[b] = v
+    memo: dict[str, int] = {}
+
+    def tok_bucket(t: str) -> int:
+        b = memo.get(t)
+        if b is None:
+            b = char_fold_hash_py(t) % dim
+            memo[t] = b
+        return b
+
+    rows_per_chunk = max(1, _SCORE_CHUNK_BYTES // (dim * 8))
+
+    def score(tok_lists):
+        n_toks: list[int] = []
+        scores: list[int] = []
+        for lo in range(0, len(tok_lists), rows_per_chunk):
+            tls = tok_lists[lo : lo + rows_per_chunk]
+            lens = np.fromiter(
+                (len(tl) for tl in tls), dtype=np.int64, count=len(tls)
+            )
+            rows = np.repeat(np.arange(len(tls)), lens)
+            flat = np.fromiter(
+                (tok_bucket(t) for tl in tls for t in tl),
+                dtype=np.int64, count=int(lens.sum()),
+            )
+            mat = np.bincount(
+                rows * dim + flat, minlength=len(tls) * dim
+            ).reshape(len(tls), dim)
+            # score = sum_b f_b * wt_b <= n_tokens * 2^20: int64-exact
+            scores.extend(int(s) for s in mat @ wt_vec)
+            n_toks.extend(int(n) for n in lens)
+        return n_toks, scores
+
+    return score
+
+
+def _iw_score_frame(
+    df: DataFrame,
+    dim: int,
+    wt_map: dict,
+    text_col: str,
+    id_col: str,
+    keep_input: bool,
+) -> DataFrame:
+    """One row-local Arrow pass scoring ``df`` with :func:`_iw_kernel`.
+    ``keep_input=False`` emits the compact (id, n_tokens, score) frame
+    (the importance_weights contract); ``keep_input=True`` appends the
+    two columns to every input column (the classify_against contract,
+    what a streaming chain wants)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    added = [
         T.StructField("n_tokens", T.LongType(), True),
         T.StructField("score", T.LongType(), True),
-    ])
+    ]
+    if keep_input:
+        clash = {"n_tokens", "score"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"input already carries {sorted(clash)} — rename those "
+                "columns before scoring (the op appends n_tokens/score)"
+            )
+        schema = T.StructType(list(df.schema.fields) + added)
+        out_cols = [f.name for f in df.schema.fields]
+    else:
+        id_field = df.schema[id_col]
+        schema = T.StructType(
+            [T.StructField(id_col, id_field.dataType, id_field.nullable)]
+            + added
+        )
+        out_cols = [id_col]
 
     def score_batches(batches):
-        import numpy as np
-
-        from .hashing import char_fold_hash_py
-
-        # buckets with zero corpus occurrences get the add-one-smoothed
-        # default (1*2^20)//1 — unreachable when scoring the corpus
-        # that built the table (every scored bucket has n_r >= 1)
-        wt_vec = np.full(dim, _CLF_FP, dtype=np.int64)
-        for b, v in wt_map.items():
-            wt_vec[b] = v
-        memo: dict[str, int] = {}
-
-        def tok_bucket(t: str) -> int:
-            b = memo.get(t)
-            if b is None:
-                b = char_fold_hash_py(t) % dim
-                memo[t] = b
-            return b
-
-        rows_per_chunk = max(1, _SCORE_CHUNK_BYTES // (dim * 8))
+        score = _iw_kernel(dim, wt_map)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1223,31 +1302,76 @@ def importance_weights(
             keep = [i for i, tl in enumerate(tok_lists) if tl]
             if not keep:
                 continue  # token-less docs drop, as in the catalyst form
-            n_toks: list[int] = []
-            scores: list[int] = []
-            for lo in range(0, len(keep), rows_per_chunk):
-                idxs = keep[lo : lo + rows_per_chunk]
-                tls = [tok_lists[i] for i in idxs]
-                lens = np.fromiter(
-                    (len(tl) for tl in tls), dtype=np.int64, count=len(tls)
-                )
-                rows = np.repeat(np.arange(len(tls)), lens)
-                flat = np.fromiter(
-                    (tok_bucket(t) for tl in tls for t in tl),
-                    dtype=np.int64, count=int(lens.sum()),
-                )
-                mat = np.bincount(
-                    rows * dim + flat, minlength=len(tls) * dim
-                ).reshape(len(tls), dim)
-                # score = sum_b f_b * wt_b <= n_tokens * 2^20: int64-exact
-                scores.extend(int(s) for s in mat @ wt_vec)
-                n_toks.extend(int(n) for n in lens)
-            out = pdf.iloc[keep][[id_col]].copy()
+            n_toks, scores = score([tok_lists[i] for i in keep])
+            out = pdf.iloc[keep][out_cols].copy()
             out["n_tokens"] = np.asarray(n_toks, dtype=np.int64)
             out["score"] = np.asarray(scores, dtype=np.int64)
             yield out
 
     return df.mapInPandas(score_batches, schema)
+
+
+def write_importance_table(
+    df: DataFrame,
+    weights_path: str,
+    target_sources: "list[str]",
+    dim: int = 256,
+    text_col: str = "text",
+    source_col: str = "source",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the DSIR bucket-weight table — the OFFLINE half of
+    train-offline/score-online for importance weighting (the
+    :func:`write_classifier_table` deployment pattern: the model IS a
+    weight table). One row per occupied bucket: (bucket, wt, dim); at
+    most ``dim`` rows regardless of corpus size — between waves you
+    ship the table, not the corpus. Score any later frame (batch or
+    stream) with :func:`importance_against_path`."""
+    if not target_sources:
+        raise ValueError("write_importance_table needs >=1 target source")
+    w = _importance_table(df, target_sources, dim, text_col, source_col)
+    (
+        w.select(
+            F.col("_b").alias("bucket"),
+            F.col("_wt").alias("wt"),
+            F.lit(dim).cast("int").alias("dim"),
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(weights_path)
+    )
+
+
+def importance_against_path(
+    df: DataFrame,
+    weights_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a persisted importance table
+    (:func:`write_importance_table`) — the ONLINE half: one row-local
+    Arrow ``mapInPandas`` pass with the dim-bounded weight dict in the
+    task closure, so it is stream-safe under append mode and runs per
+    micro-batch with NO shuffle and NO state (the
+    :func:`classify_against_path` shape). Buckets never seen when the
+    table was built score at the add-one-smoothed floor (2^20·1/1 —
+    n_r = 0), which is the same formula the build uses, so batch
+    scores == serve scores exactly (equality-pinned in tests).
+
+    Output: input columns + (n_tokens BIGINT, score BIGINT);
+    token-less documents drop (as in the batch op)."""
+    rows = df.sparkSession.read.parquet(weights_path).collect()
+    if not rows:
+        raise ValueError(f"empty importance table at {weights_path}")
+    dims = {r["dim"] for r in rows}
+    if len(dims) != 1:
+        raise ValueError(
+            f"importance table at {weights_path} mixes dims {sorted(dims)}"
+        )
+    wt_map = {r["bucket"]: r["wt"] for r in rows}
+    return _iw_score_frame(
+        df, dims.pop(), wt_map, text_col, id_col, keep_input=True
+    )
 
 
 def hash_embedding(

@@ -115,6 +115,7 @@ DATAOPS = frozenset({
     "trained_classifier", "cluster_sample", "classify_against",
     "ann_serve", "gopher_rules", "temperature_mixture",
     "c4_filters", "line_dedup", "importance_weights",
+    "importance_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -123,6 +124,7 @@ REQUIRED_DATAOP_PARAMS = {
     "classify_against": ("weights_path",),
     "ann_serve": ("index_path",),
     "importance_weights": ("target_sources",),
+    "importance_against": ("weights_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -165,8 +167,10 @@ REQUIRED_DATAOP_PARAMS = {
 # first-occurrence order (a line-keyed window) — batch-only (the
 # streaming analogue is dedup_against over a persisted line-digest
 # set); importance_weights derives its bucket-weight table from a
-# corpus-global aggregate — batch-only (serve streams by persisting
-# the weights and scoring with classify_against's pattern).
+# corpus-global aggregate — batch-only. Its train-offline/score-online
+# split is write_importance_table → importance_against (a persisted
+# dim-bounded table scored in one row-local Arrow pass — stream-safe,
+# the classify_against pattern).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -200,6 +204,7 @@ def resolve_dataop(op: str):
         doc_fingerprint,
         gopher_rules,
         hash_embedding,
+        importance_against_path,
         importance_weights,
         language_id,
         normalize_text,
@@ -298,6 +303,7 @@ def resolve_dataop(op: str):
         "c4_filters": c4_filters,
         "line_dedup": line_dedup,
         "importance_weights": importance_weights,
+        "importance_against": importance_against_path,
     }
     assert set(registry) == DATAOPS, "DATAOPS out of sync with the registry"
     try:

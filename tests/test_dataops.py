@@ -2712,3 +2712,52 @@ def test_importance_weights_engine_equality(spark):
         map(tuple, importance_weights(df, engine="catalyst", **kw).collect())
     )
     assert a == b and len(a) == 4  # null/empty text dropped by both
+
+
+def test_importance_table_serve_parity(spark, tmp_path):
+    """write_importance_table -> importance_against_path replays the
+    batch importance_weights scores EXACTLY, appends to input columns,
+    and scores never-seen buckets at the add-one-smoothed floor (r9
+    wave 2: the classify_against train-offline/score-online split)."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.text import (
+        _CLF_FP,
+        importance_against_path,
+        importance_weights,
+        write_importance_table,
+    )
+
+    rows = (
+        [(i, "aaa aaa bbb", "tgt") for i in range(3)]
+        + [(i + 10, "bbb ccc ccc ccc", "web") for i in range(4)]
+        + [(20, None, "web")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = str(tmp_path / "iw_table")
+    write_importance_table(df, path, target_sources=["tgt"], dim=64)
+
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in importance_weights(df, target_sources=["tgt"], dim=64).collect()
+    }
+    served = importance_against_path(df, path)
+    assert set(served.columns) == {"doc_id", "text", "source", "n_tokens", "score"}
+    got = {r["doc_id"]: (r["n_tokens"], r["score"]) for r in served.collect()}
+    assert got == batch and 20 not in got
+
+    # a NEW doc whose tokens never hit a built bucket: every bucket
+    # scores at the smoothed floor (1*2^20)//1
+    new = spark.createDataFrame(
+        [(99, "zzzz qqqq", "web")], "doc_id long, text string, source string"
+    )
+    srv = importance_against_path(new, path).collect()[0]
+    assert srv["score"] == 2 * _CLF_FP and srv["n_tokens"] == 2
+
+    # clash guard + artifact guards fail loud
+    with _pytest.raises(ValueError, match="rename"):
+        importance_against_path(
+            served, path
+        )  # already carries n_tokens/score
+    with _pytest.raises(Exception):
+        importance_against_path(df, str(tmp_path / "missing"))

@@ -1157,3 +1157,73 @@ def test_importance_weights_on_spec_surface(spark):
     )
     out = resolve_dataop(cfg.op)(docs, **cfg.params)
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_importance_against_on_spec_surface(spark, tmp_path):
+    """importance_against (persisted-table scoring) is declarable,
+    requires weights_path at PARSE time, and is row-local ->
+    stream-safe (the classify_against pattern)."""
+    import datetime as dt
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.text import write_importance_table
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "importance_against" in DATAOPS
+    assert "importance_against" in STREAM_SAFE_DATAOPS
+
+    doc = {
+        "version": "v3", "pipeline_id": "p", "name": "n",
+        "sources": [{"type": "kafka", "source_id": "documents",
+                     "topic": "documents",
+                     "schema_fields": [
+                         {"name": "doc_id", "type": "int64"},
+                         {"name": "text", "type": "string"}]}],
+        "transforms": [{"type": "dataop", "source_id": "documents",
+                        "config": {"op": "importance_against"}}],
+        "sink": {"type": "clickhouse", "database": "d", "table": "t",
+                 "table_mapping": [
+                     {"source_id": "documents", "column_name": "doc_id",
+                      "field_name": "doc_id", "column_type": "Int64"}]},
+    }
+    with _pytest.raises(SpecError, match="weights_path"):
+        parse_pipeline_json(_json.dumps(doc))
+
+    corpus = spark.createDataFrame(
+        [(1, "aaa bbb", "tgt"), (2, "bbb ccc", "web")],
+        ["doc_id", "text", "source"],
+    )
+    path = str(tmp_path / "iw_spec_table")
+    write_importance_table(corpus, path, target_sources=["tgt"], dim=32)
+    out = resolve_dataop("importance_against")(
+        corpus.select("doc_id", "text"), weights_path=path
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "iw_stream_in")
+    spark.createDataFrame(
+        [(1, "aaa bbb", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(op="importance_against",
+                              params={"weights_path": path}),),
+    )
+    s_out = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert s_out.isStreaming and "score" in s_out.columns
