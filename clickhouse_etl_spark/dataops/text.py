@@ -231,22 +231,27 @@ def c4_filters(
 
     - the line ends in a terminal punctuation mark (``.``, ``!``,
       ``?``, or a closing double quote);
-    - the line contains at least 3 words;
+    - the line contains at least 5 words (TFDS c4_utils
+      ``_MIN_WORDS_PER_LINE = 5``);
     - the line does not mention ``javascript`` (case-insensitive —
       the paper drops any line with the word Javascript);
 
     document-level flags (over the ORIGINAL page text, as published):
 
-    - ``r_sentences``: the CLEANED text retains ≥5 sentences
-      (sentence count = terminal-punctuation count, an exact
-      character-class count);
+    - ``r_sentences``: the CLEANED text retains ≥3 sentences
+      (TFDS ``_MIN_NUM_SENTENCES = 3``; sentence count =
+      terminal-punctuation count, an exact character-class count);
     - ``r_lorem``: the page does not contain the phrase
       ``lorem ipsum`` (case-insensitive);
     - ``r_brace``: the page does not contain a curly brace ``{``
       (the paper's code-page heuristic);
     - ``r_bad_words``: the page contains no word from ``bad_words``
       (the paper uses a public blocklist; parameterized here,
-      constant-pass when ``None`` so the output schema is stable);
+      constant-pass when ``None`` so the output schema is stable.
+      Matching is per WORD with tokens split on any non-alphanumeric
+      run — so punctuation/newline-adjacent occurrences are caught —
+      and the list is case-folded; multi-word phrase entries need a
+      caller-side regex);
     - ``pass_c4``: conjunction of the four.
 
     Row-local (per-row line/token array folds — no shuffle, no state):
@@ -272,7 +277,7 @@ def c4_filters(
         last = li.substr(F.length(li), F.lit(1))
         return (
             last.isin(".", "!", "?", '"')
-            & (F.size(words) >= 3)
+            & (F.size(words) >= 5)
             & ~F.lower(li).contains("javascript")
         )
 
@@ -290,10 +295,14 @@ def c4_filters(
         F.length(text_clean) - F.length(_strip_punct(text_clean))
     ).cast("bigint")
     if bad_words:
+        # split on ANY non-alphanumeric run: 'badword.' at sentence
+        # end and newline-adjacent occurrences still tokenize clean
         toks = F.array_distinct(
-            F.filter(F.split(lower_text, " "), lambda w: F.length(w) > 0)
+            F.filter(
+                F.split(lower_text, "[^a-z0-9]+"), lambda w: F.length(w) > 0
+            )
         )
-        bad = F.array(*[F.lit(w) for w in bad_words])
+        bad = F.array(*[F.lit(str(w).lower()) for w in bad_words])
         r_bad = F.when(
             F.size(F.array_intersect(toks, bad)) == 0, F.lit(1)
         ).otherwise(F.lit(0))
@@ -311,7 +320,7 @@ def c4_filters(
         "r_bad_words": r_bad.cast("int"),
     })
     out = out.withColumns({
-        "r_sentences": flag(F.col("n_sentences") >= 5),
+        "r_sentences": flag(F.col("n_sentences") >= 3),
         "r_lorem": flag(~F.lower(F.coalesce(F.col(text_col), F.lit(""))).contains("lorem ipsum")),
         "r_brace": flag(~F.coalesce(F.col(text_col), F.lit("")).contains("{")),
     })
@@ -1147,7 +1156,13 @@ def importance_weights(
     if engine != "pandas":
         raise ValueError(f"unknown engine {engine!r}; use 'pandas' or 'catalyst'")
     wt_map = {r["_b"]: r["_wt"] for r in w.collect()}  # <= dim rows
-    return _iw_score_frame(df, dim, wt_map, text_col, id_col, keep_input=False)
+    # batch-only op -> safe to scale_out before the Python-side kernel
+    # (a single-file corpus would otherwise score on ONE core — the
+    # CLAUDE.md single-partition rule); importance_against_path stays
+    # repartition-free for its streaming micro-batch position
+    return _iw_score_frame(
+        scale_out(df), dim, wt_map, text_col, id_col, keep_input=False
+    )
 
 
 def _importance_table(
@@ -1184,6 +1199,15 @@ def _importance_table(
 
     n_r = _totals(df, "_nr")
     n_t = _totals(df.filter(F.col(source_col).isin(*targets)), "_nt")
+    # fail-loud convention (r6: sample artifacts raise on empty
+    # corpora): a typo'd source name would otherwise yield _nt = 0
+    # everywhere and a degenerate inverse-frequency table that scores
+    # "successfully"
+    if not n_t.take(1):
+        raise ValueError(
+            f"target_sources {targets!r} matched no non-empty documents "
+            f"in {source_col!r} — check the source names"
+        )
     bw = n_r.join(n_t, "_b", "left").fillna(0, subset=["_nt"])
     a_dec = (F.col("_nt") + 1).cast("decimal(38,0)") * F.lit(_CLF_FP)
     b_dec = (F.col("_nr") + 1).cast("decimal(38,0)")

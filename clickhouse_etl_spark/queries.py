@@ -6159,7 +6159,7 @@ _C4_SQL = "WITH " + _LINEATE_CTE + """, d AS (
                list_filter(raw_lines,
                    l -> substr(l, length(l), 1) IN ('.', '!', '?', '"')
                         AND len(list_filter(string_split(lower(l), ' '),
-                                            w -> w != '')) >= 3
+                                            w -> w != '')) >= 5
                         AND NOT contains(lower(l), 'javascript')) AS kept
         FROM d
     ), c AS (
@@ -6181,9 +6181,9 @@ _C4_SQL = "WITH " + _LINEATE_CTE + """, d AS (
     )
     SELECT doc_id, n_lines, n_kept_lines, n_sentences, text_clean,
            CAST(1 AS INTEGER) AS r_bad_words,
-           CAST(n_sentences >= 5 AS INTEGER) AS r_sentences,
+           CAST(n_sentences >= 3 AS INTEGER) AS r_sentences,
            r_lorem, r_brace,
-           CAST(n_sentences >= 5 AND r_lorem = 1 AND r_brace = 1
+           CAST(n_sentences >= 3 AND r_lorem = 1 AND r_brace = 1
                 AS INTEGER) AS pass_c4
     FROM s
     ORDER BY doc_id
@@ -6194,9 +6194,9 @@ _C4_SQL = "WITH " + _LINEATE_CTE + """, d AS (
 def docs_c4_filters(spark, sf_dir):
     """The published C4 cleaning battery (dataops/text.c4_filters;
     Raffel et al. 2020 — public paper): line-level keep rules
-    (terminal punctuation, ≥3 words, no 'javascript') with the
+    (terminal punctuation, ≥5 words, no 'javascript') with the
     surviving lines reassembled into ``text_clean``, plus the
-    document-level page flags (≥5 sentences retained, no 'lorem
+    document-level page flags (≥3 sentences retained, no 'lorem
     ipsum', no curly brace) and their conjunction. Every rule is exact
     string/integer arithmetic — the DuckDB oracle reproduces the
     battery (including the reassembled text) bit-exactly. Row-local,

@@ -2586,11 +2586,11 @@ def test_c4_filters_battery(spark):
     docs = [
         (0, good),
         (1, "no terminal punctuation on this line\n" + good),
-        (2, "too short.\n" + good),  # < 3 words: line dropped
-        (3, "this page uses JavaScript heavily.\n" + good),
-        (4, "classic Lorem Ipsum placeholder text here.\n" + good),
-        (5, "code sample with a { brace inside it.\n" + good),
-        (6, "\n".join(["only four sentences remain here."] * 4)),
+        (2, "four words right here.\n" + good),  # < 5 words: dropped
+        (3, "this page uses JavaScript heavily and often.\n" + good),
+        (4, "classic Lorem Ipsum placeholder text sits here.\n" + good),
+        (5, "a code sample with a { brace inside it.\n" + good),
+        (6, "\n".join(["only two long sentences remain right here."] * 2)),
         (7, None),
     ]
     out = {
@@ -2603,26 +2603,32 @@ def test_c4_filters_battery(spark):
     assert out[0]["text_clean"] == good and out[0]["n_sentences"] == 6
     # dropped lines never reach text_clean; doc flags still pass
     assert out[1]["n_kept_lines"] == 6 and out[1]["pass_c4"] == 1
-    assert out[2]["n_kept_lines"] == 6 and "too short." not in out[2]["text_clean"]
+    assert out[2]["n_kept_lines"] == 6
+    assert "four words right here." not in out[2]["text_clean"]
     assert out[3]["n_kept_lines"] == 6  # javascript line dropped
     assert out[3]["pass_c4"] == 1  # page-level flags unaffected
     assert out[4]["r_lorem"] == 0 and out[4]["pass_c4"] == 0
     assert out[5]["r_brace"] == 0 and out[5]["pass_c4"] == 0
-    assert out[6]["r_sentences"] == 0 and out[6]["n_sentences"] == 4
+    assert out[6]["r_sentences"] == 0 and out[6]["n_sentences"] == 2
     assert out[7]["n_kept_lines"] == 0 and out[7]["pass_c4"] == 0
     assert out[7]["text_clean"] == ""
 
     # parameterized blocklist: page-level kill, schema unchanged
     blocked = c4_filters(
         spark.createDataFrame(
-            [(90, "a badword appears right here."), (91, good)],
+            # sentence-final position: the word abuts the terminal
+            # punctuation the line rule itself requires (review fix:
+            # tokens split on non-alphanumeric runs, list case-folded)
+            [(90, "this page ends with a badword."), (91, good),
+             (92, "first long line is fine here.\nbadword\n" + good)],
             "doc_id long, text string",
         ),
-        bad_words=["badword"],
+        bad_words=["BadWord"],
     ).collect()
     got = {r["doc_id"]: r for r in blocked}
     assert got[90]["r_bad_words"] == 0 and got[90]["pass_c4"] == 0
     assert got[91]["r_bad_words"] == 1
+    assert got[92]["r_bad_words"] == 0  # newline-adjacent occurrence
 
 
 def test_line_dedup_first_occurrence(spark):

@@ -1074,8 +1074,8 @@ def test_c4_and_line_dedup_on_spec_surface(spark, tmp_path):
     assert "line_dedup" not in STREAM_SAFE_DATAOPS
 
     docs = spark.createDataFrame(
-        [(1, "a fine long sentence here.\nshared line stays once."),
-         (2, "shared line stays once.")],
+        [(1, "a fine long sentence here.\nthe shared line stays once."),
+         (2, "the shared line stays once.")],
         ["doc_id", "text"],
     )
     flagged = resolve_dataop("c4_filters")(docs)
