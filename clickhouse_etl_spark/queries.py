@@ -6722,10 +6722,34 @@ _R08_CHECKED = frozenset({
     "transform_scalars", "tumbling_window_agg", "validate_dlq_counts",
 })
 
+_R09_CHECKED = frozenset({
+    "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
+    "docs_boilerplate_ngrams", "docs_bpe_apply_fixed",
+    "docs_bpe_word_table", "docs_c4_filters", "docs_chunking",
+    "docs_curation_v2", "docs_domain_cap", "docs_dup_clusters",
+    "docs_dup_keep_best", "docs_gopher_rules", "docs_hash_embed_topk",
+    "docs_hash_embedding", "docs_importance_weights",
+    "docs_incremental_dedup", "docs_line_dedup", "docs_mixture_report",
+    "docs_ngram_containment_pairs", "docs_ngram_jaccard_pairs",
+    "docs_pii_scrub", "docs_quality_topk", "docs_temperature_mixture",
+    "docs_top_terms", "docs_vocab_stats", "emb_ivf_ann_topk",
+    "emb_ivf_pq_ann_topk", "emb_lsh_ann_topk", "emb_normalize",
+    "emb_pq_ann_topk", "emb_quantize_int8", "emb_semantic_dedup",
+    "emb_semantic_dedup_lsh", "events_cms_calibration",
+    "events_kmv_distinct", "events_mad_anomalies", "filter_project",
+    "multimodal_decode_stub", "multimodal_pipeline",
+    "multimodal_video_embedding", "otlp_flatten_logs",
+    "otlp_flatten_metrics", "otlp_metric_rollup_5m",
+    "otlp_rollup_all_families", "pipeline_canonical",
+    "sink_mapping_casts", "temporal_join_enrich", "transform_scalars",
+    "validate_dlq_counts",
+})
+
 # Newest-signature round per entry, derived from the artifact key sets.
 # Newer rounds shadow older ones; entries in no set have never been
 # driver-checked (priority 0).
 _CHECKED_ROUNDS = (
+    (9, _R09_CHECKED),
     (8, _R08_CHECKED),
     (7, _R07_CHECKED),
     (6, _R06_CHECKED),
@@ -6751,27 +6775,10 @@ def _newest_signature(name: str) -> int:
 # is missing from this set. Re-snapshot at the start of each round, then add
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r9 edits after an r3..r8 signature — keep EXACTLY equal to the
+    # r10 edits after an r3..r9 signature — keep EXACTLY equal to the
     # mechanical changed-set (tests/test_rotation.py). Reset empty at
-    # round start (impl hashes re-snapshotted from the r9-start tree =
-    # the r8-signed commit 0e68cc8 plus driver artifacts only).
-    # ADVICE-r8 fixes (all value-identical for registry inputs,
-    # equality/regression-tested):
-    # _shingle_stream nullable-int id dtypes — flips every pair-engine
-    # consumer's hash:
-    "docs_ngram_jaccard_pairs",
-    "docs_ngram_containment_pairs",
-    "docs_dup_clusters",
-    "docs_dup_keep_best",
-    "docs_pipeline_e2e",
-    "docs_dedup_agreement",
-    "docs_decontamination",
-    "docs_curation_v3",
-    "docs_curation_v4",
-    "pipeline_canonical",  # reaches the dataop registry
-    # _score_kernel dim guard + _calibrated_pred decimal(19,0) factors:
-    "docs_trained_classifier",
-    "docs_curation_e2e",
+    # round start (impl hashes re-snapshotted from the r10-start tree =
+    # the r9-signed commit 331ecdd plus driver artifacts only).
 })
 
 
