@@ -179,14 +179,20 @@ def main_parent() -> None:
     # so future judges could diff only the top-15 — this keeps every
     # query diffable at ~25 bytes/entry.
     queries_compact = {n: round(t, 2) for n, t in timings.items()}
+    # TAIL ZONE ordering (VERDICT r9 #2): the window-health verdicts
+    # (control_q1/control_ratio/contended/contended_chunks) and the
+    # streaming segment MUST sit AFTER the big per-query maps — the r9
+    # driver artifact kept `queries_compact`/`slowest`/totals but the
+    # health fields ahead of the compact map were truncated away, so a
+    # 51%-inflated hot-window total looked unqualified in the artifact.
     result.update(
-        streaming_ingest=streaming,
         chunk_controls=chunk_controls,
+        queries_compact=queries_compact,
+        streaming_ingest=streaming,
         contended_chunks=contended_chunks,
         control_q1=control_q1,
         control_ratio=control_ratio,
         contended=bool(contended_chunks),
-        queries_compact=queries_compact,
         slowest=slowest,
         value=total,
         total_sec=total,

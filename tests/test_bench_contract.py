@@ -55,6 +55,22 @@ def test_bench_emits_contract_json():
         assert {"chunk", "start", "end", "contended"} <= set(c)
     assert isinstance(doc["contended_chunks"], list)
     assert doc["contended"] == bool(doc["contended_chunks"])
+    # VERDICT r9 #2: the window-health verdicts live in the TAIL ZONE —
+    # after the big per-query maps, before `slowest`/totals — so the
+    # driver's tail-byte capture retains them (the r9 artifact recorded
+    # a hot-window total with the contention flags truncated away).
+    for health in ("contended_chunks", "control_q1", "control_ratio", "contended"):
+        assert keys.index(health) > keys.index("queries_compact"), keys
+        assert keys.index(health) > keys.index("streaming_ingest"), keys
+        assert keys.index(health) < keys.index("slowest"), keys
+    # a literal truncated-tail parse (everything from `streaming_ingest`
+    # onward, i.e. what survives when the head maps are cut) must still
+    # expose every health verdict
+    line = json_lines[0]
+    tail = line[line.index('"streaming_ingest"'):]
+    for health in ('"contended_chunks"', '"control_q1"', '"control_ratio"',
+                   '"contended"', '"slowest"', '"total_sec"'):
+        assert health in tail, tail[:500]
 
 
 def test_bench_surfaces_child_crash():
