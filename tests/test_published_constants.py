@@ -1,0 +1,267 @@
+"""Spec-fidelity tests for PUBLISHED constants (VERDICT r9 #4).
+
+The r9 C4 threshold swap (lines >=3 words / pages >=5 sentences instead
+of the published >=5 / >=3) shipped mid-round because the DuckDB oracle
+is DERIVED from the implementation — it pins engine CONSISTENCY, not
+published-spec fidelity. These tests pin each battery constant against
+the paper's quoted numbers directly, as behavioral boundary cases (a
+transposed threshold flips a flag here even if both engines implement
+the same swap).
+
+Sources (public papers / public code):
+- Rae et al. 2021 "Scaling Language Models: ... Gopher", table A1.
+- Raffel et al. 2020 "Exploring the Limits of Transfer Learning with a
+  Unified Text-to-Text Transformer" (C4), section 2.2 + TFDS c4_utils
+  (_MIN_WORDS_PER_LINE = 5, _MIN_NUM_SENTENCES = 3).
+- Xie et al. 2023 "Data Selection for Language Models via Importance
+  Resampling" (DSIR): hashed-bucket ratio with add-one smoothing.
+- Sennrich et al. 2016 BPE: highest-frequency pair per merge step.
+"""
+
+import pytest
+
+from clickhouse_etl_spark.dataops.text import (
+    GOPHER_REQUIRED_STOPS,
+    _CLF_FP,
+    c4_filters,
+    gopher_rules,
+    temperature_mixture,
+)
+
+
+def _flags(spark, texts, fn, cols, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in fn(df, **kw).collect()}
+    return [tuple(rows[i][c] for c in cols) for i in range(len(texts))]
+
+
+# --------------------------------------------------------------------------
+# Gopher (Rae et al. 2021, table A1)
+# --------------------------------------------------------------------------
+
+
+def test_gopher_required_stops_are_the_published_list():
+    # table A1: "contains at least two of the following English words:
+    # the, be, to, of, and, that, have, with"
+    assert GOPHER_REQUIRED_STOPS == [
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ]
+
+
+def test_gopher_word_count_bounds_50_100k(spark):
+    # A1: "number of words ... between 50 and 100,000"
+    texts = [
+        " ".join(["word"] * 49),
+        " ".join(["word"] * 50),
+        " ".join(["word"] * 100_000),
+        " ".join(["word"] * 100_001),
+    ]
+    got = _flags(spark, texts, gopher_rules, ["r_word_count"])
+    assert got == [(0,), (1,), (1,), (0,)]
+
+
+def test_gopher_mean_word_length_3_to_10(spark):
+    # A1: "mean word length ... between 3 and 10 characters"
+    texts = [
+        " ".join(["ab"] * 10),           # mean 2 -> reject
+        " ".join(["abc"] * 10),          # mean 3 -> keep (inclusive)
+        " ".join(["a" * 10] * 10),       # mean 10 -> keep (inclusive)
+        " ".join(["a" * 11] * 10),       # mean 11 -> reject
+    ]
+    got = _flags(spark, texts, gopher_rules, ["r_mean_word_len"])
+    assert got == [(0,), (1,), (1,), (0,)]
+
+
+def test_gopher_symbol_ratio_at_most_10pct(spark):
+    # A1: "symbol-to-word ratio greater than 0.1 for either the hash
+    # symbol or the ellipsis" -> reject
+    base = ["word"] * 9
+    texts = [
+        " ".join(base + ["w#rd"]),            # 1/10 -> keep (<= 0.1)
+        " ".join(base[:-1] + ["w#rd", "w..."]),  # 2/10 -> reject
+    ]
+    got = _flags(spark, texts, gopher_rules, ["r_symbol_ratio"])
+    assert got == [(1,), (0,)]
+
+
+def test_gopher_bullet_lines_at_most_90pct(spark):
+    # A1: "more than 90% of lines starting with a bullet point" -> reject
+    bullet, plain = "- item line", "plain text line"
+    texts = [
+        "\n".join([bullet] * 9 + [plain]),  # 90% -> keep
+        "\n".join([bullet] * 10),           # 100% -> reject
+    ]
+    got = _flags(spark, texts, gopher_rules, ["r_bullet"])
+    assert got == [(1,), (0,)]
+
+
+def test_gopher_ellipsis_lines_at_most_30pct(spark):
+    # A1: "more than 30% [of lines] ending with an ellipsis" -> reject
+    ell, plain = "trailing line...", "plain text line"
+    texts = [
+        "\n".join([ell] * 3 + [plain] * 7),  # 30% -> keep
+        "\n".join([ell] * 4 + [plain] * 6),  # 40% -> reject
+    ]
+    got = _flags(spark, texts, gopher_rules, ["r_ellipsis"])
+    assert got == [(1,), (0,)]
+
+
+def test_gopher_alpha_words_at_least_80pct(spark):
+    # A1: "80% of words in a document contain at least one alphabetic
+    # character" -> keep
+    texts = [
+        " ".join(["word"] * 8 + ["123", "456"]),        # 80% -> keep
+        " ".join(["word"] * 7 + ["123", "456", "789"]),  # 70% -> reject
+    ]
+    got = _flags(spark, texts, gopher_rules, ["r_alpha"])
+    assert got == [(1,), (0,)]
+
+
+def test_gopher_two_distinct_required_stopwords(spark):
+    # A1: "at least two of the following English words" — DISTINCT
+    texts = ["the of word word", "the the the word"]
+    got = _flags(spark, texts, gopher_rules, ["r_stopwords"])
+    assert got == [(1,), (0,)]
+
+
+# --------------------------------------------------------------------------
+# C4 (Raffel et al. 2020 §2.2; TFDS c4_utils constants)
+# --------------------------------------------------------------------------
+
+_L5 = "one two three four five."  # 5 words + terminal punct -> kept
+
+
+def test_c4_line_keep_needs_5_words(spark):
+    # TFDS c4_utils._MIN_WORDS_PER_LINE = 5 (the r9 bug shipped 3)
+    texts = ["one two three four."]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id int, text string")
+    row = c4_filters(df).collect()[0]
+    assert row["n_kept_lines"] == 0
+    df5 = spark.createDataFrame([(0, _L5)], "doc_id int, text string")
+    assert c4_filters(df5).collect()[0]["n_kept_lines"] == 1
+
+
+def test_c4_line_keep_needs_terminal_punctuation(spark):
+    # §2.2: "only retained lines that ended in a terminal punctuation
+    # mark (i.e. a period, exclamation mark, question mark, or end
+    # quotation mark)"
+    for line, kept in [
+        ("one two three four five", 0),
+        ("one two three four five.", 1),
+        ("one two three four five!", 1),
+        ("one two three four five?", 1),
+        ('one two three four five"', 1),
+    ]:
+        df = spark.createDataFrame([(0, line)], "doc_id int, text string")
+        assert c4_filters(df).collect()[0]["n_kept_lines"] == kept, line
+
+
+def test_c4_javascript_line_dropped(spark):
+    # §2.2: "removed any line with the word Javascript"
+    df = spark.createDataFrame(
+        [(0, "this line mentions JavaScript somewhere inside.")],
+        "doc_id int, text string",
+    )
+    assert c4_filters(df).collect()[0]["n_kept_lines"] == 0
+
+
+def test_c4_page_needs_3_sentences(spark):
+    # TFDS c4_utils._MIN_NUM_SENTENCES = 3 (the r9 bug shipped 5)
+    texts = [
+        "\n".join([_L5] * 2),  # 2 sentences -> reject
+        "\n".join([_L5] * 3),  # 3 sentences -> keep
+    ]
+    got = _flags(spark, texts, c4_filters, ["r_sentences"])
+    assert got == [(0,), (1,)]
+
+
+def test_c4_lorem_ipsum_and_brace_flags(spark):
+    # §2.2: "any page where the phrase 'lorem ipsum' appeared" and
+    # "any pages that contained a curly bracket" -> removed
+    texts = [
+        "\n".join([_L5] * 3) + "\nfiller Lorem Ipsum filler.",
+        "\n".join([_L5] * 3) + "\ncode { block",
+        "\n".join([_L5] * 3),
+    ]
+    got = _flags(spark, texts, c4_filters, ["r_lorem", "r_brace", "pass_c4"])
+    assert got == [(0, 1, 0), (1, 0, 0), (1, 1, 1)]
+
+
+def test_c4_bad_word_matches_through_punctuation(spark):
+    # §2.2 blocklist match is per word; sentence-final punctuation must
+    # not mask an occurrence (the r9 review fix)
+    texts = ["clean words only here.", "ends with a badword."]
+    got = _flags(
+        spark, texts, c4_filters, ["r_bad_words"], bad_words=["BadWord"]
+    )
+    assert got == [(1,), (0,)]
+
+
+# --------------------------------------------------------------------------
+# DSIR (Xie et al. 2023) and the fixed-point / mixing conventions
+# --------------------------------------------------------------------------
+
+
+def test_clf_fixed_point_scale_is_2_pow_20():
+    assert _CLF_FP == 2 ** 20
+
+
+def test_dsir_add_one_smoothing_weight_formula(spark):
+    # wt_b = floor((n_t + 1) * 2^20 / (n_r + 1)) — add-one smoothed
+    # target/raw hashed-bucket ratio. A bucket never seen in the target
+    # but seen once in the corpus gets floor(2^20 / 2), and a bucket
+    # outside the corpus would sit at the 2^20 floor (never-seen serve
+    # parity is pinned in test_importance_weights).
+    from clickhouse_etl_spark.dataops.text import _importance_table
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa", "tgt"), (2, "aaa bbb", "raw")],
+        "doc_id int, text string, source string",
+    )
+    w = {
+        r["_b"]: r["_wt"]
+        for r in _importance_table(df, ["tgt"], 64, "text", "source").collect()
+    }
+    # 'aaa': n_t = 2, n_r = 3 -> floor(3 * 2^20 / 4); 'bbb': n_t = 0,
+    # n_r = 1 -> floor(1 * 2^20 / 2). Distinct buckets by construction
+    # at dim=64 unless the char-fold collides (assert it doesn't).
+    assert sorted(w.values()) == [
+        (1 * 2 ** 20) // 2,
+        (3 * 2 ** 20) // 4,
+    ]
+
+
+def test_temperature_mixture_exponent_is_sqrt_2_pow_20_fp():
+    # count^alpha mixing with alpha fixed at 0.5 (sqrt is the one power
+    # IEEE-754 evaluates exactly in both engines); 2^20 fixed point.
+    import inspect
+
+    sig = inspect.signature(temperature_mixture)
+    assert sig.parameters["fp"].default == 2 ** 20
+    src = inspect.getsource(temperature_mixture)
+    assert "F.sqrt" in src  # alpha = 0.5, not a parameterized power
+
+
+# --------------------------------------------------------------------------
+# BPE (Sennrich et al. 2016): most-frequent pair, deterministic tie-break
+# --------------------------------------------------------------------------
+
+
+def test_bpe_merge_picks_most_frequent_pair_ties_lexicographic(spark):
+    from clickhouse_etl_spark.dataops.bpe import learn_bpe
+
+    # corpus of 3x "ab cd": with the end-of-word marker every pair —
+    # ('a','b'), ('b','</w>'), ('c','d'), ('d','</w>') — ties at count
+    # 3; the documented total order is (count desc, pair asc), so
+    # ('a','b') wins rank 0, and after it merges, ('ab','</w>') sorts
+    # before ('c','d') for rank 1.
+    df = spark.createDataFrame(
+        [(i, "ab cd") for i in range(3)], "doc_id int, text string"
+    )
+    merges = learn_bpe(df, n_merges=2)
+    first, second = merges[0], merges[1]
+    assert (first["left"], first["right"]) == ("a", "b")
+    assert first["pair_count"] == 3
+    assert (second["left"], second["right"]) == ("ab", "</w>")
