@@ -23,10 +23,15 @@ from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    line_dedup,
+    line_dedup_against_path,
+    release_line_digest_cache,
     simhash,
     snapshot_diff,
     span_dedup,
     write_digest_table,
+    write_line_bloom_table,
+    write_line_digest_table,
 )
 from .similarity import (
     cosine_topk,
@@ -62,7 +67,12 @@ __all__ = [
     "span_dedup",
     "dedup_against",
     "dedup_against_path",
+    "line_dedup",
+    "line_dedup_against_path",
+    "release_line_digest_cache",
     "write_digest_table",
+    "write_line_bloom_table",
+    "write_line_digest_table",
     "snapshot_diff",
     "cosine_topk",
     "embedding_near_dup_pairs",

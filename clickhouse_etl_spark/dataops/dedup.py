@@ -1352,6 +1352,273 @@ def line_dedup(
     )
 
 
+def _distinct_lines(df: DataFrame, text_col: str) -> DataFrame:
+    """The DISTINCT non-empty lines of a document frame (one ``line``
+    column) — the line-grain seen-set both artifact writers share.
+    Null text contributes no lines (the digest-lifecycle null policy:
+    null == empty, and empty text has no lines)."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("line")
+        )
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+
+
+def write_line_digest_table(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Persist the DISTINCT line digests of an ingest wave — the
+    line-grain mirror of :func:`write_digest_table`, and the artifact
+    :func:`line_dedup_against_path` probes (VERDICT r9 #4: the
+    streaming analogue of the batch :func:`line_dedup`).
+
+    A wave's distinct-line set IS its :func:`line_dedup` survivor-line
+    set (first-occurrence keep preserves exactly one copy of every
+    distinct line), so digesting the raw wave and digesting its
+    deduped output produce the same artifact. Between waves you ship
+    32-char line digests, not text; ``mode="append"`` accumulates
+    across waves like the document-grain table (the probe reads
+    DISTINCT digests, so overlap between appends is harmless).
+
+    Scale shape: one explode + one distinct — a digest-keyed shuffle
+    whose output is bounded by the corpus's DISTINCT line count (the
+    boilerplate lines that motivate line dedup collapse map-side under
+    partial aggregation).
+    """
+    (
+        _distinct_lines(df, text_col)
+        .select(F.md5("line").alias("digest"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_line_bloom_table(
+    df: DataFrame,
+    path: str,
+    capacity: int,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+    text_col: str = "text",
+    mode: str = "overwrite",
+    n_shards: int = 1,
+) -> None:
+    """Line-grain Bloom seen-set: :func:`write_bloom_table` over the
+    wave's distinct non-empty lines — the 100-TB tier of the line
+    lifecycle, for corpora whose distinct-line set is too large to
+    broadcast as exact digests (size ``capacity`` to the true distinct
+    LINE count). Cross-wave accumulation is the ordinary
+    :func:`merge_bloom_tables`; probe via
+    ``line_dedup_against_path(..., seen_format="bloom")``. No false
+    negatives: a seen line always drops; ~FPR of fresh lines drop with
+    it (bits/key trade, declared)."""
+    write_bloom_table(
+        _distinct_lines(df, text_col),
+        path,
+        capacity,
+        bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+        text_col="line",
+        mode=mode,
+        n_shards=n_shards,
+    )
+
+
+#: exact line-digest broadcast caches keyed by seen_path, valued
+#: (file-listing signature, broadcast frozenset of 16-byte digests) —
+#: the line-grain mirror of _BLOOM_CACHES; see
+#: :func:`release_line_digest_cache`
+_LINE_DIGEST_CACHES: dict = {}
+
+#: refuse to broadcast an exact line-digest set larger than this many
+#: keys (~0.6 GB of Python set at 10M) — a bigger seen-set should move
+#: to the bloom tier (write_line_bloom_table), not strain executors;
+#: callers who accept the footprint pass max_broadcast_digests
+_LINE_DIGEST_MAX_KEYS = 10_000_000
+
+
+def release_line_digest_cache(seen_path: str | None = None) -> int:
+    """Unpersist the broadcast line-digest set for ``seen_path`` (or
+    ALL when None) — the line-grain mirror of
+    :func:`release_digest_cache` / :func:`release_bloom_cache`.
+    Returns the number released."""
+    paths = (
+        [seen_path]
+        if seen_path is not None
+        else list(_LINE_DIGEST_CACHES)
+    )
+    released = 0
+    for p in paths:
+        entry = _LINE_DIGEST_CACHES.pop(p, None)
+        if entry is not None:
+            entry[1].unpersist()
+            released += 1
+    return released
+
+
+def _line_digest_broadcast(
+    spark, seen_path: str, max_broadcast_digests: int | None = None
+):
+    """Broadcast frozenset of 16-byte line digests for the
+    :func:`write_line_digest_table` artifact at ``seen_path`` — cached
+    per path, invalidated when the artifact's parquet file listing
+    changes (a wave appending or rewriting the table rotates the
+    cache), released via :func:`release_line_digest_cache`."""
+    seen_raw = spark.read.parquet(seen_path)
+    sig = tuple(sorted(seen_raw.inputFiles()))
+    entry = _LINE_DIGEST_CACHES.get(seen_path)
+    if entry is not None and entry[0] != sig:
+        entry[1].unpersist()
+        entry = None
+    if entry is None:
+        cap = (
+            max_broadcast_digests
+            if max_broadcast_digests is not None
+            else _LINE_DIGEST_MAX_KEYS
+        )
+        # parquet row-count metadata — cheap fail-loud before a
+        # collect that would strain the driver
+        n = seen_raw.count()
+        if n > cap:
+            raise ValueError(
+                f"line-digest table at {seen_path!r} holds {n} digests "
+                f"(> {cap}) — too large to broadcast exactly; use the "
+                "bloom tier (write_line_bloom_table + "
+                "seen_format='bloom'), or pass max_broadcast_digests "
+                "to accept the footprint"
+            )
+        digests = frozenset(
+            bytes.fromhex(r["digest"])
+            for r in seen_raw.select("digest").distinct().collect()
+        )
+        entry = (sig, spark.sparkContext.broadcast(digests))
+        _LINE_DIGEST_CACHES[seen_path] = entry
+    return entry[1]
+
+
+def line_dedup_against_path(
+    df: DataFrame,
+    seen_path: str,
+    text_col: str = "text",
+    seen_format: str = "digests",
+    max_bitmap_bytes: int | None = None,
+    max_broadcast_digests: int | None = None,
+) -> DataFrame:
+    """Stream-safe line-grain cross-wave dedup: drop every line already
+    in a persisted seen-set and reassemble each document's text from
+    its surviving lines in original order — the streaming analogue of
+    the batch :func:`line_dedup` (VERDICT r9 #4), deployed like
+    :func:`dedup_against_path`: wave N's corpus →
+    :func:`write_line_digest_table` (or the bloom tier) → wave N+1
+    probes it.
+
+    Semantics (probe-only, identical on batch and streaming input —
+    that IS the parity guarantee):
+
+    - seen lines drop from every document; empty lines drop (the
+      :func:`line_dedup` rule); surviving lines rejoin with ``\\n`` in
+      original order, REWRITING ``text_col`` in place so downstream
+      stages (classifier scoring, rollups) see the deduped text;
+    - ``n_lines_kept`` (bigint) is appended for stage-attrition
+      reporting;
+    - a document whose every line is seen VANISHES (the line_dedup
+      survivor rule; null/empty text has no lines and vanishes too);
+    - within-wave first-occurrence dedup is the batch
+      :func:`line_dedup`'s job, exactly as within-stream document dups
+      are the dedup STAGE's job for :func:`dedup_against_path` — the
+      composition law is pinned by test:
+      ``line_dedup(union)`` restricted to wave-2 docs ==
+      ``line_dedup(line_dedup_against_path(wave2, digests(wave1)))``.
+
+    Scale shape: ONE row-local Arrow ``mapInPandas`` pass — no join,
+    no shuffle, no state — with the seen-set in the task closure:
+    ``seen_format="digests"`` broadcasts the exact 16-byte digest set
+    (bounded by ``max_broadcast_digests``, default 10M keys — the
+    exact tier), ``seen_format="bloom"`` probes a
+    :func:`write_line_bloom_table` bitmap via the shared
+    :func:`_bloom_probe_kernel` (the 100-TB tier: bits-per-line
+    instead of 16 bytes; seen lines still always drop, ~FPR of fresh
+    lines drop with them). Append-safe under Structured Streaming.
+
+    Reference deployment shape preserved: the probe composes mid-chain
+    in the one StreamingQuery like every row-local stage
+    (streaming_component.go:289-360 — transform slots between source
+    and sink).
+    """
+    spark = df.sparkSession
+    if "n_lines_kept" in df.columns:
+        raise ValueError(
+            "input already has an 'n_lines_kept' column — rename it "
+            "before line_dedup_against"
+        )
+    if seen_format == "bloom":
+        bc_words, m, k, n_shards = _bloom_broadcast(
+            spark, seen_path, max_bitmap_bytes
+        )
+
+        def make_probe():
+            return _bloom_probe_kernel(bc_words.value, m, k, n_shards)
+
+    elif seen_format == "digests":
+        bc = _line_digest_broadcast(spark, seen_path, max_broadcast_digests)
+
+        def make_probe():
+            import hashlib
+
+            seen_set = bc.value
+
+            def seen(line: str) -> bool:
+                return hashlib.md5(line.encode("utf-8")).digest() in seen_set
+
+            return seen
+
+    else:
+        raise ValueError(f"unknown seen_format {seen_format!r}: digests|bloom")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_cols = [f.name for f in df.schema.fields]
+    schema = StructType(
+        list(df.schema.fields) + [StructField("n_lines_kept", LongType())]
+    )
+    tcol = text_col
+
+    def gen(batches):
+        import pandas as pd
+
+        probe = make_probe()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep_idx, texts, counts = [], [], []
+            for i, t in enumerate(pdf[tcol]):
+                lines = [
+                    li
+                    for li in (t if t is not None else "").split("\n")
+                    if li and not probe(li)
+                ]
+                if lines:
+                    keep_idx.append(i)
+                    texts.append("\n".join(lines))
+                    counts.append(len(lines))
+            if keep_idx:
+                out = pdf.iloc[keep_idx][in_cols].copy()
+                out[tcol] = texts
+                out["n_lines_kept"] = pd.Series(
+                    counts, dtype="int64", index=out.index
+                )
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def _simhash_sigs_arrow(
     df: DataFrame,
     text_col: str,

@@ -115,7 +115,7 @@ DATAOPS = frozenset({
     "trained_classifier", "cluster_sample", "classify_against",
     "ann_serve", "gopher_rules", "temperature_mixture",
     "c4_filters", "line_dedup", "importance_weights",
-    "importance_against",
+    "importance_against", "line_dedup_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -125,6 +125,7 @@ REQUIRED_DATAOP_PARAMS = {
     "ann_serve": ("index_path",),
     "importance_weights": ("target_sources",),
     "importance_against": ("weights_path",),
+    "line_dedup_against": ("seen_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -164,9 +165,12 @@ REQUIRED_DATAOP_PARAMS = {
 # thesis applied to build-once/serve-many ANN (VERDICT r8 #4).
 # c4_filters is row-local like gopher_rules (per-row line/token array
 # folds) — stream-safe; line_dedup needs the corpus-global
-# first-occurrence order (a line-keyed window) — batch-only (the
-# streaming analogue is dedup_against over a persisted line-digest
-# set); importance_weights derives its bucket-weight table from a
+# first-occurrence order (a line-keyed window) — batch-only; its
+# streaming analogue line_dedup_against (write_line_digest_table /
+# write_line_bloom_table → one row-local Arrow probe that drops seen
+# lines and reassembles text per micro-batch) IS stream-safe — the
+# dedup_against train-offline/probe-online pattern at line grain;
+# importance_weights derives its bucket-weight table from a
 # corpus-global aggregate — batch-only. Its train-offline/score-online
 # split is write_importance_table → importance_against (a persisted
 # dim-bounded table scored in one row-local Arrow pass — stream-safe,
@@ -194,6 +198,7 @@ def resolve_dataop(op: str):
         dedup_against_path,
         exact_dedup_keep,
         line_dedup,
+        line_dedup_against_path,
         simhash,
         span_dedup,
     )
@@ -302,6 +307,7 @@ def resolve_dataop(op: str):
         "temperature_mixture": temperature_mixture,
         "c4_filters": c4_filters,
         "line_dedup": line_dedup,
+        "line_dedup_against": line_dedup_against_path,
         "importance_weights": importance_weights,
         "importance_against": importance_against_path,
     }

@@ -6779,6 +6779,10 @@ _STALE_SIGNED = frozenset({
     # mechanical changed-set (tests/test_rotation.py). Reset empty at
     # round start (impl hashes re-snapshotted from the r10-start tree =
     # the r9-signed commit 331ecdd plus driver artifacts only).
+    # line_dedup_against registration touches the dataop registry,
+    # which pipeline_canonical's impl closure reaches (no behavior
+    # change for any registered op — registry additions only):
+    "pipeline_canonical",
 })
 
 

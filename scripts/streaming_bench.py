@@ -92,6 +92,7 @@ def main() -> None:
 
     stateful_join_bench(spark)
     digest_lifecycle_bench(spark)
+    line_dedup_lifecycle_bench(spark)
     otlp_rollup_bench(spark)
     classifier_inference_bench(spark)
     curation_chain_bench(spark)
@@ -522,6 +523,81 @@ def digest_lifecycle_bench(spark) -> None:
                 "anti_join_overhead_pct": round(
                     100 * (results["anti_on"] / results["anti_off"] - 1), 1
                 ),
+            }
+        )
+    )
+
+
+def line_dedup_lifecycle_bench(spark) -> None:
+    """Line-grain cross-wave dedup in the live chain (VERDICT r9 #3):
+    stream the document corpus through ``line_dedup_against_path``
+    against a seen-set built from the even half — once probing the
+    exact ``write_line_digest_table`` broadcast set and once probing
+    the ``write_line_bloom_table`` bitmap — reporting docs/s for each
+    tier (both are one row-local Arrow pass; the difference is the
+    closure artifact's footprint)."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup_against_path,
+        release_bloom_cache,
+        release_line_digest_cache,
+        write_line_bloom_table,
+        write_line_digest_table,
+    )
+
+    docs_dir = f"{BASE}/docs"
+    digest_path = f"{BASE}/line_digests_seen"
+    bloom_path = f"{BASE}/line_bloom_seen"
+    if not os.path.isdir(docs_dir):
+        raise SystemExit("run scripts/scale_test.py first (materializes docs)")
+    docs = spark.read.parquet(docs_dir)
+    n_in = docs.count()
+    seen_half = docs.filter(F.col("doc_id") % 2 == 0)
+    if not os.path.isdir(digest_path):
+        write_line_digest_table(seen_half, digest_path, mode="overwrite")
+    n_seen = spark.read.parquet(digest_path).count()
+    if not os.path.isdir(bloom_path):
+        write_line_bloom_table(
+            seen_half, bloom_path, capacity=max(n_seen, 1000)
+        )
+    schema = docs.schema
+    results = {}
+    for label, kw in (
+        ("digests", {"seen_path": digest_path}),
+        ("bloom", {"seen_path": bloom_path, "seen_format": "bloom"}),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_dir)
+        )
+        chain = line_dedup_against_path(stream, **kw)
+        best = float("inf")
+        for i in range(2):
+            ckpt = f"{BASE}/line_dedup_ckpt_{label}_{i}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.perf_counter()
+            q = (
+                chain.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = min(best, time.perf_counter() - t0)
+        results[label] = best
+    release_line_digest_cache(digest_path)
+    release_bloom_cache(bloom_path)
+    print(
+        json.dumps(
+            {
+                "metric": "line_dedup_chain_throughput",
+                "rows_in": n_in,
+                "seen_line_digests": n_seen,
+                "digests_sec": round(results["digests"], 2),
+                "bloom_sec": round(results["bloom"], 2),
+                "digests_docs_per_sec": int(n_in / results["digests"]),
+                "bloom_docs_per_sec": int(n_in / results["bloom"]),
             }
         )
     )

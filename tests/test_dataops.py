@@ -2663,6 +2663,166 @@ def test_line_dedup_first_occurrence(spark):
     assert out[4]["text_dedup"] == "first kept.\nsecond kept."
 
 
+def test_line_dedup_against_lifecycle(spark, tmp_path):
+    """The line-grain cross-wave lifecycle (VERDICT r9 #3): wave 1 ->
+    write_line_digest_table -> wave 2 probes it via
+    line_dedup_against_path (seen lines drop, text rewritten in order,
+    fully-seen/null docs vanish), and the composition law holds:
+    line_dedup(union) restricted to wave-2 docs equals
+    line_dedup(line_dedup_against_path(wave2, digests(wave1)))."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup,
+        line_dedup_against_path,
+        release_line_digest_cache,
+        write_line_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [
+            (0, "cookie banner line.\nalpha unique one."),
+            (1, "nav bar line.\ncookie banner line."),
+        ],
+        "doc_id long, text string",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            (10, "cookie banner line.\nfresh wave2 line."),
+            (11, "nav bar line."),  # fully seen -> vanishes
+            (12, "brand new only.\n\ncookie banner line.\nsecond new."),
+            (13, None),  # null text -> vanishes
+            (14, "rep in wave2.\nrep in wave2."),  # within-wave dup kept (probe-only)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "line_digests")
+    write_line_digest_table(wave1, path, mode="overwrite")
+
+    probed = {
+        r["doc_id"]: r for r in line_dedup_against_path(wave2, path).collect()
+    }
+    assert set(probed) == {10, 12, 14}
+    assert probed[10]["text"] == "fresh wave2 line."
+    assert probed[10]["n_lines_kept"] == 1
+    # empty lines drop, order preserved
+    assert probed[12]["text"] == "brand new only.\nsecond new."
+    assert probed[12]["n_lines_kept"] == 2
+    # within-wave duplicates are the batch line_dedup's job, not the probe's
+    assert probed[14]["text"] == "rep in wave2.\nrep in wave2."
+
+    # composition law: probe + within-wave line_dedup == union line_dedup
+    # restricted to wave-2 docs (wave-1 ids sort first, so union
+    # first-occurrence order matches "wave 1 seen first")
+    union_out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in line_dedup(wave1.unionByName(wave2)).collect()
+        if r["doc_id"] >= 10
+    }
+    probed_frame = line_dedup_against_path(wave2, path).select("doc_id", "text")
+    composed = {
+        r["doc_id"]: r["text_dedup"] for r in line_dedup(probed_frame).collect()
+    }
+    assert composed == union_out
+    assert release_line_digest_cache(path) == 1
+
+
+def test_line_dedup_against_bloom_tier(spark, tmp_path):
+    """Line-grain bloom seen-set: every wave-1 line always drops (no
+    false negatives by construction) and on this deterministic corpus
+    the bloom probe equals the exact digest probe row for row."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup_against_path,
+        release_bloom_cache,
+        write_line_bloom_table,
+        write_line_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(i, f"seen boilerplate line number {i}.\ncommon footer line.") for i in range(50)],
+        "doc_id long, text string",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            (100 + i, f"seen boilerplate line number {i}.\nfresh content line {i}.")
+            for i in range(50)
+        ],
+        "doc_id long, text string",
+    )
+    bpath = str(tmp_path / "line_bloom")
+    dpath = str(tmp_path / "line_digests")
+    write_line_bloom_table(wave1, bpath, capacity=200)
+    write_line_digest_table(wave1, dpath, mode="overwrite")
+
+    # replaying wave 1 through the bloom probe leaves nothing
+    assert line_dedup_against_path(wave1, bpath, seen_format="bloom").count() == 0
+
+    bloom_out = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in line_dedup_against_path(wave2, bpath, seen_format="bloom").collect()
+    }
+    digest_out = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in line_dedup_against_path(wave2, dpath).collect()
+    }
+    assert bloom_out == digest_out
+    assert set(bloom_out) == {100 + i for i in range(50)}
+    assert all(t == f"fresh content line {k - 100}." for k, (t, _) in bloom_out.items())
+    release_bloom_cache(bpath)
+
+
+def test_line_digest_cache_rotates_on_append(spark, tmp_path):
+    """A wave appending to the line-digest table changes the parquet
+    listing, so the cached broadcast seen-set rotates instead of
+    anti-probing against stale digests (the ADVICE r7 digest-cache rule
+    at line grain)."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup_against_path,
+        release_line_digest_cache,
+        write_line_digest_table,
+    )
+
+    w1 = spark.createDataFrame([(0, "first wave line.")], "doc_id long, text string")
+    w2 = spark.createDataFrame([(1, "second wave line.")], "doc_id long, text string")
+    probe_doc = spark.createDataFrame(
+        [(9, "first wave line.\nsecond wave line.\nstill fresh line.")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ld")
+    write_line_digest_table(w1, path, mode="overwrite")
+    out1 = line_dedup_against_path(probe_doc, path).collect()
+    assert out1[0]["text"] == "second wave line.\nstill fresh line."
+    write_line_digest_table(w2, path, mode="append")
+    out2 = line_dedup_against_path(probe_doc, path).collect()
+    assert out2[0]["text"] == "still fresh line."
+    assert release_line_digest_cache() >= 1
+
+
+def test_line_dedup_against_guards(spark, tmp_path):
+    """Fail-loud surfaces: a seen-set too large to broadcast exactly
+    names the bloom tier; an input already carrying n_lines_kept is a
+    clash; an unknown seen_format raises."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup_against_path,
+        write_line_digest_table,
+    )
+    from pyspark.sql import functions as F
+
+    w1 = spark.createDataFrame(
+        [(i, f"line {i}.") for i in range(5)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "ld")
+    write_line_digest_table(w1, path, mode="overwrite")
+    with _pytest.raises(ValueError, match="bloom"):
+        line_dedup_against_path(w1, path, max_broadcast_digests=2)
+    with _pytest.raises(ValueError, match="n_lines_kept"):
+        line_dedup_against_path(
+            w1.withColumn("n_lines_kept", F.lit(1)), path
+        )
+    with _pytest.raises(ValueError, match="seen_format"):
+        line_dedup_against_path(w1, path, seen_format="nope")
+
+
 def test_importance_weights_target_affinity(spark):
     """DSIR-style importance weighting: docs matching the target
     domain's hashed-token distribution score strictly higher per token

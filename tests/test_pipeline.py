@@ -1107,6 +1107,90 @@ def test_c4_and_line_dedup_on_spec_surface(spark, tmp_path):
         streaming_source_chain(unsafe, "ts", value_is_json=False)(stream)
 
 
+def test_line_dedup_against_on_spec_surface(spark, tmp_path):
+    """line_dedup_against (persisted line-digest probe) is declarable,
+    requires seen_path at PARSE time, and is one row-local Arrow pass
+    -> stream-safe (the dedup_against lifecycle at line grain,
+    VERDICT r9 #3)."""
+    import datetime as dt
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.dedup import write_line_digest_table
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        REQUIRED_DATAOP_PARAMS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "line_dedup_against" in DATAOPS
+    assert "line_dedup_against" in STREAM_SAFE_DATAOPS
+    assert REQUIRED_DATAOP_PARAMS["line_dedup_against"] == ("seen_path",)
+
+    def _doc(cfg):
+        return _json.dumps({
+            "version": "v3", "pipeline_id": "p", "name": "n",
+            "sources": [{"type": "kafka", "source_id": "documents",
+                         "topic": "documents",
+                         "schema_fields": [
+                             {"name": "doc_id", "type": "int64"},
+                             {"name": "text", "type": "string"}]}],
+            "transforms": [{"type": "dataop", "source_id": "documents",
+                            "config": cfg}],
+            "sink": {"type": "clickhouse", "database": "d", "table": "t",
+                     "table_mapping": [
+                         {"source_id": "documents", "column_name": "doc_id",
+                          "field_name": "doc_id", "column_type": "Int64"}]},
+        })
+
+    with _pytest.raises(SpecError, match="seen_path"):
+        parse_pipeline_json(_doc({"op": "line_dedup_against"}))
+
+    seen = str(tmp_path / "seen_lines")
+    write_line_digest_table(
+        spark.createDataFrame(
+            [(0, "the boilerplate line.")], "doc_id long, text string"
+        ),
+        seen,
+        mode="overwrite",
+    )
+    spec = parse_pipeline_json(
+        _doc({"op": "line_dedup_against", "seen_path": seen})
+    )
+    cfg = spec.sources[0].dataops[0]
+    docs = spark.createDataFrame(
+        [(1, "the boilerplate line.\nfresh line."), (2, "the boilerplate line.")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           resolve_dataop(cfg.op)(docs, **cfg.params).collect()}
+    assert out == {1: "fresh line."}
+
+    # assembles into the one streaming chain (mid-chain position)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "ld_stream_in")
+    spark.createDataFrame(
+        [(1, "fresh line.", dt.datetime(2024, 1, 1, 10))], schema
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(op="line_dedup_against", params={"seen_path": seen}),),
+    )
+    out_stream = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out_stream.isStreaming and "n_lines_kept" in out_stream.columns
+
+
 def test_importance_weights_on_spec_surface(spark):
     """importance_weights is declarable, requires target_sources at
     PARSE time, and is corpus-global -> batch-only."""

@@ -1005,3 +1005,108 @@ def test_pq_index_online_serving_parity(spark, tmp_path):
     assert sim._INDEX_CACHES[path] is not entry0
     assert sim.release_index_cache(path) == 1
     assert sim.release_index_cache(path) == 0
+
+
+def test_line_dedup_against_stream_parity_and_wave_lifecycle(spark, tmp_path):
+    """VERDICT r9 #3: streaming line-grain dedup. Wave 1's corpus ->
+    write_line_digest_table; wave 2 streams through the spec chain with
+    the line_dedup_against dataop mid-chain (two parquet files -> two
+    micro-batches, append mode) and lands EXACTLY the batch probe's
+    rows — seen lines dropped, text reassembled, fully-seen docs gone.
+    Then the multi-wave step: append wave 2's digests and probe a
+    wave-3 doc against the accumulated set."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup_against_path,
+        release_line_digest_cache,
+        write_line_digest_table,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    wave1 = spark.createDataFrame(
+        [
+            (0, "cookie banner line.\nalpha unique one."),
+            (1, "nav bar line.\ncookie banner line."),
+        ],
+        "doc_id long, text string",
+    )
+    seen = str(tmp_path / "seen_lines")
+    write_line_digest_table(wave1, seen, mode="overwrite")
+
+    wave2 = spark.createDataFrame(
+        [
+            (10, "cookie banner line.\nwave two fresh line.", ),
+            (11, "nav bar line."),
+            (12, "brand new only.\ncookie banner line.\nsecond new."),
+        ],
+        "doc_id long, text string",
+    )
+    truth = {
+        (r["doc_id"], r["text"], r["n_lines_kept"])
+        for r in line_dedup_against_path(wave2, seen).collect()
+    }
+    assert truth, "batch probe is empty"
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, 10)
+    src = str(tmp_path / "wave2_src")
+    w2rows = wave2.collect()
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], ts) for r in w2rows[:2]], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], ts) for r in w2rows[2:]], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = SourceConfig(
+        source_id="documents",
+        dataops=(
+            DataopConfig(op="line_dedup_against", params={"seen_path": seen}),
+        ),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+        .writeStream.format("memory")
+        .queryName("line_dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ld_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["text"], r["n_lines_kept"])
+        for r in spark.sql("SELECT * FROM line_dedup_stream_out").collect()
+    }
+    assert got == truth
+
+    # wave N survivors feed wave N+1: append wave-2 digests, then a
+    # wave-3 doc made entirely of wave-1 + wave-2 lines vanishes while
+    # its genuinely new line survives
+    write_line_digest_table(wave2, seen, mode="append")
+    wave3 = spark.createDataFrame(
+        [
+            (20, "wave two fresh line.\ncookie banner line."),
+            (21, "wave two fresh line.\nthird wave only line."),
+        ],
+        "doc_id long, text string",
+    )
+    out3 = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_against_path(wave3, seen).collect()
+    }
+    assert out3 == {21: "third wave only line."}
+    release_line_digest_cache()
