@@ -295,6 +295,22 @@ def c4_filters(
         F.length(text_clean) - F.length(_strip_punct(text_clean))
     ).cast("bigint")
     if bad_words:
+        # the matcher tokenizes pages on [^a-z0-9]+ runs, so an entry
+        # containing anything outside [a-z0-9] after case-folding can
+        # NEVER match — fail loud instead of silently carrying an inert
+        # blocklist entry (ADVICE r9; the target_sources convention)
+        inert = [
+            w
+            for w in (str(w).lower() for w in bad_words)
+            if not w or not all("a" <= c <= "z" or "0" <= c <= "9" for c in w)
+        ]
+        if inert:
+            raise ValueError(
+                f"bad_words entries {inert!r} contain characters outside "
+                "[a-z0-9] after case-folding and can never match the "
+                "tokenizer — single alphanumeric words only (multi-word "
+                "phrases need a caller-side regex)"
+            )
         # split on ANY non-alphanumeric run: 'badword.' at sentence
         # end and newline-adjacent occurrences still tokenize clean
         toks = F.array_distinct(
@@ -1319,6 +1335,12 @@ def _iw_score_frame(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # Python str.lower() here vs Spark lower() on the
+            # weight-build path: identical on ASCII, divergent on
+            # locale-sensitive Unicode corners ('İ' etc.) — engine
+            # equality and serve parity are pinned for ASCII corpora
+            # (the classify_against family's documented assumption;
+            # ADVICE r9). Non-ASCII inputs should normalize_text first.
             tok_lists = [
                 [t for t in (x or "").lower().split(" ") if t]
                 for x in pdf[text_col]
@@ -1384,6 +1406,14 @@ def importance_against_path(
 
     Output: input columns + (n_tokens BIGINT, score BIGINT);
     token-less documents drop (as in the batch op)."""
+    # id_col is part of the scored contract (documents carry it into
+    # the output) but the keep-input pass never projects by it — make a
+    # missing/typo'd name fail loud instead of silently no-op (ADVICE
+    # r9, the clash-guard symmetry)
+    if id_col not in df.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in input columns {df.columns}"
+        )
     rows = df.sparkSession.read.parquet(weights_path).collect()
     if not rows:
         raise ValueError(f"empty importance table at {weights_path}")

@@ -6270,6 +6270,14 @@ def docs_line_dedup(spark, sf_dir):
 
 _DSIR_DIM = 256
 _DSIR_TARGETS = ("src0", "src1")
+# explicit IN-list build (ADVICE r9): tuple-repr interpolation would
+# render a single-element tuple as ('x',) — invalid SQL — and break on
+# quote-containing names; assert the names are plain so the f-string
+# quoting below stays sound
+assert all(
+    s.isidentifier() for s in _DSIR_TARGETS
+), "_DSIR_TARGETS must be plain identifiers"
+_DSIR_IN = "(" + ", ".join(f"'{s}'" for s in _DSIR_TARGETS) + ")"
 _DSIR_SQL = f"""
     WITH tok AS (
         SELECT doc_id, source, u.tok
@@ -6290,7 +6298,7 @@ _DSIR_SQL = f"""
     ), bw AS (
         SELECT b,
                CAST(coalesce(sum(f) FILTER (
-                   WHERE source IN {_DSIR_TARGETS!r}), 0) AS BIGINT) AS n_t,
+                   WHERE source IN {_DSIR_IN}), 0) AS BIGINT) AS n_t,
                CAST(sum(f) AS BIGINT) AS n_r
         FROM db GROUP BY b
     ), w AS (
@@ -6783,6 +6791,13 @@ _STALE_SIGNED = frozenset({
     # which pipeline_canonical's impl closure reaches (no behavior
     # change for any registered op — registry additions only):
     "pipeline_canonical",
+    # ADVICE r9 fixes, value-identical for registry inputs: c4_filters
+    # gained the inert-bad_words fail-loud guard (registry entry passes
+    # no bad_words); the DSIR oracle IN-list is built explicitly
+    # (renders to the same SQL string) and the scoring kernel gained
+    # the documented ASCII assumption (comment-only for behavior):
+    "docs_c4_filters",
+    "docs_importance_weights",
 })
 
 

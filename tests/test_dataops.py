@@ -2630,6 +2630,40 @@ def test_c4_filters_battery(spark):
     assert got[91]["r_bad_words"] == 1
     assert got[92]["r_bad_words"] == 0  # newline-adjacent occurrence
 
+    # ADVICE r9: an entry the [a-z0-9]-run tokenizer can never match
+    # (multi-word phrase, punctuation, non-ASCII) fails loud instead of
+    # sitting inert in the blocklist
+    import pytest as _pytest
+
+    for inert in (["two words"], ["bad-word"], ["naïve"], [""]):
+        with _pytest.raises(ValueError, match="bad_words"):
+            c4_filters(
+                spark.createDataFrame([(0, good)], "doc_id long, text string"),
+                bad_words=inert,
+            )
+
+
+def test_importance_against_id_col_fail_loud(spark, tmp_path):
+    """ADVICE r9: a typo'd id_col used to be silently ignored on the
+    keep-input serve path — it now fails loud at plan build."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.text import (
+        importance_against_path,
+        write_importance_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb", "tgt"), (2, "ccc ddd", "raw")],
+        "doc_id long, text string, source string",
+    )
+    path = str(tmp_path / "iw")
+    write_importance_table(docs, path, ["tgt"], dim=64)
+    with _pytest.raises(ValueError, match="id_col"):
+        importance_against_path(docs, path, id_col="document_id")
+    # the valid name still scores
+    assert importance_against_path(docs, path).count() == 2
+
 
 def test_line_dedup_first_occurrence(spark):
     """Corpus line dedup keeps only the globally-first copy of every
