@@ -1352,6 +1352,125 @@ def line_dedup(
     )
 
 
+def sentence_span_dedup(
+    df: DataFrame,
+    span_sentences: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's published FINAL corpus-global stage (Raffel et al. 2020
+    §2.2: "we removed all but one of any three-sentence span occurring
+    more than once in the data set") at its actual SENTENCE-SPAN unit —
+    the missing grain between :func:`span_dedup` (aligned token
+    windows, report-only) and :func:`line_dedup` (whole lines).
+
+    Deterministic semantics (both engines replay it exactly):
+
+    - sentences: split on the terminal marks ``[.!?]``, strip leading/
+      trailing spaces/newlines, drop empties — the same ASCII character
+      classes the C4 battery counts sentences with;
+    - spans: every SLIDING window of ``span_sentences`` consecutive
+      sentences (start positions 0..n-k; docs with fewer sentences
+      contribute none and pass through untouched);
+    - first occurrence: total order ``(doc_id, start)`` over span
+      digests — every later occurrence is a duplicate span;
+    - removal: a sentence is removed iff some duplicate span covers its
+      position; survivors reassemble in original order (joined with
+      newlines — the published pipeline also re-joins the sentence
+      stream). Documents whose every sentence is covered VANISH.
+
+    Scale shape: span construction is ROW-LOCAL (slices of the per-row
+    sentence array — the array is a materialized column, so the lambda
+    cost is O(k) per span, not the r9 ``element_at`` O(n²) trap); then
+    ONE digest-keyed shuffle for the global first-occurrence rank, one
+    groupBy(doc) collapsing covered positions to a per-doc drop-set
+    (bounded by sentences/doc), and ONE join of that doc-grain set back
+    onto the sentence arrays — removal and reassembly are then
+    row-local array ops, no corpus-side (doc, pos) join and no final
+    groupBy. Unlike rn=1 keeps, duplicate DETECTION needs every
+    non-first occurrence individually, so a pathological
+    billion-duplicate span costs its reducer a sort — the same declared
+    shape as :func:`span_dedup`'s report. The sentence frame is derived
+    twice (spans branch + output branch) rather than checkpointed: an
+    in-heap checkpoint of a corpus-scale frame is the documented
+    decade-scale OOM shape, and the re-derivation is one extra columnar
+    scan. Batch-only (corpus-global); the cross-wave streaming analogue
+    is the digest lifecycle at span grain (write the span digests,
+    probe like :func:`line_dedup_against_path`).
+
+    Output: (id, n_sentences, n_sentences_kept, text_dedup).
+    """
+    from pyspark.sql import Window
+
+    if span_sentences < 1:
+        raise ValueError("span_sentences must be >= 1")
+    df = scale_out(df)
+    sep = "\x1f"  # sentences contain no control characters
+    raw = F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]")
+    trimmed = F.transform(
+        raw, lambda s: F.regexp_replace(s, "^[ \\n]+|[ \\n]+$", "")
+    )
+    sents = F.filter(trimmed, lambda s: F.length(s) > 0)
+    d = df.select(F.col(id_col), sents.alias("_sents"))
+    n = F.size("_sents")
+    starts = F.when(
+        n >= span_sentences, F.sequence(F.lit(0), n - span_sentences)
+    ).otherwise(F.array().cast("array<int>"))
+    span_structs = F.transform(
+        starts,
+        lambda j: F.struct(
+            j.alias("start"),
+            F.array_join(
+                F.slice(F.col("_sents"), j + 1, span_sentences), sep
+            ).alias("span"),
+        ),
+    )
+    spans = d.select(id_col, F.explode(span_structs).alias("_sp")).select(
+        id_col,
+        F.col("_sp.start").alias("start"),
+        F.md5(F.col("_sp.span")).alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy(id_col, "start")
+    dup_spans = spans.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") > 1
+    )
+    # per-doc covered-position set: overlapping duplicate spans collapse
+    # under collect_set, and the join back is doc-grain (one row/doc)
+    drops = (
+        dup_spans.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("start"), F.col("start") + (span_sentences - 1)
+                )
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_drop_pos"))
+    )
+    joined = d.filter(n > 0).join(drops, id_col, "left")
+    dropset = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.zip_with(
+            F.col("_sents"),
+            F.sequence(F.lit(0), F.size("_sents") - 1),
+            lambda s, i: F.struct(i.alias("pos"), s.alias("sent")),
+        ),
+        lambda st: ~F.array_contains(dropset, st["pos"]),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size("_sents").cast("bigint").alias("n_sentences"),
+            F.size(kept).cast("bigint").alias("n_sentences_kept"),
+            F.array_join(
+                F.transform(kept, lambda st: st["sent"]), "\n"
+            ).alias("text_dedup"),
+        )
+        .filter(F.col("n_sentences_kept") > 0)
+    )
+
+
 def _distinct_lines(df: DataFrame, text_col: str) -> DataFrame:
     """The DISTINCT non-empty lines of a document frame (one ``line``
     column) — the line-grain seen-set both artifact writers share.

@@ -115,7 +115,7 @@ DATAOPS = frozenset({
     "trained_classifier", "cluster_sample", "classify_against",
     "ann_serve", "gopher_rules", "temperature_mixture",
     "c4_filters", "line_dedup", "importance_weights",
-    "importance_against", "line_dedup_against",
+    "importance_against", "line_dedup_against", "sentence_span_dedup",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -175,12 +175,16 @@ REQUIRED_DATAOP_PARAMS = {
 # split is write_importance_table → importance_against (a persisted
 # dim-bounded table scored in one row-local Arrow pass — stream-safe,
 # the classify_against pattern).
+# sentence_span_dedup (C4's final three-sentence-span removal) needs
+# the corpus-global first-occurrence order like line_dedup — batch-only
+# (its cross-wave streaming analogue is the digest lifecycle at span
+# grain).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
     "hash_embedding", "trained_classifier", "cluster_sample",
     "ann_serve", "temperature_mixture", "line_dedup",
-    "importance_weights",
+    "importance_weights", "sentence_span_dedup",
 }
 
 
@@ -199,6 +203,7 @@ def resolve_dataop(op: str):
         exact_dedup_keep,
         line_dedup,
         line_dedup_against_path,
+        sentence_span_dedup,
         simhash,
         span_dedup,
     )
@@ -308,6 +313,7 @@ def resolve_dataop(op: str):
         "c4_filters": c4_filters,
         "line_dedup": line_dedup,
         "line_dedup_against": line_dedup_against_path,
+        "sentence_span_dedup": sentence_span_dedup,
         "importance_weights": importance_weights,
         "importance_against": importance_against_path,
     }

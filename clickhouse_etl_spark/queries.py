@@ -6268,6 +6268,74 @@ def docs_line_dedup(spark, sf_dir):
     return line_dedup(_lineated_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+_SENT_SPAN_K = 3
+_SENT_SPAN_SQL = "WITH " + _LINEATE_CTE + f""", d AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   string_split_regex(coalesce(text, ''), '[.!?]'),
+                   s -> regexp_replace(s, '^[ \n]+|[ \n]+$', '', 'g')),
+                   s -> s != '') AS sents
+        FROM lt
+    ), sp AS (
+        SELECT doc_id, t.j AS start,
+               md5(array_to_string(
+                   list_slice(sents, t.j + 1, t.j + {_SENT_SPAN_K}),
+                   chr(31))) AS h
+        FROM d, LATERAL unnest(
+            generate_series(0, len(sents) - {_SENT_SPAN_K})) AS t(j)
+    ), rk AS (
+        SELECT doc_id, start,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, start) AS rn
+        FROM sp
+    ), dp AS (
+        SELECT DISTINCT doc_id, t.p AS pos
+        FROM rk, LATERAL unnest(
+            generate_series(start, start + {_SENT_SPAN_K - 1})) AS t(p)
+        WHERE rn > 1
+    ), sr AS (
+        SELECT doc_id, t.i - 1 AS pos, sents[t.i] AS sent
+        FROM d, LATERAL unnest(generate_series(1, len(sents))) AS t(i)
+    ), tot AS (
+        SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences
+        FROM d WHERE len(sents) > 0
+    )
+    SELECT sr.doc_id,
+           tot.n_sentences,
+           CAST(count(*) AS BIGINT) AS n_sentences_kept,
+           string_agg(sr.sent, chr(10) ORDER BY sr.pos) AS text_dedup
+    FROM sr JOIN tot ON sr.doc_id = tot.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM dp
+                      WHERE dp.doc_id = sr.doc_id AND dp.pos = sr.pos)
+    GROUP BY sr.doc_id, tot.n_sentences
+    ORDER BY sr.doc_id
+"""
+
+
+@q("docs_sentence_span_dedup", _SENT_SPAN_SQL, "bench")
+def docs_sentence_span_dedup(spark, sf_dir):
+    """C4's published FINAL corpus-global stage at its actual unit
+    (dataops/dedup.sentence_span_dedup; Raffel et al. 2020 §2.2 —
+    "removed all but one of any three-sentence span occurring more
+    than once"): sliding three-sentence spans over the deterministic
+    sentence split ([.!?] + trim), global first-occurrence by
+    (doc_id, start), covered sentences removed, survivors reassembled.
+    Completes the dedup-grain ladder: token spans (docs_span_dedup) →
+    lines (docs_line_dedup) → sentence spans (this) → whole documents.
+    Runs over the lineated view (see docs_c4_filters) so sentence
+    structure and cross-document span repetition are real. One
+    digest-keyed shuffle + one (doc, pos) anti-join + one reassembly;
+    span construction is row-local array slicing. Oracle: identical
+    slice/window/anti-join pipeline in DuckDB — exact string equality
+    end to end.
+    """
+    from .dataops.dedup import sentence_span_dedup
+
+    return sentence_span_dedup(
+        _lineated_docs(spark, sf_dir), span_sentences=_SENT_SPAN_K
+    ).orderBy("doc_id")
+
+
 _DSIR_DIM = 256
 _DSIR_TARGETS = ("src0", "src1")
 # explicit IN-list build (ADVICE r9): tuple-repr interpolation would

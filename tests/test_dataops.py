@@ -2697,6 +2697,42 @@ def test_line_dedup_first_occurrence(spark):
     assert out[4]["text_dedup"] == "first kept.\nsecond kept."
 
 
+def test_sentence_span_dedup_published_semantics(spark):
+    """C4's final stage at its published unit (Raffel 2020 §2.2): any
+    THREE-SENTENCE span occurring more than once keeps its first
+    occurrence only; covered sentences drop, short docs pass through,
+    fully-covered docs vanish (r10: dataops/dedup.sentence_span_dedup)."""
+    from clickhouse_etl_spark.dataops.dedup import sentence_span_dedup
+
+    docs = [
+        (0, "alpha one. beta two. gamma three. delta four."),
+        # repeats doc 0's first three sentences -> they drop here
+        (1, "alpha one. beta two. gamma three. epsilon five."),
+        # within-doc repetition: the second and third XYZ copies drop
+        (2, "xx one. yy two. zz three. " * 3),
+        # entirely one duplicated span -> vanishes
+        (3, "alpha one. beta two. gamma three."),
+        # fewer sentences than the span -> untouched
+        (4, "short one. short two."),
+        (5, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in sentence_span_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 4}
+    assert out[0]["n_sentences"] == 4 and out[0]["n_sentences_kept"] == 4
+    assert out[0]["text_dedup"] == "alpha one\nbeta two\ngamma three\ndelta four"
+    assert out[1]["n_sentences_kept"] == 1
+    assert out[1]["text_dedup"] == "epsilon five"
+    assert out[2]["n_sentences"] == 9 and out[2]["n_sentences_kept"] == 3
+    assert out[2]["text_dedup"] == "xx one\nyy two\nzz three"
+    assert out[4]["n_sentences_kept"] == 2
+    assert out[4]["text_dedup"] == "short one\nshort two"
+
+
 def test_line_dedup_against_lifecycle(spark, tmp_path):
     """The line-grain cross-wave lifecycle (VERDICT r9 #3): wave 1 ->
     write_line_digest_table -> wave 2 probes it via
