@@ -6104,10 +6104,10 @@ _LINEATE_CTE = """w AS (
         FROM w
     )"""
 
-def _lineated_docs(spark, sf_dir):
-    """Spark half of the lineation view (see ``_LINEATE_CTE``): the
-    same word-position-keyed sentence/line/marker structure, built
-    with the same integer arithmetic.
+def _lineate_expr():
+    """The lineated-text Column (see ``_LINEATE_CTE``): the same
+    word-position-keyed sentence/line/marker structure over ``text``,
+    built with the same integer arithmetic in both engines.
 
     ``zip_with(words, 1..n, ...)`` hands each lambda call the word
     VALUE — an ``element_at(words, i)`` form would embed the whole
@@ -6140,12 +6140,17 @@ def _lineated_docs(spark, sf_dir):
             .otherwise(F.lit(" "))
         )
 
-    lined = F.array_join(
+    return F.array_join(
         F.zip_with(words, seq, lambda w, i: F.concat(_tok(w, i), _sfx(i))),
         "",
     )
+
+
+def _lineated_docs(spark, sf_dir):
+    """Spark half of the lineation view: documents with ``text``
+    replaced by :func:`_lineate_expr`."""
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", lined.alias("text")
+        "doc_id", _lineate_expr().alias("text")
     )
 
 
@@ -6404,6 +6409,267 @@ def docs_importance_weights(spark, sf_dir):
         target_sources=list(_DSIR_TARGETS),
         dim=_DSIR_DIM,
     ).orderBy("doc_id")
+
+
+_CURATION_V5_SQL = "WITH " + _LINEATE_CTE + f""", gd AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(coalesce(text, '')), ' '),
+                           t -> t != '') AS toks,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                           l -> l != '') AS lines
+        FROM documents
+    ), gc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, t -> length(t))),
+                             0) AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(toks,
+                        t -> contains(t, '#') OR contains(t, '...')))
+                    AS BIGINT) AS n_symbol_words,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        l -> substr(l, 1, 2) IN ('- ', '* ')))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(lines,
+                        l -> length(l) >= 3
+                             AND substr(l, length(l) - 2, 3) = '...'))
+                    AS BIGINT) AS n_ellipsis_lines,
+               CAST(len(list_intersect(toks,
+                        ['the','a','is','of','and','to','in','that','it',
+                         'for'])) AS BIGINT) AS n_req_stops
+        FROM gd
+    ), gop AS (
+        SELECT doc_id FROM gc
+        WHERE n_words BETWEEN 50 AND 100000
+          AND n_words > 0 AND sum_word_len >= 3 * n_words
+          AND sum_word_len <= 10 * n_words
+          AND 10 * n_symbol_words <= n_words
+          AND 10 * n_bullet_lines <= 9 * n_lines
+          AND 10 * n_ellipsis_lines <= 3 * n_lines
+          AND 5 * n_alpha_words >= 4 * n_words
+          AND n_req_stops >= 2
+    ), ling AS (
+        SELECT lt.doc_id, d.source, coalesce(lt.text, '') AS t
+        FROM lt JOIN gop USING (doc_id) JOIN documents d USING (doc_id)
+    ), cc AS (
+        SELECT doc_id, source, t,
+               coalesce(array_to_string(list_filter(
+                   string_split(t, chr(10)),
+                   l -> substr(l, length(l), 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(string_split(lower(l), ' '),
+                                            w -> w != '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')),
+                   chr(10)), '') AS text_clean
+        FROM ling
+    ), c4s AS (
+        SELECT doc_id, source, text_clean
+        FROM cc
+        WHERE CAST(length(text_clean)
+                   - length(replace(replace(replace(text_clean, '.', ''),
+                                            '!', ''), '?', ''))
+                   AS BIGINT) >= 3
+          AND NOT contains(lower(t), 'lorem ipsum')
+          AND NOT contains(t, '{{')
+    ), ll AS (
+        SELECT doc_id, t.i AS pos, lines[t.i] AS line
+        FROM (SELECT doc_id, string_split(text_clean, chr(10)) AS lines
+              FROM c4s) x,
+             LATERAL unnest(generate_series(1, len(lines))) AS t(i)
+        WHERE lines[t.i] != ''
+    ), lk AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, pos) AS rn
+        FROM ll
+    ), ldd AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM lk WHERE rn = 1 GROUP BY doc_id
+    ), ldf AS (
+        SELECT l.doc_id, c.source, l.text_dedup AS text
+        FROM ldd l JOIN c4s c USING (doc_id)
+    ), tok AS (
+        SELECT doc_id, source, u.tok
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split(lower(coalesce(text, '')),
+                                              ' '), t -> t != '') AS toks
+              FROM ldf) d2,
+             LATERAL unnest(d2.toks) AS u(tok)
+    ), vb AS (
+        SELECT tok,
+               CAST({char_fold_hash_sql('tok')} % {_DSIR_DIM} AS INTEGER)
+                   AS b
+        FROM (SELECT DISTINCT tok FROM tok)
+    ), db AS (
+        SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS f
+        FROM tok JOIN vb USING (tok)
+        GROUP BY doc_id, source, b
+    ), bw AS (
+        SELECT b,
+               CAST(coalesce(sum(f) FILTER (
+                   WHERE source IN {_DSIR_IN}), 0) AS BIGINT) AS n_t,
+               CAST(sum(f) AS BIGINT) AS n_r
+        FROM db GROUP BY b
+    ), wt AS (
+        SELECT b,
+               CAST((CAST(n_t + 1 AS HUGEINT) * 1048576)
+                    // CAST(n_r + 1 AS HUGEINT) AS BIGINT) AS wt
+        FROM bw
+    ), sc AS (
+        SELECT db.doc_id, db.source,
+               CAST(sum(db.f) AS BIGINT) AS n_tokens,
+               CAST(sum(db.f * wt.wt) AS BIGINT) AS score
+        FROM db JOIN wt USING (b)
+        GROUP BY db.doc_id, db.source
+    ), aff AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(score // n_tokens AS BIGINT) AS affinity
+        FROM sc
+    ), th AS (
+        SELECT quantile_cont(affinity, 0.5) AS t FROM aff
+    ), kept AS (
+        SELECT a.* FROM aff a, th
+        WHERE CAST(a.affinity AS DOUBLE) >= th.t
+    ), raw_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        FROM documents GROUP BY source
+    ), gop_roll AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_gopher
+        FROM gop JOIN documents d USING (doc_id) GROUP BY d.source
+    ), c4_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_c4
+        FROM c4s GROUP BY source
+    ), line_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_line
+        FROM ldf GROUP BY source
+    ), kept_roll AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+               CAST(sum(affinity) AS BIGINT) AS aff_sum
+        FROM kept GROUP BY source
+    )
+    SELECT r.source, r.n_raw,
+           CAST(COALESCE(g.n_gopher, 0) AS BIGINT) AS n_gopher,
+           CAST(COALESCE(c.n_c4, 0) AS BIGINT) AS n_c4,
+           CAST(COALESCE(l.n_line, 0) AS BIGINT) AS n_line,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(k.aff_sum, 0) AS BIGINT) AS aff_sum
+    FROM raw_roll r
+    LEFT JOIN gop_roll g ON r.source = g.source
+    LEFT JOIN c4_roll c ON r.source = c.source
+    LEFT JOIN line_roll l ON r.source = l.source
+    LEFT JOIN kept_roll k ON r.source = k.source
+    ORDER BY r.source
+"""
+
+
+@q("docs_curation_v5", _CURATION_V5_SQL, "bench")
+def docs_curation_v5(spark, sf_dir):
+    """r10 flagship: the FULL published-battery curation chain composed
+    from the r9/r10 wave, oracle-backed END TO END (VERDICT r9 #6):
+
+    1. ``gopher_rules`` document gate over the raw corpus (the
+       published Rae-2021 battery; engine-stopword parameterization as
+       in docs_gopher_rules);
+    2. lineation of the survivors (the deterministic sentence/line
+       structure both engines derive identically — see
+       docs_c4_filters) then the ``c4_filters`` page gate, carrying
+       the line-cleaned ``text_clean`` forward;
+    3. corpus-level ``line_dedup`` over the cleaned text (boilerplate
+       lines drop at their first corpus occurrence);
+    4. DSIR ``importance_weights`` over the deduped text (add-one
+       smoothed 2^20 fixed-point target/raw ratios, src0+src1 as the
+       target domain) with a ``percentile_threshold_gate`` on the
+       PER-TOKEN affinity ``score div n_tokens`` (integer floor-div,
+       keep-top-half, keep-all-ties — raw scores would select for
+       length, not affinity);
+    5. per-source rollup with stage attrition (raw → gopher → c4 →
+       line-dedup → kept), kept-token totals, and the exact BIGINT
+       affinity sum.
+
+    Scale shape: every stage keeps its standalone entry's shape (rule
+    batteries ride the scan; line dedup is the WindowGroupLimit-bounded
+    line shuffle; the DSIR build aggregates straight to bucket grain
+    and scores row-locally). The three multi-consumer frames (gopher
+    survivors, c4 survivors, line-deduped corpus) are localCheckpointed
+    — bounded survivor sets at registry SFs; a production run at
+    corpus scale swaps the checkpoints for the parquet-spill pattern
+    (write_classifier_table lesson).
+    """
+    from .dataops.dedup import line_dedup
+    from .dataops.text import (
+        STOPWORDS,
+        c4_filters,
+        gopher_rules,
+        importance_weights,
+        percentile_threshold_gate,
+    )
+    from .dataops.util import scale_out
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    g = (
+        gopher_rules(docs, required_stops=STOPWORDS["en"])
+        .filter(F.col("pass_gopher") == 1)
+        .select("doc_id", "source", "text")
+    )
+    g = scale_out(g).localCheckpoint()
+    lin = g.select("doc_id", "source", _lineate_expr().alias("text"))
+    c = (
+        c4_filters(lin)
+        .filter(F.col("pass_c4") == 1)
+        .select("doc_id", "source", F.col("text_clean").alias("text"))
+    )
+    c = scale_out(c).localCheckpoint()
+    ld = line_dedup(c)
+    ldf = ld.join(c.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", F.col("text_dedup").alias("text")
+    )
+    ldf = scale_out(ldf).localCheckpoint()
+    iw = importance_weights(
+        ldf, target_sources=list(_DSIR_TARGETS), dim=_DSIR_DIM
+    )
+    scored = iw.join(ldf.select("doc_id", "source"), "doc_id")
+    aff = scored.withColumn(
+        "affinity", F.expr("score div n_tokens").cast("bigint")
+    )
+    kept = percentile_threshold_gate(aff, "affinity", 0.5, scale=1.0)
+    raw_roll = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_raw")
+    )
+    gop_roll = g.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_gopher")
+    )
+    c4_roll = c.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_c4")
+    )
+    line_roll = ldf.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_line")
+    )
+    kept_roll = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.sum("affinity").cast("bigint").alias("aff_sum"),
+    )
+    return (
+        raw_roll.join(gop_roll, "source", "left")
+        .join(c4_roll, "source", "left")
+        .join(line_roll, "source", "left")
+        .join(kept_roll, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_gopher", F.lit(0)).cast("bigint").alias("n_gopher"),
+            F.coalesce("n_c4", F.lit(0)).cast("bigint").alias("n_c4"),
+            F.coalesce("n_line", F.lit(0)).cast("bigint").alias("n_line"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.coalesce("aff_sum", F.lit(0)).cast("bigint").alias("aff_sum"),
+        )
+        .orderBy("source")
+    )
 
 
 _TEMP_MIX_SQL = f"""
@@ -6866,6 +7132,9 @@ _STALE_SIGNED = frozenset({
     # the documented ASCII assumption (comment-only for behavior):
     "docs_c4_filters",
     "docs_importance_weights",
+    # _lineated_docs refactored to share _lineate_expr with the v5
+    # flagship (expression tree unchanged — output identical):
+    "docs_line_dedup",
 })
 
 
