@@ -838,15 +838,18 @@ def section_r8(spark) -> None:
     # the windowed-dedup ratio above ~1 is the per-partition sort's
     # n·log n at a FIXED partition count (10x rows into the same 32
     # shuffle partitions); production sizes shuffle partitions to the
-    # data — demonstrate the fix, same JVM
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "256")
-    dt = _best2(dedup_windowed(ev_big, "user_id", "ts", 3600, ["event_id"]))
-    print(
-        f"dedup_windowed[shuffle.partitions=256]: {dt:.1f}s "
-        f"({n_ev_b/dt/1e6:.1f}M rows/s)"
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # data — demonstrate the fix with the encoded rule (VERDICT r9 #7),
+    # same JVM
+    from clickhouse_etl_spark.dataops.util import sized_shuffle
+
+    with sized_shuffle(spark, n_ev_b) as parts:
+        dt = _best2(
+            dedup_windowed(ev_big, "user_id", "ts", 3600, ["event_id"])
+        )
+        print(
+            f"dedup_windowed[shuffle.partitions={parts}]: {dt:.1f}s "
+            f"({n_ev_b/dt/1e6:.1f}M rows/s)"
+        )
 
     _pair(
         "exact_dedup",
@@ -903,10 +906,15 @@ def section_r8b(spark) -> None:
     and no parquet scan; what remains is exactly the part that decides
     100-TB behavior — codegen throughput, partial aggregation, and the
     full-corpus shuffle. Shuffle partitions are sized to the data
-    (1024) per the section_r8 partition-sizing rule; the windowed dedup
-    shuffles the full ~30 GB row payload through /dev/shm."""
+    via shuffle_partitions_for (the encoded section_r8 rule); the
+    windowed dedup shuffles the full ~30 GB row payload through
+    /dev/shm."""
+    from clickhouse_etl_spark.dataops.util import shuffle_partitions_for
+
     n = 1_000_000_000
-    spark.conf.set("spark.sql.shuffle.partitions", "1024")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions_for(n))
+    )
     ev = spark.range(n).select(
         F.col("id").alias("event_id"),
         (F.col("id") % 10_000_000).alias("user_id"),
@@ -1035,9 +1043,17 @@ def section_r9(spark) -> None:
     from clickhouse_etl_spark.streaming.curation import curation_scored_stream
 
     d1, d10 = _decade_docs(spark)
-    # shuffle partitions sized to the data (the section_r8 rule): the
-    # exact-dedup digest shuffle moves ~10x the rows
-    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    # shuffle partitions sized to the data (the encoded section_r8
+    # rule): the exact-dedup digest shuffle moves ~10x the rows, and
+    # document rows are ~10x heavier than event rows, so the per-
+    # partition target drops accordingly (10M docs at 256 partitions
+    # is the measured-healthy r9 configuration)
+    from clickhouse_etl_spark.dataops.util import shuffle_partitions_for
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions_for(10_000_000, target_rows_per_partition=40_000)),
+    )
     _pair = _decade_pair
 
     _pair("exact_dedup", exact_dedup(d1), exact_dedup(d10))
@@ -1110,7 +1126,14 @@ def section_r9b(spark) -> None:
     )
 
     d1, d10 = _decade_docs(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    from clickhouse_etl_spark.dataops.util import shuffle_partitions_for
+
+    # fat document rows: the same 40k-docs/partition target as
+    # section_r9 (10M docs -> 256 partitions, measured healthy)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions_for(10_000_000, target_rows_per_partition=40_000)),
+    )
     _pair = _decade_pair
 
     # the dim-bounded weight table is collected at plan build (the

@@ -2997,3 +2997,31 @@ def test_importance_table_serve_parity(spark, tmp_path):
         )  # already carries n_tokens/score
     with _pytest.raises(Exception):
         importance_against_path(df, str(tmp_path / "missing"))
+
+
+def test_shuffle_partitions_for_rule(spark):
+    """VERDICT r9 #7: the partition-sizing rule is encoded — measured
+    anchors (100M events -> 256, 1B -> 2048, 10M fat docs at the 40k
+    target -> 256), clamps, power-of-two rounding, and the restore
+    semantics of the sized_shuffle context manager."""
+    from clickhouse_etl_spark.dataops.util import (
+        shuffle_partitions_for,
+        sized_shuffle,
+    )
+
+    assert shuffle_partitions_for(10_000_000) == 32  # min clamp
+    assert shuffle_partitions_for(100_000_000) == 256
+    assert shuffle_partitions_for(1_000_000_000) == 2048
+    assert shuffle_partitions_for(
+        10_000_000, target_rows_per_partition=40_000
+    ) == 256
+    assert shuffle_partitions_for(0) == 32
+    assert shuffle_partitions_for(10**13) == 8192  # max clamp
+    # power-of-two rounding keeps hash partitioning even
+    assert shuffle_partitions_for(150_000_000) == 512
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with sized_shuffle(spark, 100_000_000) as parts:
+        assert parts == 256
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "256"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
