@@ -1299,26 +1299,31 @@ def _iw_score_frame(
     text_col: str,
     id_col: str,
     keep_input: bool,
+    tokens_col: str = "n_tokens",
+    score_col: str = "score",
 ) -> DataFrame:
     """One row-local Arrow pass scoring ``df`` with :func:`_iw_kernel`.
     ``keep_input=False`` emits the compact (id, n_tokens, score) frame
     (the importance_weights contract); ``keep_input=True`` appends the
     two columns to every input column (the classify_against contract,
-    what a streaming chain wants)."""
+    what a streaming chain wants — ``tokens_col``/``score_col`` rename
+    them so the stage composes next to other scorers that already own
+    the default names)."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     added = [
-        T.StructField("n_tokens", T.LongType(), True),
-        T.StructField("score", T.LongType(), True),
+        T.StructField(tokens_col, T.LongType(), True),
+        T.StructField(score_col, T.LongType(), True),
     ]
     if keep_input:
-        clash = {"n_tokens", "score"} & set(df.columns)
+        clash = {tokens_col, score_col} & set(df.columns)
         if clash:
             raise ValueError(
                 f"input already carries {sorted(clash)} — rename those "
-                "columns before scoring (the op appends n_tokens/score)"
+                "columns before scoring (the op appends "
+                f"{tokens_col}/{score_col})"
             )
         schema = T.StructType(list(df.schema.fields) + added)
         out_cols = [f.name for f in df.schema.fields]
@@ -1350,8 +1355,8 @@ def _iw_score_frame(
                 continue  # token-less docs drop, as in the catalyst form
             n_toks, scores = score([tok_lists[i] for i in keep])
             out = pdf.iloc[keep][out_cols].copy()
-            out["n_tokens"] = np.asarray(n_toks, dtype=np.int64)
-            out["score"] = np.asarray(scores, dtype=np.int64)
+            out[tokens_col] = np.asarray(n_toks, dtype=np.int64)
+            out[score_col] = np.asarray(scores, dtype=np.int64)
             yield out
 
     return df.mapInPandas(score_batches, schema)
@@ -1393,6 +1398,8 @@ def importance_against_path(
     weights_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    score_col: str = "score",
 ) -> DataFrame:
     """Score documents against a persisted importance table
     (:func:`write_importance_table`) — the ONLINE half: one row-local
@@ -1414,7 +1421,18 @@ def importance_against_path(
         raise ValueError(
             f"id_col {id_col!r} not in input columns {df.columns}"
         )
-    rows = df.sparkSession.read.parquet(weights_path).collect()
+    dim, wt_map = _load_importance(df.sparkSession, weights_path)
+    return _iw_score_frame(
+        df, dim, wt_map, text_col, id_col, keep_input=True,
+        tokens_col=tokens_col, score_col=score_col,
+    )
+
+
+def _load_importance(spark, weights_path: str):
+    """(dim, bucket→wt dict) for a :func:`write_importance_table`
+    artifact — the ONE loader :func:`importance_against_path` and the
+    fused curation pass (streaming/curation.py) share."""
+    rows = spark.read.parquet(weights_path).collect()
     if not rows:
         raise ValueError(f"empty importance table at {weights_path}")
     dims = {r["dim"] for r in rows}
@@ -1422,10 +1440,7 @@ def importance_against_path(
         raise ValueError(
             f"importance table at {weights_path} mixes dims {sorted(dims)}"
         )
-    wt_map = {r["bucket"]: r["wt"] for r in rows}
-    return _iw_score_frame(
-        df, dims.pop(), wt_map, text_col, id_col, keep_input=True
-    )
+    return dims.pop(), {r["bucket"]: r["wt"] for r in rows}
 
 
 def hash_embedding(

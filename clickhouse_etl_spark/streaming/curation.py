@@ -43,22 +43,28 @@ def curation_scored_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "fused",
+    importance_path: "str | None" = None,
 ) -> DataFrame:
-    """The row-local 3-stage body (normalize → bloom dedup → classifier
-    scoring) without the rollup — input columns plus ``text_norm``,
-    ``n_tokens_raw``, ``n_tokens_norm``, ``score``, ``pred``. Dedup and
-    scoring run on the CANONICAL text (the curation_v4 ordering:
-    normalize first so case/punctuation variants collapse before the
-    seen-set probe). Stream-safe under append mode; also valid on a
-    batch frame (same plan).
+    """The row-local curation body (normalize → bloom dedup →
+    classifier scoring, plus OPTIONAL DSIR importance scoring) without
+    the rollup — input columns plus ``text_norm``, ``n_tokens_raw``,
+    ``n_tokens_norm``, ``score``, ``pred`` (and ``iw_tokens``/
+    ``iw_score`` when ``importance_path`` names a
+    ``write_importance_table`` artifact — the train-offline/
+    score-online importance split composing into the ONE StreamingQuery
+    next to the bloom probe and the classifier, VERDICT r9 #8). Dedup
+    and all scoring run on the CANONICAL text (the curation_v4
+    ordering: normalize first so case/punctuation variants collapse
+    before the seen-set probe). Stream-safe under append mode; also
+    valid on a batch frame (same plan).
 
-    ``engine="staged"`` composes the three tested dataops — three Arrow
-    ``mapInPandas`` passes, each paying a serialize/deserialize
+    ``engine="staged"`` composes the tested dataops — one Arrow
+    ``mapInPandas`` pass per stage, each paying a serialize/deserialize
     boundary per micro-batch. ``engine="fused"`` replays the identical
-    per-row logic in ONE pass (the broadcast bloom bitmap and the
-    dim-bounded weight dict both sit in the task closure anyway), so
-    the corpus crosses the Arrow boundary once — row-identical output
-    (equality-pinned in tests) at a third of the boundary cost.
+    per-row logic in ONE pass (bloom bitmap, classifier weights, and
+    importance dict all sit in the task closure anyway), so the corpus
+    crosses the Arrow boundary once — row-identical output
+    (equality-pinned in tests) at a fraction of the boundary cost.
     Measured in-chain (streaming_bench, 100k docs): fused 22.1k vs
     staged 17.0k docs/s end-to-end — fused is the default; staged is
     the composition-of-tested-ops reference form.
@@ -66,9 +72,10 @@ def curation_scored_stream(
     # the clash guard applies to BOTH engines (ADVICE r8: staged's
     # normalize_text would silently overwrite a pre-existing
     # text_norm/n_tokens_* column, diverging from fused's rejection)
-    clash = {"text_norm", "n_tokens_raw", "n_tokens_norm", "score", "pred"} & set(
-        docs.columns
-    )
+    guarded = {"text_norm", "n_tokens_raw", "n_tokens_norm", "score", "pred"}
+    if importance_path is not None:
+        guarded |= {"iw_tokens", "iw_score"}
+    clash = guarded & set(docs.columns)
     if clash:
         raise ValueError(
             f"input already carries {sorted(clash)} — rename those "
@@ -76,7 +83,11 @@ def curation_scored_stream(
         )
     if engine == "staged":
         from ..dataops.dedup import dedup_against_bloom_path
-        from ..dataops.text import classify_against_path, normalize_text
+        from ..dataops.text import (
+            classify_against_path,
+            importance_against_path,
+            normalize_text,
+        )
 
         normed = normalize_text(docs, text_col=text_col, id_col=id_col)
         # the PROBE half only (not dedup_against_path, whose batch form
@@ -87,9 +98,15 @@ def curation_scored_stream(
         fresh = dedup_against_bloom_path(
             normed, bloom_path, text_col="text_norm", id_col=id_col
         )
-        return classify_against_path(
+        scored = classify_against_path(
             fresh, weights_path, text_col="text_norm", id_col=id_col
         )
+        if importance_path is not None:
+            scored = importance_against_path(
+                scored, importance_path, text_col="text_norm",
+                id_col=id_col, tokens_col="iw_tokens", score_col="iw_score",
+            )
+        return scored
     if engine != "fused":
         raise ValueError(f"unknown engine {engine!r}: staged|fused")
 
@@ -97,12 +114,23 @@ def curation_scored_stream(
     from pyspark.sql import types as T
 
     from ..dataops.dedup import _bloom_broadcast, _bloom_probe_kernel
-    from ..dataops.text import _load_classifier, _normalize_kernel, _score_kernel
+    from ..dataops.text import (
+        _iw_kernel,
+        _load_classifier,
+        _load_importance,
+        _normalize_kernel,
+        _score_kernel,
+    )
     from ..dataops.util import scale_out
 
     spark = docs.sparkSession
     bc_words, m, k, n_shards = _bloom_broadcast(spark, bloom_path)
     dim, s_sum, n_tr, wt = _load_classifier(spark, weights_path)
+    iw = (
+        _load_importance(spark, importance_path)
+        if importance_path is not None
+        else None
+    )
     in_cols = [f.name for f in docs.schema.fields]
     schema = T.StructType(
         list(docs.schema.fields)
@@ -113,16 +141,25 @@ def curation_scored_stream(
             T.StructField("score", T.LongType(), True),
             T.StructField("pred", T.IntegerType(), True),
         ]
+        + (
+            [
+                T.StructField("iw_tokens", T.LongType(), True),
+                T.StructField("iw_score", T.LongType(), True),
+            ]
+            if iw is not None
+            else []
+        )
     )
     tcol = text_col
 
-    # the fused pass COMPOSES the three ops' shared row-local kernels —
-    # the single definitions their staged forms run — so a semantic
-    # change to any stage reaches both engines by construction
+    # the fused pass COMPOSES the ops' shared row-local kernels — the
+    # single definitions their staged forms run — so a semantic change
+    # to any stage reaches both engines by construction
     def fused(batches):
         norm = _normalize_kernel()
         seen = _bloom_probe_kernel(bc_words.value, m, k, n_shards)
         score = _score_kernel(dim, wt, s_sum, n_tr)
+        iw_score = _iw_kernel(iw[0], iw[1]) if iw is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -157,6 +194,13 @@ def curation_scored_stream(
             ).values
             out["score"] = pd.Series(scores, dtype="int64").values
             out["pred"] = pd.Series(preds, dtype="int32").values
+            if iw_score is not None:
+                # pass 3 (vectorized importance scorer) over the SAME
+                # token lists the classifier consumed — identical to
+                # the staged importance_against_path on text_norm
+                iw_toks, iw_scores = iw_score([tok_lists[j] for j in sel])
+                out["iw_tokens"] = pd.Series(iw_toks, dtype="int64").values
+                out["iw_score"] = pd.Series(iw_scores, dtype="int64").values
             yield out
 
     return scale_out(docs).mapInPandas(fused, schema)
@@ -172,34 +216,38 @@ def curation_rollup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     engine: str = "fused",
+    importance_path: "str | None" = None,
 ) -> DataFrame:
     """The full curation chain as ONE streaming frame: scored survivors
     rolled up per (tumbling window, pred) — kept/flagged document
     counts, token mass, and exact score sums per wave window, the
     per-window curation report an append-only sink ingests.
 
-    Output: (window_start_us, pred, n_docs, sum_tokens, sum_score) —
-    all exact integers (oracle-ready arithmetic). Append mode emits
-    each row once at watermark passage.
+    Output: (window_start_us, pred, n_docs, sum_tokens, sum_score[,
+    sum_iw_score when ``importance_path`` adds the DSIR stage]) — all
+    exact integers (oracle-ready arithmetic). Append mode emits each
+    row once at watermark passage.
     """
     scored = curation_scored_stream(
         docs, bloom_path, weights_path, text_col=text_col, id_col=id_col,
-        engine=engine,
+        engine=engine, importance_path=importance_path,
     )
     win = F.window(ts_col, window_duration)
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens_norm").cast("bigint").alias("sum_tokens"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+    ]
+    out_cols = ["pred", "n_docs", "sum_tokens", "sum_score"]
+    if importance_path is not None:
+        aggs.append(F.sum("iw_score").cast("bigint").alias("sum_iw_score"))
+        out_cols.append("sum_iw_score")
     return (
         scored.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col("pred"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_tokens_norm").cast("bigint").alias("sum_tokens"),
-            F.sum("score").cast("bigint").alias("sum_score"),
-        )
+        .agg(*aggs)
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
-            "pred",
-            "n_docs",
-            "sum_tokens",
-            "sum_score",
+            *out_cols,
         )
     )

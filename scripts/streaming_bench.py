@@ -203,12 +203,14 @@ def curation_chain_bench(spark) -> None:
     from clickhouse_etl_spark.dataops.text import (
         normalize_text,
         write_classifier_table,
+        write_importance_table,
     )
     from clickhouse_etl_spark.streaming.curation import curation_rollup_stream
 
     docs_dir = f"{BASE}/docs"
     bloom_path = f"{BASE}/curation_bloom"
     model_path = f"{BASE}/curation_clf"
+    iw_path = f"{BASE}/curation_iw"
     if not os.path.isdir(docs_dir):
         raise SystemExit("run scripts/scale_test.py first (materializes docs)")
     raw = spark.read.parquet(docs_dir)
@@ -218,7 +220,7 @@ def curation_chain_bench(spark) -> None:
     docs_dir_ts = f"{BASE}/docs_ts"
     shutil.rmtree(docs_dir_ts, ignore_errors=True)
     docs = raw.select(
-        "doc_id", "text",
+        "doc_id", "text", "source",
         F.timestamp_seconds(1_700_000_000 + F.col("doc_id") % 250_000).alias("ts"),
     )
     docs.write.parquet(docs_dir_ts)
@@ -233,16 +235,27 @@ def curation_chain_bench(spark) -> None:
         normalize_text(docs), model_path, text_col="text_norm",
         mode="overwrite",
     )
+    targets = [r["source"] for r in docs.select("source").distinct().limit(2).orderBy("source").collect()]
+    write_importance_table(
+        normalize_text(docs), iw_path, targets, text_col="text_norm",
+        mode="overwrite",
+    )
     artifacts_s = time.perf_counter() - t0
 
-    schema = T.StructType().add("doc_id", "long").add("text", "string").add(
-        "ts", "timestamp"
+    schema = (
+        T.StructType()
+        .add("doc_id", "long")
+        .add("text", "string")
+        .add("source", "string")
+        .add("ts", "timestamp")
     )
-    for engine in ("staged", "fused"):
+    # the third variant carries the optional DSIR importance stage in
+    # the SAME fused pass (VERDICT r9 #8)
+    for engine, iw in (("staged", None), ("fused", None), ("fused", iw_path)):
         best = float("inf")
         for i in range(2):
             release_bloom_cache(bloom_path)
-            ckpt = f"{BASE}/curation_ckpt_{engine}_{i}"
+            ckpt = f"{BASE}/curation_ckpt_{engine}_{'iw' if iw else 'plain'}_{i}"
             shutil.rmtree(ckpt, ignore_errors=True)
             stream = (
                 spark.readStream.schema(schema)
@@ -250,7 +263,8 @@ def curation_chain_bench(spark) -> None:
                 .parquet(docs_dir_ts)
             )
             rolled = curation_rollup_stream(
-                stream, bloom_path, model_path, engine=engine
+                stream, bloom_path, model_path, engine=engine,
+                importance_path=iw,
             )
             t0 = time.perf_counter()
             q = (
@@ -266,7 +280,7 @@ def curation_chain_bench(spark) -> None:
             json.dumps(
                 {
                     "metric": "curation_chain_throughput",
-                    "engine": engine,
+                    "engine": engine + ("+importance" if iw else ""),
                     "rows_in": n_in,
                     "artifact_build_seconds": round(artifacts_s, 2),
                     "seconds": round(best, 2),

@@ -2196,6 +2196,48 @@ def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
     )
     assert a == b
     assert a, "curation output must be non-empty"
+
+    # VERDICT r9 #8: the optional DSIR importance stage composes into
+    # the same pass — fused == staged incl. iw_tokens/iw_score, and the
+    # survivor set is unchanged (importance scoring never drops a
+    # classifier survivor: every scored doc has >= 1 token)
+    from clickhouse_etl_spark.dataops.text import write_importance_table
+
+    src_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    iw_path = str(tmp_path / "fused_iw")
+    write_importance_table(
+        normalize_text(src_docs), iw_path, ["src0", "src1"],
+        text_col="text_norm",
+    )
+    corpus2 = corpus.withColumn("source", F.lit("srcX"))
+    a2 = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus2, bloom, weights, engine="staged", importance_path=iw_path
+        ).collect()
+    )
+    b2 = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus2, bloom, weights, engine="fused", importance_path=iw_path
+        ).collect()
+    )
+    assert a2 == b2
+    assert a2, "importance-staged curation output must be non-empty"
+    cols2 = curation_scored_stream(
+        corpus2, bloom, weights, importance_path=iw_path
+    ).columns
+    assert cols2[-2:] == ["iw_tokens", "iw_score"]
+    # same survivors as the 3-stage body, now carrying importance
+    assert len(a2) == len(a)
+    # iw_tokens == the classifier's normalized token count (same
+    # tokenization of the same canonical text)
+    idx = {c: i for i, c in enumerate(cols2)}
+    for row in a2:
+        assert row[idx["iw_tokens"]] == row[idx["n_tokens_norm"]]
+        assert row[idx["iw_score"]] > 0
     release_bloom_cache(bloom)
 
 
