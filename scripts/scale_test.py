@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9", "r9b"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9", "r9b", "r10"]
 
 
 def materialize(spark) -> None:
@@ -1154,6 +1154,71 @@ def section_r9b(spark) -> None:
     _pair("importance_weights_scoring", iw["1M"], iw["10M"])
 
 
+def section_r10(spark) -> None:
+    """r10 ops at decade scale (1M → 10M docs, same replicated corpora,
+    fresh JVM): C4's three-sentence-span removal (one span-digest
+    window + a doc-grain drop-set join; on the replicated corpus every
+    span repeats 100+ ways — its all-dup worst case, like exact_dedup's)
+    and the streaming line-grain probe at both seen-set tiers (exact
+    broadcast digest set vs bloom bitmap — each is ONE row-local Arrow
+    pass; the probe artifact builds are reported one-time, FIRST in the
+    fresh JVM per the r9 sequencing rule). Linear reads as per-row-cost
+    ratio ≈ 1; > 2 prints SUPER-LINEAR."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        line_dedup_against_path,
+        release_bloom_cache,
+        release_line_digest_cache,
+        sentence_span_dedup,
+        write_line_bloom_table,
+        write_line_digest_table,
+    )
+    from clickhouse_etl_spark.dataops.util import shuffle_partitions_for
+
+    d1, d10 = _decade_docs(spark)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions_for(10_000_000, target_rows_per_partition=40_000)),
+    )
+    _pair = _decade_pair
+
+    # one-time seen-set builds from the SMALL corpus (the cross-wave
+    # shape: wave N's artifact probes wave N+1); distinct lines are
+    # bounded by the generator's ~5k distinct texts, so both artifacts
+    # are small and the probe cost is what scales
+    dig_path = f"{BASE}/line_digests_r10"
+    bloom_path = f"{BASE}/line_bloom_r10"
+    t0 = time.perf_counter()
+    write_line_digest_table(d1, dig_path, mode="overwrite")
+    n_seen = spark.read.parquet(dig_path).count()
+    print(
+        f"write_line_digest_table (one-time, 1M docs -> {n_seen} "
+        f"digests): {time.perf_counter()-t0:.1f}s"
+    )
+    t0 = time.perf_counter()
+    write_line_bloom_table(d1, bloom_path, capacity=max(n_seen, 1000))
+    print(
+        f"write_line_bloom_table (one-time, 1M docs): "
+        f"{time.perf_counter()-t0:.1f}s"
+    )
+    _pair(
+        "line_dedup_against[digests]",
+        line_dedup_against_path(d1, dig_path),
+        line_dedup_against_path(d10, dig_path),
+    )
+    _pair(
+        "line_dedup_against[bloom]",
+        line_dedup_against_path(d1, bloom_path, seen_format="bloom"),
+        line_dedup_against_path(d10, bloom_path, seen_format="bloom"),
+    )
+    release_line_digest_cache(dig_path)
+    release_bloom_cache(bloom_path)
+    _pair(
+        "sentence_span_dedup",
+        sentence_span_dedup(d1),
+        sentence_span_dedup(d10),
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -1167,7 +1232,8 @@ def main() -> None:
          "r4": section_r4, "r5": section_r5, "r6": section_r6,
          "r7": section_r7, "r7b": section_r7b,
          "r8": section_r8, "r8b": section_r8b,
-         "r9": section_r9, "r9b": section_r9b}[section](spark)
+         "r9": section_r9, "r9b": section_r9b,
+         "r10": section_r10}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:
