@@ -169,7 +169,11 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
                     # corpus-totals aggregate crossJoined onto the
                     # source-bounded rate table (a 1x|sources| broadcast
                     # — the docs_quality_deciles bounded 1xn pattern)
-                    "docs_temperature_mixture"}
+                    "docs_temperature_mixture",
+                    # docs_curation_v5: percentile_threshold_gate's
+                    # 1-row affinity-threshold crossJoin (the same
+                    # bounded 1xn gate v4 carries)
+                    "docs_curation_v5"}
     bad = {}
     for name, qd in QUERIES.items():
         try:
