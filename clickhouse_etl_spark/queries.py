@@ -7135,6 +7135,11 @@ _STALE_SIGNED = frozenset({
     # _lineated_docs refactored to share _lineate_expr with the v5
     # flagship (expression tree unchanged — output identical):
     "docs_line_dedup",
+    # curation stream gained the optional importance stage (fused pass
+    # composes _iw_kernel; no behavior change with importance_path
+    # unset, fused==staged equality-pinned) — e2e's closure reaches
+    # streaming/curation.py:
+    "docs_curation_e2e",
 })
 
 
