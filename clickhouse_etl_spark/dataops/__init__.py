@@ -26,10 +26,14 @@ from .dedup import (
     line_dedup,
     line_dedup_against_path,
     release_line_digest_cache,
+    sentence_span_dedup,
     simhash,
     snapshot_diff,
     span_dedup,
+    span_dedup_against_path,
     write_digest_table,
+    write_span_bloom_table,
+    write_span_digest_table,
     write_line_bloom_table,
     write_line_digest_table,
 )
@@ -70,6 +74,10 @@ __all__ = [
     "line_dedup",
     "line_dedup_against_path",
     "release_line_digest_cache",
+    "sentence_span_dedup",
+    "span_dedup_against_path",
+    "write_span_bloom_table",
+    "write_span_digest_table",
     "write_digest_table",
     "write_line_bloom_table",
     "write_line_digest_table",

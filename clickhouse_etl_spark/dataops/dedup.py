@@ -1352,6 +1352,41 @@ def line_dedup(
     )
 
 
+#: span-join separator — sentences contain no control characters
+_SPAN_SEP = "\x1f"
+
+
+def _sentences_expr(text_col: str):
+    """The deterministic sentence array over ``text_col`` — split on
+    the terminal marks ``[.!?]``, strip leading/trailing
+    spaces/newlines, drop empties. The ONE definition
+    :func:`sentence_span_dedup`, :func:`write_span_digest_table` /
+    :func:`write_span_bloom_table`, and (replayed in Python, parity
+    equality-pinned by test) :func:`span_dedup_against_path` share.
+    ASCII character classes only — identical in Java regex, RE2, and
+    Python ``re``."""
+    raw = F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]")
+    trimmed = F.transform(
+        raw, lambda s: F.regexp_replace(s, "^[ \\n]+|[ \\n]+$", "")
+    )
+    return F.filter(trimmed, lambda s: F.length(s) > 0)
+
+
+def _span_strings(sents_col, span_sentences: int):
+    """Array of sliding ``span_sentences``-sentence span strings over a
+    MATERIALIZED sentence-array column (start positions 0..n-k)."""
+    n = F.size(sents_col)
+    starts = F.when(
+        n >= span_sentences, F.sequence(F.lit(0), n - span_sentences)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda j: F.array_join(
+            F.slice(sents_col, j + 1, span_sentences), _SPAN_SEP
+        ),
+    )
+
+
 def sentence_span_dedup(
     df: DataFrame,
     span_sentences: int = 3,
@@ -1405,25 +1440,14 @@ def sentence_span_dedup(
     if span_sentences < 1:
         raise ValueError("span_sentences must be >= 1")
     df = scale_out(df)
-    sep = "\x1f"  # sentences contain no control characters
-    raw = F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]")
-    trimmed = F.transform(
-        raw, lambda s: F.regexp_replace(s, "^[ \\n]+|[ \\n]+$", "")
-    )
-    sents = F.filter(trimmed, lambda s: F.length(s) > 0)
-    d = df.select(F.col(id_col), sents.alias("_sents"))
+    d = df.select(F.col(id_col), _sentences_expr(text_col).alias("_sents"))
     n = F.size("_sents")
-    starts = F.when(
-        n >= span_sentences, F.sequence(F.lit(0), n - span_sentences)
-    ).otherwise(F.array().cast("array<int>"))
-    span_structs = F.transform(
-        starts,
-        lambda j: F.struct(
-            j.alias("start"),
-            F.array_join(
-                F.slice(F.col("_sents"), j + 1, span_sentences), sep
-            ).alias("span"),
-        ),
+    span_structs = F.zip_with(
+        _span_strings(F.col("_sents"), span_sentences),
+        F.when(
+            n >= span_sentences, F.sequence(F.lit(0), n - span_sentences)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s, j: F.struct(j.alias("start"), s.alias("span")),
     )
     spans = d.select(id_col, F.explode(span_structs).alias("_sp")).select(
         id_col,
@@ -1622,6 +1646,44 @@ def _line_digest_broadcast(
     return entry[1]
 
 
+def _seen_probe_factory(
+    spark,
+    seen_path: str,
+    seen_format: str,
+    max_bitmap_bytes: int | None,
+    max_broadcast_digests: int | None,
+):
+    """A zero-arg factory producing a ``key_string → bool`` seen-probe
+    for a digest-table or bloom artifact — the ONE closure-shipping
+    definition the line-grain and span-grain probes share. Call the
+    factory INSIDE the Arrow generator so each task builds its own
+    kernel from the broadcast value."""
+    if seen_format == "bloom":
+        bc_words, m, k, n_shards = _bloom_broadcast(
+            spark, seen_path, max_bitmap_bytes
+        )
+
+        def make_probe():
+            return _bloom_probe_kernel(bc_words.value, m, k, n_shards)
+
+    elif seen_format == "digests":
+        bc = _line_digest_broadcast(spark, seen_path, max_broadcast_digests)
+
+        def make_probe():
+            import hashlib
+
+            seen_set = bc.value
+
+            def seen(key: str) -> bool:
+                return hashlib.md5(key.encode("utf-8")).digest() in seen_set
+
+            return seen
+
+    else:
+        raise ValueError(f"unknown seen_format {seen_format!r}: digests|bloom")
+    return make_probe
+
+
 def line_dedup_against_path(
     df: DataFrame,
     seen_path: str,
@@ -1677,29 +1739,9 @@ def line_dedup_against_path(
             "input already has an 'n_lines_kept' column — rename it "
             "before line_dedup_against"
         )
-    if seen_format == "bloom":
-        bc_words, m, k, n_shards = _bloom_broadcast(
-            spark, seen_path, max_bitmap_bytes
-        )
-
-        def make_probe():
-            return _bloom_probe_kernel(bc_words.value, m, k, n_shards)
-
-    elif seen_format == "digests":
-        bc = _line_digest_broadcast(spark, seen_path, max_broadcast_digests)
-
-        def make_probe():
-            import hashlib
-
-            seen_set = bc.value
-
-            def seen(line: str) -> bool:
-                return hashlib.md5(line.encode("utf-8")).digest() in seen_set
-
-            return seen
-
-    else:
-        raise ValueError(f"unknown seen_format {seen_format!r}: digests|bloom")
+    make_probe = _seen_probe_factory(
+        spark, seen_path, seen_format, max_bitmap_bytes, max_broadcast_digests
+    )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1731,6 +1773,170 @@ def line_dedup_against_path(
                 out = pdf.iloc[keep_idx][in_cols].copy()
                 out[tcol] = texts
                 out["n_lines_kept"] = pd.Series(
+                    counts, dtype="int64", index=out.index
+                )
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def write_span_digest_table(
+    df: DataFrame,
+    path: str,
+    span_sentences: int = 3,
+    text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Persist the DISTINCT sentence-span digests of an ingest wave —
+    the span-grain third rung of the seen-set ladder (documents →
+    lines → sentence spans), the artifact
+    :func:`span_dedup_against_path` probes. Same format as
+    :func:`write_line_digest_table` (a ``digest`` column), so the
+    broadcast/caching machinery is shared. One explode + one distinct,
+    bounded by the corpus's distinct span count."""
+    d = df.select(_sentences_expr(text_col).alias("_sents"))
+    spans = d.select(
+        F.explode(_span_strings(F.col("_sents"), span_sentences)).alias(
+            "span"
+        )
+    )
+    (
+        spans.select(F.md5("span").alias("digest"))
+        .distinct()
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_span_bloom_table(
+    df: DataFrame,
+    path: str,
+    capacity: int,
+    span_sentences: int = 3,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+    text_col: str = "text",
+    mode: str = "overwrite",
+    n_shards: int = 1,
+) -> None:
+    """Span-grain Bloom seen-set (size ``capacity`` to the true
+    distinct SPAN count) — the 100-TB tier of the span lifecycle, via
+    the ordinary portable bloom build over the distinct span strings."""
+    d = df.select(_sentences_expr(text_col).alias("_sents"))
+    spans = (
+        d.select(
+            F.explode(_span_strings(F.col("_sents"), span_sentences)).alias(
+                "span"
+            )
+        )
+        .distinct()
+    )
+    write_bloom_table(
+        spans,
+        path,
+        capacity,
+        bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+        text_col="span",
+        mode=mode,
+        n_shards=n_shards,
+    )
+
+
+def span_dedup_against_path(
+    df: DataFrame,
+    seen_path: str,
+    span_sentences: int = 3,
+    text_col: str = "text",
+    seen_format: str = "digests",
+    max_bitmap_bytes: int | None = None,
+    max_broadcast_digests: int | None = None,
+) -> DataFrame:
+    """Stream-safe span-grain cross-wave dedup — the streaming analogue
+    of :func:`sentence_span_dedup`, deployed like
+    :func:`line_dedup_against_path`: wave N →
+    :func:`write_span_digest_table` (or the bloom tier) → wave N+1
+    drops every sentence covered by a previously-seen
+    ``span_sentences``-sentence span and reassembles the survivors.
+
+    Semantics (probe-only, identical on batch and streaming input —
+    ONE single pass over the ORIGINAL spans, exactly like the batch
+    op's one-pass removal: spans formed by post-removal adjacency are
+    NOT re-examined, so this is deliberately not an iterative
+    fixed-point):
+
+    - sentences/spans: the batch op's deterministic definitions
+      (``_sentences_expr`` replayed in Python — parity equality-pinned
+      by test);
+    - a sentence drops iff some SEEN span covers its position;
+      survivors rejoin with ``\\n`` (the batch op's sentence-stream
+      representation), REWRITING ``text_col`` in place;
+    - ``n_sentences_kept`` (bigint) appended; documents whose every
+      sentence is covered VANISH; docs with fewer sentences than the
+      span length carry no spans and pass through (rewritten to the
+      sentence stream); empty/null docs vanish;
+    - within-wave first-occurrence dedup is the batch
+      :func:`sentence_span_dedup`'s job (the line-grain division of
+      labor).
+
+    Scale shape: ONE row-local Arrow pass, seen-set in the task
+    closure (exact digest broadcast or bloom bitmap via the shared
+    :func:`_seen_probe_factory`); no join, no shuffle, no state —
+    append-safe under Structured Streaming.
+    """
+    spark = df.sparkSession
+    if span_sentences < 1:
+        raise ValueError("span_sentences must be >= 1")
+    if "n_sentences_kept" in df.columns:
+        raise ValueError(
+            "input already has an 'n_sentences_kept' column — rename it "
+            "before span_dedup_against"
+        )
+    make_probe = _seen_probe_factory(
+        spark, seen_path, seen_format, max_bitmap_bytes, max_broadcast_digests
+    )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_cols = [f.name for f in df.schema.fields]
+    schema = StructType(
+        list(df.schema.fields) + [StructField("n_sentences_kept", LongType())]
+    )
+    tcol = text_col
+    span_k = span_sentences
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        probe = make_probe()
+        split = re.compile(r"[.!?]").split
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep_idx, texts, counts = [], [], []
+            for i, t in enumerate(pdf[tcol]):
+                sents = [
+                    s2
+                    for s in split(t if t is not None else "")
+                    if (s2 := s.strip(" \n"))
+                ]
+                if not sents:
+                    continue
+                drop: set = set()
+                for j in range(0, len(sents) - span_k + 1):
+                    if probe(_SPAN_SEP.join(sents[j : j + span_k])):
+                        drop.update(range(j, j + span_k))
+                kept = [s for j2, s in enumerate(sents) if j2 not in drop]
+                if kept:
+                    keep_idx.append(i)
+                    texts.append("\n".join(kept))
+                    counts.append(len(kept))
+            if keep_idx:
+                out = pdf.iloc[keep_idx][in_cols].copy()
+                out[tcol] = texts
+                out["n_sentences_kept"] = pd.Series(
                     counts, dtype="int64", index=out.index
                 )
                 yield out

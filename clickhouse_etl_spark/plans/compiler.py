@@ -116,6 +116,7 @@ DATAOPS = frozenset({
     "ann_serve", "gopher_rules", "temperature_mixture",
     "c4_filters", "line_dedup", "importance_weights",
     "importance_against", "line_dedup_against", "sentence_span_dedup",
+    "span_dedup_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -126,6 +127,7 @@ REQUIRED_DATAOP_PARAMS = {
     "importance_weights": ("target_sources",),
     "importance_against": ("weights_path",),
     "line_dedup_against": ("seen_path",),
+    "span_dedup_against": ("seen_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -176,9 +178,10 @@ REQUIRED_DATAOP_PARAMS = {
 # dim-bounded table scored in one row-local Arrow pass — stream-safe,
 # the classify_against pattern).
 # sentence_span_dedup (C4's final three-sentence-span removal) needs
-# the corpus-global first-occurrence order like line_dedup — batch-only
-# (its cross-wave streaming analogue is the digest lifecycle at span
-# grain).
+# the corpus-global first-occurrence order like line_dedup — batch-only;
+# its cross-wave streaming analogue span_dedup_against
+# (write_span_digest_table / write_span_bloom_table → one row-local
+# Arrow probe dropping sentences covered by seen spans) IS stream-safe.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -206,6 +209,7 @@ def resolve_dataop(op: str):
         sentence_span_dedup,
         simhash,
         span_dedup,
+        span_dedup_against_path,
     )
     from ..dataops.similarity import balanced_sample, cluster_balanced_sample
     from ..dataops.text import (
@@ -314,6 +318,7 @@ def resolve_dataop(op: str):
         "line_dedup": line_dedup,
         "line_dedup_against": line_dedup_against_path,
         "sentence_span_dedup": sentence_span_dedup,
+        "span_dedup_against": span_dedup_against_path,
         "importance_weights": importance_weights,
         "importance_against": importance_against_path,
     }

@@ -2775,6 +2775,99 @@ def test_sentence_span_dedup_published_semantics(spark):
     assert out[4]["text_dedup"] == "short one\nshort two"
 
 
+def test_span_dedup_against_lifecycle(spark, tmp_path):
+    """Span-grain cross-wave lifecycle (the sentence_span_dedup
+    streaming analogue): wave 1 -> write_span_digest_table -> wave 2
+    drops every sentence covered by a seen three-sentence span; short
+    docs pass through (rewritten to the sentence stream); fully-covered
+    docs vanish; bloom tier equals the exact tier on a deterministic
+    corpus; the Python sentence split replays the Spark expression."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        _sentences_expr,
+        release_bloom_cache,
+        release_line_digest_cache,
+        span_dedup_against_path,
+        write_span_bloom_table,
+        write_span_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(0, "alpha one. beta two. gamma three. delta four.")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "span_digests")
+    write_span_digest_table(wave1, path, mode="overwrite")
+    # spans of 4 sentences at k=3: 2 digests
+    assert spark.read.parquet(path).count() == 2
+
+    wave2 = spark.createDataFrame(
+        [
+            # repeats wave-1's first span -> sentences 0-2 drop
+            (10, "alpha one. beta two. gamma three. epsilon five."),
+            # fully covered by the two seen spans -> vanishes
+            (11, "alpha one. beta two. gamma three. delta four."),
+            # short doc: no spans -> passes through, rewritten
+            (12, "short one. short two."),
+            # fresh doc: untouched
+            (13, "x uno. y dos. z tres."),
+            (14, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_sentences_kept"])
+        for r in span_dedup_against_path(wave2, path).collect()
+    }
+    assert set(out) == {10, 12, 13}
+    assert out[10] == ("epsilon five", 1)
+    assert out[12] == ("short one\nshort two", 2)
+    assert out[13] == ("x uno\ny dos\nz tres", 3)
+
+    # bloom tier: replay vanishes the >=k-sentence docs, equality with
+    # the exact tier on this corpus
+    bpath = str(tmp_path / "span_bloom")
+    write_span_bloom_table(wave1, bpath, capacity=100)
+    bloom_out = {
+        r["doc_id"]: (r["text"], r["n_sentences_kept"])
+        for r in span_dedup_against_path(
+            wave2, bpath, seen_format="bloom"
+        ).collect()
+    }
+    assert bloom_out == out
+    assert (
+        span_dedup_against_path(wave1, bpath, seen_format="bloom").count() == 0
+    )
+
+    # Python split parity with the Spark expression on the edges
+    edges = [
+        (0, "a one! b two? c three. "),
+        (1, "\n . ! ?  \n"),
+        (2, "no terminal punct at all"),
+        (3, None),
+    ]
+    spark_sents = {
+        r["doc_id"]: r["s"]
+        for r in spark.createDataFrame(edges, "doc_id long, text string")
+        .select("doc_id", _sentences_expr("text").alias("s"))
+        .collect()
+    }
+    import re
+
+    split = re.compile(r"[.!?]").split
+    for did, t in edges:
+        py = [s2 for s in split(t if t is not None else "") if (s2 := s.strip(" \n"))]
+        assert py == spark_sents[did], did
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_sentences_kept"):
+        span_dedup_against_path(
+            span_dedup_against_path(wave2, path), path
+        )
+    release_line_digest_cache()
+    release_bloom_cache()
+
+
 def test_line_dedup_against_lifecycle(spark, tmp_path):
     """The line-grain cross-wave lifecycle (VERDICT r9 #3): wave 1 ->
     write_line_digest_table -> wave 2 probes it via

@@ -1190,6 +1190,32 @@ def test_line_dedup_against_on_spec_surface(spark, tmp_path):
     out_stream = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
     assert out_stream.isStreaming and "n_lines_kept" in out_stream.columns
 
+    # the span-grain sibling shares the surface contract: stream-safe,
+    # parse-time seen_path, same chain position
+    from clickhouse_etl_spark.dataops.dedup import write_span_digest_table
+
+    assert "span_dedup_against" in STREAM_SAFE_DATAOPS
+    assert REQUIRED_DATAOP_PARAMS["span_dedup_against"] == ("seen_path",)
+    with _pytest.raises(SpecError, match="seen_path"):
+        parse_pipeline_json(_doc({"op": "span_dedup_against"}))
+    span_seen = str(tmp_path / "seen_spans")
+    write_span_digest_table(
+        spark.createDataFrame(
+            [(0, "a one. b two. c three.")], "doc_id long, text string"
+        ),
+        span_seen,
+        mode="overwrite",
+    )
+    safe_span = SourceConfig(
+        source_id="documents",
+        dataops=(
+            DataopConfig(op="span_dedup_against", params={"seen_path": span_seen}),
+        ),
+    )
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    out2 = streaming_source_chain(safe_span, "ts", value_is_json=False)(stream2)
+    assert out2.isStreaming and "n_sentences_kept" in out2.columns
+
 
 def test_importance_weights_on_spec_surface(spark):
     """importance_weights is declarable, requires target_sources at
