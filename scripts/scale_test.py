@@ -1212,6 +1212,27 @@ def section_r10(spark) -> None:
     )
     release_line_digest_cache(dig_path)
     release_bloom_cache(bloom_path)
+    # span-grain probe: same artifact/broadcast machinery, plus the
+    # per-doc sentence split + k-span digesting in the kernel
+    from clickhouse_etl_spark.dataops.dedup import (
+        span_dedup_against_path,
+        write_span_digest_table,
+    )
+
+    span_path = f"{BASE}/span_digests_r10"
+    t0 = time.perf_counter()
+    write_span_digest_table(d1, span_path, mode="overwrite")
+    n_spans = spark.read.parquet(span_path).count()
+    print(
+        f"write_span_digest_table (one-time, 1M docs -> {n_spans} "
+        f"digests): {time.perf_counter()-t0:.1f}s"
+    )
+    _pair(
+        "span_dedup_against[digests]",
+        span_dedup_against_path(d1, span_path),
+        span_dedup_against_path(d10, span_path),
+    )
+    release_line_digest_cache(span_path)
     _pair(
         "sentence_span_dedup",
         sentence_span_dedup(d1),
