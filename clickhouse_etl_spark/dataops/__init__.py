@@ -26,6 +26,7 @@ from .dedup import (
     line_dedup,
     line_dedup_against_path,
     release_line_digest_cache,
+    release_span_digest_cache,
     sentence_span_dedup,
     simhash,
     snapshot_diff,
@@ -74,6 +75,7 @@ __all__ = [
     "line_dedup",
     "line_dedup_against_path",
     "release_line_digest_cache",
+    "release_span_digest_cache",
     "sentence_span_dedup",
     "span_dedup_against_path",
     "write_span_bloom_table",

@@ -1372,15 +1372,23 @@ def _sentences_expr(text_col: str):
     return F.filter(trimmed, lambda s: F.length(s) > 0)
 
 
-def _span_strings(sents_col, span_sentences: int):
-    """Array of sliding ``span_sentences``-sentence span strings over a
-    MATERIALIZED sentence-array column (start positions 0..n-k)."""
+def _span_starts(sents_col, span_sentences: int):
+    """Span start positions 0..n-k over a sentence-array column (empty
+    below k sentences — the guarded-sequence rule). The ONE definition
+    of the start set; every span derivation builds on it so lengths
+    can never diverge."""
     n = F.size(sents_col)
-    starts = F.when(
+    return F.when(
         n >= span_sentences, F.sequence(F.lit(0), n - span_sentences)
     ).otherwise(F.array().cast("array<int>"))
+
+
+def _span_strings(sents_col, span_sentences: int):
+    """Array of sliding ``span_sentences``-sentence span strings over a
+    MATERIALIZED sentence-array column (one per :func:`_span_starts`
+    position)."""
     return F.transform(
-        starts,
+        _span_starts(sents_col, span_sentences),
         lambda j: F.array_join(
             F.slice(sents_col, j + 1, span_sentences), _SPAN_SEP
         ),
@@ -1441,12 +1449,12 @@ def sentence_span_dedup(
         raise ValueError("span_sentences must be >= 1")
     df = scale_out(df)
     d = df.select(F.col(id_col), _sentences_expr(text_col).alias("_sents"))
-    n = F.size("_sents")
+    # both zip_with sides derive from the SAME _span_starts, so their
+    # lengths agree by construction (zip_with would silently null-pad
+    # diverging arrays)
     span_structs = F.zip_with(
         _span_strings(F.col("_sents"), span_sentences),
-        F.when(
-            n >= span_sentences, F.sequence(F.lit(0), n - span_sentences)
-        ).otherwise(F.array().cast("array<int>")),
+        _span_starts(F.col("_sents"), span_sentences),
         lambda s, j: F.struct(j.alias("start"), s.alias("span")),
     )
     spans = d.select(id_col, F.explode(span_structs).alias("_sp")).select(
@@ -1472,7 +1480,7 @@ def sentence_span_dedup(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_drop_pos"))
     )
-    joined = d.filter(n > 0).join(drops, id_col, "left")
+    joined = d.filter(F.size("_sents") > 0).join(drops, id_col, "left")
     dropset = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
     kept = F.filter(
         F.zip_with(
@@ -1607,13 +1615,20 @@ def release_line_digest_cache(seen_path: str | None = None) -> int:
 
 
 def _line_digest_broadcast(
-    spark, seen_path: str, max_broadcast_digests: int | None = None
+    spark,
+    seen_path: str,
+    max_broadcast_digests: int | None = None,
+    grain: str = "line",
 ):
-    """Broadcast frozenset of 16-byte line digests for the
-    :func:`write_line_digest_table` artifact at ``seen_path`` — cached
-    per path, invalidated when the artifact's parquet file listing
-    changes (a wave appending or rewriting the table rotates the
-    cache), released via :func:`release_line_digest_cache`."""
+    """Broadcast frozenset of 16-byte digests for a
+    :func:`write_line_digest_table` / :func:`write_span_digest_table`
+    artifact at ``seen_path`` — cached per path, invalidated when the
+    artifact's parquet file listing changes (a wave appending or
+    rewriting the table rotates the cache), released via
+    :func:`release_line_digest_cache` (alias
+    :func:`release_span_digest_cache`). ``grain`` labels the fail-loud
+    messaging so a span-grain caller is pointed at the span-grain
+    bloom writer."""
     seen_raw = spark.read.parquet(seen_path)
     sig = tuple(sorted(seen_raw.inputFiles()))
     entry = _LINE_DIGEST_CACHES.get(seen_path)
@@ -1626,15 +1641,17 @@ def _line_digest_broadcast(
             if max_broadcast_digests is not None
             else _LINE_DIGEST_MAX_KEYS
         )
-        # parquet row-count metadata — cheap fail-loud before a
-        # collect that would strain the driver
-        n = seen_raw.count()
+        # the broadcast set is the DISTINCT digest set (append-mode
+        # waves overlap by design — 'overlap between appends is
+        # harmless'), so the cap must count distinct keys, not raw
+        # parquet rows; the distinct is the same one the collect pays
+        n = seen_raw.select("digest").distinct().count()
         if n > cap:
             raise ValueError(
-                f"line-digest table at {seen_path!r} holds {n} digests "
-                f"(> {cap}) — too large to broadcast exactly; use the "
-                "bloom tier (write_line_bloom_table + "
-                "seen_format='bloom'), or pass max_broadcast_digests "
+                f"{grain}-digest table at {seen_path!r} holds {n} "
+                f"distinct digests (> {cap}) — too large to broadcast "
+                f"exactly; use the bloom tier (write_{grain}_bloom_table "
+                "+ seen_format='bloom'), or pass max_broadcast_digests "
                 "to accept the footprint"
             )
         digests = frozenset(
@@ -1643,7 +1660,30 @@ def _line_digest_broadcast(
         )
         entry = (sig, spark.sparkContext.broadcast(digests))
         _LINE_DIGEST_CACHES[seen_path] = entry
+    # enforce the caller's cap on cache HITS too — a permissive first
+    # call must not grandfather an oversized set past a later, stricter
+    # caller (the r8 bloom-cache rule; the driver holds the broadcast
+    # value, so len() is free)
+    cap = (
+        max_broadcast_digests
+        if max_broadcast_digests is not None
+        else _LINE_DIGEST_MAX_KEYS
+    )
+    if len(entry[1].value) > cap:
+        raise ValueError(
+            f"{grain}-digest table at {seen_path!r} holds "
+            f"{len(entry[1].value)} distinct digests (> {cap}) — too "
+            f"large to broadcast exactly; use the bloom tier "
+            f"(write_{grain}_bloom_table + seen_format='bloom'), or "
+            "pass max_broadcast_digests to accept the footprint"
+        )
     return entry[1]
+
+
+#: span-grain alias — line- and span-digest broadcasts share one cache
+#: (keyed by artifact path), so one release function serves both; the
+#: alias keeps span-grain call sites self-describing
+release_span_digest_cache = release_line_digest_cache
 
 
 def _seen_probe_factory(
@@ -1652,12 +1692,14 @@ def _seen_probe_factory(
     seen_format: str,
     max_bitmap_bytes: int | None,
     max_broadcast_digests: int | None,
+    grain: str = "line",
 ):
     """A zero-arg factory producing a ``key_string → bool`` seen-probe
     for a digest-table or bloom artifact — the ONE closure-shipping
-    definition the line-grain and span-grain probes share. Call the
-    factory INSIDE the Arrow generator so each task builds its own
-    kernel from the broadcast value."""
+    definition the line-grain and span-grain probes share (``grain``
+    labels the digest tier's fail-loud messaging). Call the factory
+    INSIDE the Arrow generator so each task builds its own kernel from
+    the broadcast value."""
     if seen_format == "bloom":
         bc_words, m, k, n_shards = _bloom_broadcast(
             spark, seen_path, max_bitmap_bytes
@@ -1667,7 +1709,9 @@ def _seen_probe_factory(
             return _bloom_probe_kernel(bc_words.value, m, k, n_shards)
 
     elif seen_format == "digests":
-        bc = _line_digest_broadcast(spark, seen_path, max_broadcast_digests)
+        bc = _line_digest_broadcast(
+            spark, seen_path, max_broadcast_digests, grain=grain
+        )
 
         def make_probe():
             import hashlib
@@ -1780,6 +1824,23 @@ def line_dedup_against_path(
     return df.mapInPandas(gen, schema)
 
 
+def _distinct_spans(
+    df: DataFrame, text_col: str, span_sentences: int
+) -> DataFrame:
+    """The DISTINCT sliding sentence-span strings of a document frame
+    (one ``span`` column) — the span-grain seen-set both artifact
+    writers share (the :func:`_distinct_lines` pattern one grain up)."""
+    d = df.select(_sentences_expr(text_col).alias("_sents"))
+    return (
+        d.select(
+            F.explode(_span_strings(F.col("_sents"), span_sentences)).alias(
+                "span"
+            )
+        )
+        .distinct()
+    )
+
+
 def write_span_digest_table(
     df: DataFrame,
     path: str,
@@ -1794,14 +1855,9 @@ def write_span_digest_table(
     :func:`write_line_digest_table` (a ``digest`` column), so the
     broadcast/caching machinery is shared. One explode + one distinct,
     bounded by the corpus's distinct span count."""
-    d = df.select(_sentences_expr(text_col).alias("_sents"))
-    spans = d.select(
-        F.explode(_span_strings(F.col("_sents"), span_sentences)).alias(
-            "span"
-        )
-    )
     (
-        spans.select(F.md5("span").alias("digest"))
+        _distinct_spans(df, text_col, span_sentences)
+        .select(F.md5("span").alias("digest"))
         .distinct()
         .write.mode(mode)
         .parquet(path)
@@ -1822,17 +1878,8 @@ def write_span_bloom_table(
     """Span-grain Bloom seen-set (size ``capacity`` to the true
     distinct SPAN count) — the 100-TB tier of the span lifecycle, via
     the ordinary portable bloom build over the distinct span strings."""
-    d = df.select(_sentences_expr(text_col).alias("_sents"))
-    spans = (
-        d.select(
-            F.explode(_span_strings(F.col("_sents"), span_sentences)).alias(
-                "span"
-            )
-        )
-        .distinct()
-    )
     write_bloom_table(
-        spans,
+        _distinct_spans(df, text_col, span_sentences),
         path,
         capacity,
         bits_per_key=bits_per_key,
@@ -1893,7 +1940,8 @@ def span_dedup_against_path(
             "before span_dedup_against"
         )
     make_probe = _seen_probe_factory(
-        spark, seen_path, seen_format, max_bitmap_bytes, max_broadcast_digests
+        spark, seen_path, seen_format, max_bitmap_bytes,
+        max_broadcast_digests, grain="span",
     )
 
     from pyspark.sql.types import LongType, StructField, StructType

@@ -912,8 +912,13 @@ def section_r8b(spark) -> None:
     from clickhouse_etl_spark.dataops.util import shuffle_partitions_for
 
     n = 1_000_000_000
+    # target 1M rows/partition here, NOT the 500k default: it
+    # reproduces the r8-recorded 1024-partition configuration (both
+    # loads sit in the measured-healthy band — ~980k vs ~490k rows per
+    # partition — but cross-round comparisons need the same count)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(shuffle_partitions_for(n))
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions_for(n, target_rows_per_partition=1_000_000)),
     )
     ev = spark.range(n).select(
         F.col("id").alias("event_id"),
@@ -1215,6 +1220,7 @@ def section_r10(spark) -> None:
     # span-grain probe: same artifact/broadcast machinery, plus the
     # per-doc sentence split + k-span digesting in the kernel
     from clickhouse_etl_spark.dataops.dedup import (
+        release_span_digest_cache,
         span_dedup_against_path,
         write_span_digest_table,
     )
@@ -1232,7 +1238,7 @@ def section_r10(spark) -> None:
         span_dedup_against_path(d1, span_path),
         span_dedup_against_path(d10, span_path),
     )
-    release_line_digest_cache(span_path)
+    release_span_digest_cache(span_path)
     _pair(
         "sentence_span_dedup",
         sentence_span_dedup(d1),

@@ -235,7 +235,7 @@ def curation_chain_bench(spark) -> None:
         normalize_text(docs), model_path, text_col="text_norm",
         mode="overwrite",
     )
-    targets = [r["source"] for r in docs.select("source").distinct().limit(2).orderBy("source").collect()]
+    targets = [r["source"] for r in docs.select("source").distinct().orderBy("source").limit(2).collect()]
     write_importance_table(
         normalize_text(docs), iw_path, targets, text_col="text_norm",
         mode="overwrite",

@@ -3020,6 +3020,21 @@ def test_line_dedup_against_guards(spark, tmp_path):
     write_line_digest_table(w1, path, mode="overwrite")
     with _pytest.raises(ValueError, match="bloom"):
         line_dedup_against_path(w1, path, max_broadcast_digests=2)
+    # the cap must hold on cache HITS too (the r8 bloom-cache rule): a
+    # permissive first probe must not grandfather the set past a later,
+    # stricter caller
+    fresh = spark.createDataFrame(
+        [(9, "brand new line.")], "doc_id long, text string"
+    )
+    assert line_dedup_against_path(fresh, path).count() == 1
+    with _pytest.raises(ValueError, match="distinct digests"):
+        line_dedup_against_path(fresh, path, max_broadcast_digests=2)
+    # append-mode overlap counts DISTINCT keys, not raw parquet rows
+    write_line_digest_table(w1, path, mode="append")
+    assert (
+        line_dedup_against_path(fresh, path, max_broadcast_digests=5).count()
+        == 1
+    )
     with _pytest.raises(ValueError, match="n_lines_kept"):
         line_dedup_against_path(
             w1.withColumn("n_lines_kept", F.lit(1)), path
