@@ -17,10 +17,14 @@ quadratic.
 from .bpe import apply_bpe, learn_bpe
 from .sketches import cms_estimate, cms_merge, cms_table, kmv_distinct
 from .dedup import (
+    decontaminate_against_path,
     dedup_against,
     ngram_containment_pairs,
     dedup_against_path,
     exact_dedup,
+    release_ngram_digest_cache,
+    write_ngram_bloom_table,
+    write_ngram_digest_table,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     line_dedup,
@@ -72,6 +76,10 @@ __all__ = [
     "span_dedup",
     "dedup_against",
     "dedup_against_path",
+    "decontaminate_against_path",
+    "release_ngram_digest_cache",
+    "write_ngram_bloom_table",
+    "write_ngram_digest_table",
     "line_dedup",
     "line_dedup_against_path",
     "release_line_digest_cache",

@@ -1992,6 +1992,268 @@ def span_dedup_against_path(
     return df.mapInPandas(gen, schema)
 
 
+#: Published eval-set decontamination n-gram length: GPT-3 (Brown et
+#: al. 2020, Appendix C) removes training documents with a 13-gram
+#: collision against benchmark data, and Gopher (Rae et al. 2021,
+#: §A.5) filters train/test overlap at the same 13-gram unit. Pinned
+#: by tests/test_published_constants.py.
+DECONTAM_NGRAM_N = 13
+
+
+def _word_tokens_expr(text_col: str) -> Column:
+    """Case-folded alphanumeric-run word tokens of ``text_col`` — the
+    decontamination token unit (the published recipes match n-grams
+    case- and punctuation-insensitively). Same convention as the C4
+    bad-words matcher: ``lower()`` then split on ``[^a-z0-9]+`` runs,
+    drop empties; null text tokenizes like empty (the digest-lifecycle
+    null policy). ASCII case-fold assumption as documented for the
+    classify_against family: the Python probe kernel replays this with
+    ``str.lower()``/``re.split``, identical on ASCII corpora (parity
+    equality-pinned in tests/test_dataops.py)."""
+    return F.filter(
+        F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def _ngram_strings(toks_col, n: int):
+    """Array of sliding ``n``-token n-gram strings (space-joined) over
+    a MATERIALIZED token-array column — the :func:`_span_strings`
+    pattern at word grain (slices of a materialized column are O(n)
+    per gram; the guarded sequence is empty below ``n`` tokens)."""
+    starts = F.when(
+        F.size(toks_col) >= n,
+        F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks_col, s, n), " "),
+    )
+
+
+def _distinct_ngrams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The DISTINCT word n-gram strings of a document frame (one
+    ``ngram`` column) — the eval-side seen-set both decontamination
+    artifact writers share (:func:`_distinct_lines` at n-gram grain)."""
+    d = df.select(_word_tokens_expr(text_col).alias("_toks"))
+    return (
+        d.select(
+            F.explode(_ngram_strings(F.col("_toks"), n)).alias("ngram")
+        )
+        .distinct()
+    )
+
+
+def write_ngram_digest_table(
+    df: DataFrame,
+    path: str,
+    n: int = DECONTAM_NGRAM_N,
+    text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Persist the DISTINCT word-n-gram digests of an EVALUATION corpus
+    — the decontamination seen-set :func:`decontaminate_against_path`
+    probes (GPT-3 Appendix C / Gopher §A.5: drop training documents
+    sharing any ``n``-gram with benchmark data). Same artifact format
+    as :func:`write_line_digest_table` (one ``digest`` column), so the
+    broadcast/caching machinery is shared; ``mode="append"``
+    accumulates across benchmark suites (the probe reads DISTINCT
+    digests, overlap between appends is harmless).
+
+    Scale shape: eval sets are small (thousands of documents), so the
+    artifact is bounded by the EVAL corpus's distinct n-gram count —
+    one explode + one distinct, shipped between waves as 32-char
+    digests. For eval sets too large to broadcast exactly, use
+    :func:`write_ngram_bloom_table`.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    (
+        _distinct_ngrams(df, text_col, n)
+        .select(F.md5("ngram").alias("digest"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_ngram_bloom_table(
+    df: DataFrame,
+    path: str,
+    capacity: int,
+    n: int = DECONTAM_NGRAM_N,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+    text_col: str = "text",
+    mode: str = "overwrite",
+    n_shards: int = 1,
+) -> None:
+    """N-gram-grain Bloom seen-set (size ``capacity`` to the true
+    distinct eval n-gram count) — the 100-TB tier of the
+    decontamination lifecycle, via the ordinary portable bloom build
+    over the distinct n-gram strings. No false negatives: a genuinely
+    contaminated document always flags; ~FPR of clean documents flag
+    with it (declared trade, like every bloom tier)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    write_bloom_table(
+        _distinct_ngrams(df, text_col, n),
+        path,
+        capacity,
+        bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+        text_col="ngram",
+        mode=mode,
+        n_shards=n_shards,
+    )
+
+
+def decontaminate_against_path(
+    df: DataFrame,
+    seen_path: str,
+    n: int = DECONTAM_NGRAM_N,
+    text_col: str = "text",
+    action: str = "drop",
+    flag_col: str = "contaminated",
+    count_col: str = "n_dirty_ngrams",
+    seen_format: str = "digests",
+    max_bitmap_bytes: int | None = None,
+    max_broadcast_digests: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: probe every training document's word
+    ``n``-grams against a persisted evaluation-set n-gram artifact and
+    drop (or flag) documents sharing ANY n-gram — the published
+    train/test-overlap removal (GPT-3 Appendix C's 13-gram collision
+    rule; Gopher §A.5), deployed like :func:`dedup_against_path`:
+    benchmark corpus → :func:`write_ngram_digest_table` (or the bloom
+    tier) → every training wave probes it.
+
+    Semantics (identical on batch and streaming input — that IS the
+    parity guarantee):
+
+    - tokens/n-grams: :func:`_word_tokens_expr`'s case-folded
+      alphanumeric-run convention, replayed in Python (parity
+      equality-pinned by test); documents with fewer than ``n`` tokens
+      carry no n-grams and are always clean (null/empty text
+      likewise);
+    - ``action="drop"`` (the published behavior) keeps only clean
+      documents, schema unchanged; the probe early-exits on the first
+      dirty n-gram;
+    - ``action="flag"`` keeps every document and appends ``flag_col``
+      (boolean) plus ``count_col`` (bigint, DISTINCT dirty n-grams per
+      document) — the audit/report form;
+    - the document unit is never rewritten: contamination is a
+      whole-document verdict (unlike the line/span grains, which
+      excise and reassemble).
+
+    Scale shape: ONE row-local Arrow ``mapInPandas`` pass — no join,
+    no shuffle, no state — with the eval seen-set in the task closure
+    (exact digest broadcast, or a :func:`write_ngram_bloom_table`
+    bitmap via the shared :func:`_seen_probe_factory`). Append-safe
+    under Structured Streaming (the stream-safe ``decontaminate_against``
+    dataop). The per-task n-gram probe memoizes nothing across rows:
+    eval membership is O(1) per gram against the closure set.
+
+    Relation to :func:`clickhouse_etl_spark.dataops.text.decontaminate`
+    (the in-memory join form, registry ``docs_decontamination``): that
+    op joins two live frames and REPORTS per-doc hit counts
+    (n-grams/bench-docs/first id) for audit — batch-only, one
+    corpus-side join. This op is its train-offline/probe-online
+    serving split: the benchmark set is persisted ONCE per suite and
+    every subsequent training wave probes the artifact row-locally —
+    the deployment shape (and the published case/punctuation-
+    insensitive token convention at the published n).
+    """
+    spark = df.sparkSession
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if action not in ("drop", "flag"):
+        raise ValueError(f"unknown action {action!r}: drop|flag")
+    if action == "flag":
+        for c in (flag_col, count_col):
+            if c in df.columns:
+                raise ValueError(
+                    f"input already has a {c!r} column — rename it "
+                    "before decontaminate_against"
+                )
+    make_probe = _seen_probe_factory(
+        spark, seen_path, seen_format, max_bitmap_bytes,
+        max_broadcast_digests, grain="ngram",
+    )
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_cols = [f.name for f in df.schema.fields]
+    if action == "flag":
+        schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField(flag_col, BooleanType()),
+                StructField(count_col, LongType()),
+            ]
+        )
+    else:
+        schema = df.schema
+    tcol = text_col
+    flag_mode = action == "flag"
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        probe = make_probe()
+        split = re.compile(r"[^a-z0-9]+").split
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep_idx, flags, counts = [], [], []
+            for i, t in enumerate(pdf[tcol]):
+                toks = [
+                    w
+                    for w in split((t if t is not None else "").lower())
+                    if w
+                ]
+                if flag_mode:
+                    dirty = {
+                        g
+                        for j in range(0, len(toks) - n + 1)
+                        if probe(g := " ".join(toks[j : j + n]))
+                    }
+                    keep_idx.append(i)
+                    flags.append(bool(dirty))
+                    counts.append(len(dirty))
+                else:
+                    if not any(
+                        probe(" ".join(toks[j : j + n]))
+                        for j in range(0, len(toks) - n + 1)
+                    ):
+                        keep_idx.append(i)
+            if keep_idx:
+                out = pdf.iloc[keep_idx][in_cols].copy()
+                if flag_mode:
+                    out[flag_col] = pd.Series(
+                        flags, dtype="bool", index=out.index
+                    )
+                    out[count_col] = pd.Series(
+                        counts, dtype="int64", index=out.index
+                    )
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+#: n-gram-grain alias — the decontamination digest broadcasts share the
+#: line/span digest cache (keyed by artifact path)
+release_ngram_digest_cache = release_line_digest_cache
+
+
 def _simhash_sigs_arrow(
     df: DataFrame,
     text_col: str,

@@ -393,6 +393,12 @@ def decontaminate(
     thousands of docs) and broadcast; the corpus streams through one
     shingle projection and the join — no corpus shuffle before the
     per-doc aggregation.
+
+    For the persisted train-offline/probe-online deployment (ship the
+    benchmark n-gram artifact once, probe every wave row-locally,
+    stream-safe) see ``dataops.dedup.decontaminate_against_path`` +
+    ``write_ngram_digest_table`` — the published 13-gram protocol with
+    case/punctuation-insensitive tokens.
     """
     from .dedup import _shingle_stream
     from .util import scale_out

@@ -116,7 +116,7 @@ DATAOPS = frozenset({
     "ann_serve", "gopher_rules", "temperature_mixture",
     "c4_filters", "line_dedup", "importance_weights",
     "importance_against", "line_dedup_against", "sentence_span_dedup",
-    "span_dedup_against",
+    "span_dedup_against", "decontaminate_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -128,6 +128,7 @@ REQUIRED_DATAOP_PARAMS = {
     "importance_against": ("weights_path",),
     "line_dedup_against": ("seen_path",),
     "span_dedup_against": ("seen_path",),
+    "decontaminate_against": ("seen_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -182,6 +183,12 @@ REQUIRED_DATAOP_PARAMS = {
 # its cross-wave streaming analogue span_dedup_against
 # (write_span_digest_table / write_span_bloom_table → one row-local
 # Arrow probe dropping sentences covered by seen spans) IS stream-safe.
+# decontaminate_against — probing each document's word n-grams against
+# a PERSISTED eval-set n-gram artifact (write_ngram_digest_table /
+# write_ngram_bloom_table) and dropping/flagging collisions — is one
+# row-local Arrow pass with the eval seen-set in the task closure:
+# stream-safe, the dedup_against train-offline/probe-online pattern at
+# n-gram grain (the published 13-gram decontamination rule).
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -202,6 +209,7 @@ def resolve_dataop(op: str):
     be well-defined."""
     from ..dataops.chunking import chunk_documents, epoch_shuffle, scrub_pii
     from ..dataops.dedup import (
+        decontaminate_against_path,
         dedup_against_path,
         exact_dedup_keep,
         line_dedup,
@@ -319,6 +327,7 @@ def resolve_dataop(op: str):
         "line_dedup_against": line_dedup_against_path,
         "sentence_span_dedup": sentence_span_dedup,
         "span_dedup_against": span_dedup_against_path,
+        "decontaminate_against": decontaminate_against_path,
         "importance_weights": importance_weights,
         "importance_against": importance_against_path,
     }

@@ -6341,6 +6341,102 @@ def docs_sentence_span_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# the published decontamination n-gram length (GPT-3 Appendix C /
+# Gopher §A.5); equality with dataops.dedup.DECONTAM_NGRAM_N is pinned
+# by tests/test_published_constants.py
+_DECONTAM_N = 13
+_DECONTAM_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '[^a-z0-9]+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(toks, s.j, s.j + {_DECONTAM_N - 1}),
+                   ' ') AS ngram
+        FROM tok, LATERAL unnest(
+            generate_series(1, len(toks) - {_DECONTAM_N} + 1)) AS s(j)
+    ), ev AS (
+        SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0
+    ), dirty AS (
+        SELECT g.doc_id,
+               CAST(count(DISTINCT g.ngram) AS BIGINT) AS n_dirty
+        FROM grams g
+        WHERE g.doc_id % 10 <> 0
+          AND g.ngram IN (SELECT ngram FROM ev)
+        GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, t.source,
+           CAST(d.doc_id IS NOT NULL AS INTEGER) AS contaminated,
+           CAST(coalesce(d.n_dirty, 0) AS BIGINT) AS n_dirty_ngrams
+    FROM tok t LEFT JOIN dirty d ON t.doc_id = d.doc_id
+    WHERE t.doc_id % 10 <> 0
+    ORDER BY t.doc_id
+"""
+
+
+@q("docs_decontaminate_against", _DECONTAM_SQL, "bench")
+def docs_decontaminate_against(spark, sf_dir):
+    """Benchmark decontamination (dataops/dedup.decontaminate_against_
+    path; GPT-3 — Brown et al. 2020, Appendix C — and Gopher — Rae et
+    al. 2021, §A.5 — both public papers): remove/flag training
+    documents sharing ANY 13-gram with an evaluation set. The entry
+    holds out the deterministic ``doc_id % 10 == 0`` split as the
+    benchmark corpus, persists its distinct n-gram digests in-process
+    (write_ngram_digest_table — the artifact a production deployment
+    ships once per benchmark suite), then probes every remaining
+    training document through the parquet round-trip in audit form
+    (``action="flag"``): the verdict plus the DISTINCT dirty-n-gram
+    count per document, which pins the exact collision set, not just
+    its existence. Completes the seen-set grain ladder downward:
+    documents → lines → sentence spans → word n-grams. The persisted
+    serving split of ``docs_decontamination`` (the in-memory join/
+    report form): that entry pins the audit join; this one pins the
+    deployment path — artifact round-trip, row-local probe, full-
+    corpus verdicts including the CLEAN ones, published constants.
+
+    Scale shape: the eval artifact is bounded by the BENCHMARK
+    corpus's n-gram count (thousands of docs — broadcastable by
+    construction); the probe is one row-local Arrow pass, no join, no
+    shuffle, stream-safe on the spec surface (decontaminate_against).
+    Oracle: identical tokenize/slide/semi-join arithmetic in DuckDB —
+    n-gram membership via exact string equality (digest == string
+    membership, the md5 lifecycle convention).
+    """
+    import os
+
+    from .dataops.dedup import (
+        decontaminate_against_path,
+        release_ngram_digest_cache,
+        write_ngram_digest_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        f"/tmp/decontam_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    seen = f"{base}/eval_ngrams"
+    write_ngram_digest_table(
+        docs.filter(F.col("doc_id") % 10 == 0), seen,
+        n=_DECONTAM_N, mode="overwrite",
+    )
+    release_ngram_digest_cache(seen)  # re-read the fresh artifact
+    out = decontaminate_against_path(
+        docs.filter(F.col("doc_id") % 10 != 0), seen,
+        n=_DECONTAM_N, action="flag",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("contaminated").cast("int").alias("contaminated"),
+        "n_dirty_ngrams",
+    ).orderBy("doc_id")
+
+
 _DSIR_DIM = 256
 _DSIR_TARGETS = ("src0", "src1")
 # explicit IN-list build (ADVICE r9): tuple-repr interpolation would

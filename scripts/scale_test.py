@@ -1244,6 +1244,39 @@ def section_r10(spark) -> None:
         sentence_span_dedup(d1),
         sentence_span_dedup(d10),
     )
+    # n-gram-grain decontamination probe (the published 13-gram rule):
+    # the benchmark artifact builds ONCE from the 100k base corpus (a
+    # realistic eval-suite scale — the artifact is bounded by the EVAL
+    # side, never the training corpus), then the training waves probe
+    # it row-locally. drop is the published action (early-exits on the
+    # first dirty gram — on this all-dup corpus that's the FAST path);
+    # flag enumerates every distinct dirty gram (the audit worst case).
+    from clickhouse_etl_spark.dataops.dedup import (
+        decontaminate_against_path,
+        release_ngram_digest_cache,
+        write_ngram_digest_table,
+    )
+
+    ngram_path = f"{BASE}/eval_ngrams_r10"
+    docs_small = spark.read.parquet(f"{BASE}/docs")
+    t0 = time.perf_counter()
+    write_ngram_digest_table(docs_small, ngram_path, mode="overwrite")
+    n_grams = spark.read.parquet(ngram_path).count()
+    print(
+        f"write_ngram_digest_table (one-time, 100k eval docs -> "
+        f"{n_grams} 13-gram digests): {time.perf_counter()-t0:.1f}s"
+    )
+    _pair(
+        "decontaminate_against[drop]",
+        decontaminate_against_path(d1, ngram_path),
+        decontaminate_against_path(d10, ngram_path),
+    )
+    _pair(
+        "decontaminate_against[flag]",
+        decontaminate_against_path(d1, ngram_path, action="flag"),
+        decontaminate_against_path(d10, ngram_path, action="flag"),
+    )
+    release_ngram_digest_cache(ngram_path)
 
 
 def main() -> None:

@@ -3175,3 +3175,215 @@ def test_shuffle_partitions_for_rule(spark):
         assert parts == 256
         assert spark.conf.get("spark.sql.shuffle.partitions") == "256"
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+def test_decontaminate_against_lifecycle(spark, tmp_path):
+    """The n-gram-grain decontamination lifecycle: benchmark corpus ->
+    write_ngram_digest_table -> training wave probes it. drop keeps
+    only clean docs (published GPT-3/Gopher behavior); flag appends
+    the verdict plus the DISTINCT dirty-n-gram count; short/null docs
+    are always clean; matching is case- and punctuation-insensitive
+    (the published protocol); a second benchmark suite APPENDS and the
+    cached seen-set rotates on the listing change."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        decontaminate_against_path,
+        release_ngram_digest_cache,
+        write_ngram_digest_table,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over dogs"),
+            (1, "alpha beta gamma delta"),
+        ],
+        "bench_id long, text string",
+    )
+    path = str(tmp_path / "eval_ngrams")
+    write_ngram_digest_table(bench, path, n=3, mode="overwrite")
+
+    train = spark.createDataFrame(
+        [
+            # shares 'quick brown fox' + 'brown fox jumps' -> dirty
+            (10, "prefix quick brown fox jumps suffix"),
+            # same collision modulo CASE and PUNCTUATION -> still dirty
+            (11, "Prefix QUICK, brown: FOX! Jumps? suffix"),
+            (12, "completely clean training document here"),
+            (13, "alpha beta"),  # 2 tokens < n -> no grams -> clean
+            (14, None),  # null text -> clean
+            (15, "beta gamma delta epsilon"),  # 2 bench trigrams... check
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r["doc_id"]: (r["contaminated"], r["n_dirty_ngrams"])
+        for r in decontaminate_against_path(
+            train, path, n=3, action="flag"
+        ).collect()
+    }
+    assert set(flagged) == {10, 11, 12, 13, 14, 15}
+    assert flagged[10] == (True, 2)  # quick brown fox / brown fox jumps
+    assert flagged[11] == (True, 2)  # case/punct fold to the same grams
+    assert flagged[12] == (False, 0)
+    assert flagged[13] == (False, 0)
+    assert flagged[14] == (False, 0)
+    # 'beta gamma delta' is the one bench trigram inside doc 15
+    assert flagged[15] == (True, 1)
+
+    dropped = {
+        r["doc_id"]
+        for r in decontaminate_against_path(
+            train, path, n=3, action="drop"
+        ).collect()
+    }
+    assert dropped == {d for d, (c, _) in flagged.items() if not c}
+
+    # a second benchmark suite appends; the cache rotates on the
+    # listing change and doc 12 now collides with the new suite
+    bench2 = spark.createDataFrame(
+        [(2, "clean training document")], "bench_id long, text string"
+    )
+    write_ngram_digest_table(bench2, path, n=3, mode="append")
+    flagged2 = {
+        r["doc_id"]: (r["contaminated"], r["n_dirty_ngrams"])
+        for r in decontaminate_against_path(
+            train, path, n=3, action="flag"
+        ).collect()
+    }
+    assert flagged2[12] == (True, 1)
+    assert flagged2[10] == (True, 2)  # suite-1 verdicts unchanged
+    assert release_ngram_digest_cache(path) == 1
+
+
+def test_decontaminate_ngram_catalyst_python_parity(spark):
+    """The Catalyst n-gram derivation the artifact writers use
+    (_distinct_ngrams: lower -> [^a-z0-9]+ split -> guarded sliding
+    slices) enumerates EXACTLY the grams the Python probe kernel
+    replays — the span-grain _sentences_expr parity rule at word
+    grain, on punctuation/case/short-doc edges."""
+    import re
+
+    from clickhouse_etl_spark.dataops.dedup import _distinct_ngrams
+
+    texts = [
+        "The quick, BROWN fox! jumps --- over 2 lazy dogs.",
+        "one two three",
+        "short one",  # below n=3 -> no grams
+        "",
+        None,
+        "  leading?! and trailing...  ",
+        "a1 b2! C3 a1 b2? c3",  # repeats collapse in the DISTINCT set
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    n = 3
+    got = {
+        r["ngram"] for r in _distinct_ngrams(df, "text", n).collect()
+    }
+    split = re.compile(r"[^a-z0-9]+").split
+    want = set()
+    for t in texts:
+        toks = [w for w in split((t or "").lower()) if w]
+        for j in range(0, len(toks) - n + 1):
+            want.add(" ".join(toks[j : j + n]))
+    assert got == want and want, "parity set empty or diverged"
+
+
+def test_decontaminate_bloom_tier(spark, tmp_path):
+    """Bloom-tier decontamination: NO false negatives — every document
+    the exact digest probe flags, the bloom probe flags too (drop-mode
+    survivors are a subset); on this deterministic corpus the two
+    tiers agree exactly."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        decontaminate_against_path,
+        release_bloom_cache,
+        write_ngram_bloom_table,
+        write_ngram_digest_table,
+    )
+
+    bench = spark.createDataFrame(
+        [(i, f"benchmark question number {i} asks about topic {i}")
+         for i in range(40)],
+        "bench_id long, text string",
+    )
+    bpath = str(tmp_path / "ng_bloom")
+    dpath = str(tmp_path / "ng_digests")
+    write_ngram_bloom_table(bench, bpath, capacity=2000, n=5)
+    write_ngram_digest_table(bench, dpath, n=5, mode="overwrite")
+
+    train = spark.createDataFrame(
+        [(100 + i,
+          f"leaked benchmark question number {i} asks about topic {i}"
+          if i % 2 == 0
+          else f"original training text number {i} on subject {i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    dig = {
+        r["doc_id"]: (r["contaminated"], r["n_dirty_ngrams"])
+        for r in decontaminate_against_path(
+            train, dpath, n=5, action="flag"
+        ).collect()
+    }
+    blo = {
+        r["doc_id"]: (r["contaminated"], r["n_dirty_ngrams"])
+        for r in decontaminate_against_path(
+            train, bpath, n=5, action="flag", seen_format="bloom"
+        ).collect()
+    }
+    assert {d for d, (c, _) in dig.items() if c} == {100 + i for i in range(40) if i % 2 == 0}
+    # no false negatives: every exact-dirty gram probes dirty in bloom
+    for d, (c, k) in dig.items():
+        assert blo[d][1] >= k
+        if c:
+            assert blo[d][0]
+    assert blo == dig  # deterministic corpus: tiers agree exactly here
+    release_bloom_cache(bpath)
+
+
+def test_decontaminate_guards(spark, tmp_path):
+    """Fail-loud surfaces: unknown action; n < 1 (probe and writers);
+    flag-column clashes; an eval set too large to broadcast exactly
+    names write_ngram_bloom_table."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        decontaminate_against_path,
+        write_ngram_bloom_table,
+        write_ngram_digest_table,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "bench_id long, text string"
+    )
+    path = str(tmp_path / "ng")
+    write_ngram_digest_table(bench, path, n=3, mode="overwrite")
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="action"):
+        decontaminate_against_path(train, path, n=3, action="nope")
+    with _pytest.raises(ValueError, match=">= 1"):
+        decontaminate_against_path(train, path, n=0)
+    with _pytest.raises(ValueError, match=">= 1"):
+        write_ngram_digest_table(bench, str(tmp_path / "x"), n=0)
+    with _pytest.raises(ValueError, match=">= 1"):
+        write_ngram_bloom_table(bench, str(tmp_path / "y"), capacity=10, n=0)
+    with _pytest.raises(ValueError, match="contaminated"):
+        decontaminate_against_path(
+            train.withColumn("contaminated", F.lit(True)), path, n=3,
+            action="flag",
+        )
+    with _pytest.raises(ValueError, match="n_dirty_ngrams"):
+        decontaminate_against_path(
+            train.withColumn("n_dirty_ngrams", F.lit(0)), path, n=3,
+            action="flag",
+        )
+    # drop mode has no output columns to clash with — allowed
+    assert decontaminate_against_path(
+        train.withColumn("contaminated", F.lit(True)), path, n=3,
+        action="drop",
+    ).count() == 0
+    with _pytest.raises(ValueError, match="write_ngram_bloom_table"):
+        decontaminate_against_path(
+            train, path, n=3, max_broadcast_digests=1
+        )

@@ -1337,3 +1337,95 @@ def test_importance_against_on_spec_surface(spark, tmp_path):
     )
     s_out = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
     assert s_out.isStreaming and "score" in s_out.columns
+
+
+def test_decontaminate_against_on_spec_surface(spark, tmp_path):
+    """decontaminate_against (persisted eval-set n-gram probe) is
+    declarable, requires seen_path at PARSE time, and is one row-local
+    Arrow pass -> stream-safe (the dedup_against lifecycle at n-gram
+    grain — the published benchmark-decontamination deployment)."""
+    import datetime as dt
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.dedup import write_ngram_digest_table
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        REQUIRED_DATAOP_PARAMS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "decontaminate_against" in DATAOPS
+    assert "decontaminate_against" in STREAM_SAFE_DATAOPS
+    assert REQUIRED_DATAOP_PARAMS["decontaminate_against"] == ("seen_path",)
+
+    def _doc(cfg):
+        return _json.dumps({
+            "version": "v3", "pipeline_id": "p", "name": "n",
+            "sources": [{"type": "kafka", "source_id": "documents",
+                         "topic": "documents",
+                         "schema_fields": [
+                             {"name": "doc_id", "type": "int64"},
+                             {"name": "text", "type": "string"}]}],
+            "transforms": [{"type": "dataop", "source_id": "documents",
+                            "config": cfg}],
+            "sink": {"type": "clickhouse", "database": "d", "table": "t",
+                     "table_mapping": [
+                         {"source_id": "documents", "column_name": "doc_id",
+                          "field_name": "doc_id", "column_type": "Int64"}]},
+        })
+
+    with _pytest.raises(SpecError, match="seen_path"):
+        parse_pipeline_json(_doc({"op": "decontaminate_against"}))
+
+    seen = str(tmp_path / "eval_ngrams")
+    write_ngram_digest_table(
+        spark.createDataFrame(
+            [(0, "benchmark answer alpha beta gamma")],
+            "bench_id long, text string",
+        ),
+        seen,
+        n=3,
+        mode="overwrite",
+    )
+    spec = parse_pipeline_json(
+        _doc({"op": "decontaminate_against", "seen_path": seen, "n": 3})
+    )
+    cfg = spec.sources[0].dataops[0]
+    docs = spark.createDataFrame(
+        [(1, "stole the benchmark answer alpha verbatim"),
+         (2, "genuinely fresh training text")],
+        ["doc_id", "text"],
+    )
+    survivors = {r["doc_id"] for r in
+                 resolve_dataop(cfg.op)(docs, **cfg.params).collect()}
+    assert survivors == {2}  # drop is the default published action
+
+    # assembles into the one streaming chain (mid-chain position);
+    # drop mode leaves the schema unchanged
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "decon_stream_in")
+    spark.createDataFrame(
+        [(2, "genuinely fresh training text", dt.datetime(2024, 1, 1, 10))],
+        schema,
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(
+            op="decontaminate_against", params={"seen_path": seen, "n": 3}
+        ),),
+    )
+    out_stream = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out_stream.isStreaming
+    assert set(out_stream.columns) == {"doc_id", "text", "ts"}

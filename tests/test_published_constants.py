@@ -265,3 +265,45 @@ def test_bpe_merge_picks_most_frequent_pair_ties_lexicographic(spark):
     assert (first["left"], first["right"]) == ("a", "b")
     assert first["pair_count"] == 3
     assert (second["left"], second["right"]) == ("ab", "</w>")
+
+
+# --------------------------------------------------------------------------
+# Decontamination (GPT-3 — Brown et al. 2020, Appendix C; Gopher — Rae
+# et al. 2021, §A.5): remove training documents with a 13-gram
+# collision against evaluation data
+# --------------------------------------------------------------------------
+
+
+def test_decontamination_ngram_length_is_13(spark):
+    from clickhouse_etl_spark import queries
+    from clickhouse_etl_spark.dataops.dedup import (
+        DECONTAM_NGRAM_N,
+        decontaminate_against_path,
+        write_ngram_digest_table,
+    )
+
+    assert DECONTAM_NGRAM_N == 13
+    assert queries._DECONTAM_N == DECONTAM_NGRAM_N  # oracle SQL agrees
+
+    # behavioral boundary: a 13-token shared run flags, a 12-token one
+    # doesn't — the default-n probe implements exactly the paper value
+    bench_words = " ".join(f"w{i}" for i in range(13))
+    bench = spark.createDataFrame(
+        [(0, bench_words)], "bench_id long, text string"
+    )
+    path = f"/tmp/decontam_const_{id(spark)}"
+    write_ngram_digest_table(bench, path, mode="overwrite")
+    train = spark.createDataFrame(
+        [
+            (1, "lead " + bench_words + " tail"),  # full 13-gram -> dirty
+            (2, "lead " + " ".join(f"w{i}" for i in range(12)) + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_against_path(
+            train, path, action="flag"
+        ).collect()
+    }
+    assert out == {1: True, 2: False}

@@ -1110,3 +1110,92 @@ def test_line_dedup_against_stream_parity_and_wave_lifecycle(spark, tmp_path):
     }
     assert out3 == {21: "third wave only line."}
     release_line_digest_cache()
+
+def test_decontaminate_against_stream_parity(spark, tmp_path):
+    """Streaming decontamination: a training stream probes the
+    persisted eval-set n-gram artifact mid-chain (two parquet files ->
+    two micro-batches, append mode, drop action) and lands EXACTLY the
+    batch probe's surviving rows — the dedup_against deployment shape
+    at n-gram grain."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        decontaminate_against_path,
+        release_ngram_digest_cache,
+        write_ngram_digest_table,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    bench = spark.createDataFrame(
+        [
+            (0, "held out benchmark question one"),
+            (1, "held out benchmark question two"),
+        ],
+        "bench_id long, text string",
+    )
+    seen = str(tmp_path / "eval_ngrams")
+    write_ngram_digest_table(bench, seen, n=4, mode="overwrite")
+
+    train = spark.createDataFrame(
+        [
+            (10, "copied the held out benchmark question one verbatim"),
+            (11, "a fresh training document about nothing"),
+            (12, "another clean one entirely"),
+            (13, "Held OUT: benchmark; question two!"),  # case/punct fold
+        ],
+        "doc_id long, text string",
+    )
+    truth = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_against_path(train, seen, n=4).collect()
+    }
+    assert truth == {
+        (11, "a fresh training document about nothing"),
+        (12, "another clean one entirely"),
+    }
+
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    ts = dt.datetime(2024, 1, 1, 10)
+    src = str(tmp_path / "train_src")
+    rows = train.collect()
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], ts) for r in rows[:2]], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], ts) for r in rows[2:]], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(
+            op="decontaminate_against", params={"seen_path": seen, "n": 4}
+        ),),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+        .writeStream.format("memory")
+        .queryName("decontam_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT * FROM decontam_stream_out").collect()
+    }
+    assert got == truth
+    release_ngram_digest_cache()
