@@ -2109,6 +2109,48 @@ def write_ngram_bloom_table(
     )
 
 
+def _decontam_probe_kernel(probe, n: int, count: bool):
+    """The ONE row-local decontamination check every deployment shares
+    (:func:`decontaminate_against_path` and the fused curation stream —
+    the ``_score_kernel`` rule: one definition, composed everywhere):
+    tokenize the raw text with the :func:`_word_tokens_expr` convention
+    (``lower()`` + ``[^a-z0-9]+`` runs, ASCII case-fold assumption),
+    slide ``n``-grams, probe the seen-set. ``count=False`` returns an
+    early-exit boolean verdict (drop mode / the fused stream);
+    ``count=True`` returns the DISTINCT dirty-n-gram count (flag/audit
+    mode)."""
+    import re
+
+    split = re.compile(r"[^a-z0-9]+").split
+
+    if count:
+
+        def check(t):
+            toks = [
+                w for w in split((t if t is not None else "").lower()) if w
+            ]
+            return len(
+                {
+                    g
+                    for j in range(0, len(toks) - n + 1)
+                    if probe(g := " ".join(toks[j : j + n]))
+                }
+            )
+
+    else:
+
+        def check(t):
+            toks = [
+                w for w in split((t if t is not None else "").lower()) if w
+            ]
+            return any(
+                probe(" ".join(toks[j : j + n]))
+                for j in range(0, len(toks) - n + 1)
+            )
+
+    return check
+
+
 def decontaminate_against_path(
     df: DataFrame,
     seen_path: str,
@@ -2204,37 +2246,21 @@ def decontaminate_against_path(
     flag_mode = action == "flag"
 
     def gen(batches):
-        import re
-
         import pandas as pd
 
-        probe = make_probe()
-        split = re.compile(r"[^a-z0-9]+").split
+        check = _decontam_probe_kernel(make_probe(), n, count=flag_mode)
         for pdf in batches:
             if not len(pdf):
                 continue
             keep_idx, flags, counts = [], [], []
             for i, t in enumerate(pdf[tcol]):
-                toks = [
-                    w
-                    for w in split((t if t is not None else "").lower())
-                    if w
-                ]
                 if flag_mode:
-                    dirty = {
-                        g
-                        for j in range(0, len(toks) - n + 1)
-                        if probe(g := " ".join(toks[j : j + n]))
-                    }
+                    n_dirty = check(t)
                     keep_idx.append(i)
-                    flags.append(bool(dirty))
-                    counts.append(len(dirty))
-                else:
-                    if not any(
-                        probe(" ".join(toks[j : j + n]))
-                        for j in range(0, len(toks) - n + 1)
-                    ):
-                        keep_idx.append(i)
+                    flags.append(n_dirty > 0)
+                    counts.append(n_dirty)
+                elif not check(t):
+                    keep_idx.append(i)
             if keep_idx:
                 out = pdf.iloc[keep_idx][in_cols].copy()
                 if flag_mode:

@@ -6,10 +6,17 @@ internal/cmd/glassflow/dedup_component.go:210-225); the LLM-curation
 extension of that shape is the production pipeline every training-data
 team actually runs on the ingest stream:
 
-    normalize → dedup against the cross-wave seen-set → quality-score
-    against a persisted classifier → windowed rollup to the sink
+    [decontaminate against a persisted eval-set →] normalize → dedup
+    against the cross-wave seen-set → quality-score against a
+    persisted classifier [→ DSIR importance scoring] → windowed
+    rollup to the sink
 
 Every stage here is the stream-safe form of an oracle-backed batch op:
+
+- :func:`~clickhouse_etl_spark.dataops.dedup.decontaminate_against_path`
+  (optional first stage) — the published 13-gram benchmark-overlap
+  drop, eval n-gram set in the task closure
+  (``write_ngram_digest_table`` artifacts);
 
 - :func:`~clickhouse_etl_spark.dataops.text.normalize_text` — row-local
   Arrow canonicalization (the ``docs_normalize_text`` entry);
@@ -44,6 +51,9 @@ def curation_scored_stream(
     id_col: str = "doc_id",
     engine: str = "fused",
     importance_path: "str | None" = None,
+    decontam_path: "str | None" = None,
+    decontam_n: "int | None" = None,
+    decontam_format: str = "digests",
 ) -> DataFrame:
     """The row-local curation body (normalize → bloom dedup →
     classifier scoring, plus OPTIONAL DSIR importance scoring) without
@@ -68,7 +78,21 @@ def curation_scored_stream(
     Measured in-chain (streaming_bench, 100k docs): fused 22.1k vs
     staged 17.0k docs/s end-to-end — fused is the default; staged is
     the composition-of-tested-ops reference form.
+
+    ``decontam_path`` (optional) adds benchmark DECONTAMINATION as the
+    FIRST stage — drop every document sharing any ``decontam_n``-gram
+    (default the published 13) with the persisted eval-set artifact
+    (:func:`~clickhouse_etl_spark.dataops.dedup.write_ngram_digest_table`,
+    or the bloom tier via ``decontam_format="bloom"``). The probe runs
+    on the RAW text (the published protocol's own case/punctuation
+    fold makes it normalization-independent, and dropping leaked docs
+    before any other work is the deployment order); row-local,
+    early-exits on the first dirty gram.
     """
+    from ..dataops.dedup import DECONTAM_NGRAM_N
+
+    if decontam_n is None:
+        decontam_n = DECONTAM_NGRAM_N
     # the clash guard applies to BOTH engines (ADVICE r8: staged's
     # normalize_text would silently overwrite a pre-existing
     # text_norm/n_tokens_* column, diverging from fused's rejection)
@@ -82,13 +106,21 @@ def curation_scored_stream(
             "columns before the curation pass"
         )
     if engine == "staged":
-        from ..dataops.dedup import dedup_against_bloom_path
+        from ..dataops.dedup import (
+            dedup_against_bloom_path,
+            decontaminate_against_path,
+        )
         from ..dataops.text import (
             classify_against_path,
             importance_against_path,
             normalize_text,
         )
 
+        if decontam_path is not None:
+            docs = decontaminate_against_path(
+                docs, decontam_path, n=decontam_n, text_col=text_col,
+                seen_format=decontam_format,
+            )
         normed = normalize_text(docs, text_col=text_col, id_col=id_col)
         # the PROBE half only (not dedup_against_path, whose batch form
         # adds a within-batch first-wins window): batch and stream then
@@ -113,7 +145,12 @@ def curation_scored_stream(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..dataops.dedup import _bloom_broadcast, _bloom_probe_kernel
+    from ..dataops.dedup import (
+        _bloom_broadcast,
+        _bloom_probe_kernel,
+        _decontam_probe_kernel,
+        _seen_probe_factory,
+    )
     from ..dataops.text import (
         _iw_kernel,
         _load_classifier,
@@ -131,6 +168,14 @@ def curation_scored_stream(
         if importance_path is not None
         else None
     )
+    make_dc_probe = (
+        _seen_probe_factory(
+            spark, decontam_path, decontam_format, None, None, grain="ngram"
+        )
+        if decontam_path is not None
+        else None
+    )
+    dc_n = decontam_n
     in_cols = [f.name for f in docs.schema.fields]
     schema = T.StructType(
         list(docs.schema.fields)
@@ -160,13 +205,21 @@ def curation_scored_stream(
         seen = _bloom_probe_kernel(bc_words.value, m, k, n_shards)
         score = _score_kernel(dim, wt, s_sum, n_tr)
         iw_score = _iw_kernel(iw[0], iw[1]) if iw is not None else None
+        dirty = (
+            _decontam_probe_kernel(make_dc_probe(), dc_n, count=False)
+            if make_dc_probe is not None
+            else None
+        )
         for pdf in batches:
             if not len(pdf):
                 continue
-            # pass 1 (per row): normalize + bloom probe on the
-            # canonical text; survivors accumulate token lists
+            # pass 1 (per row): decontamination verdict on the RAW
+            # text, then normalize + bloom probe on the canonical
+            # text; survivors accumulate token lists
             keep0, norms, nraws, nnorms, tok_lists = [], [], [], [], []
             for i, x in enumerate(pdf[tcol]):
+                if dirty is not None and dirty(x):
+                    continue  # eval-set collision: drops, never leaks
                 cleaned, nr, nn = norm(x)
                 if seen(cleaned):
                     continue  # seen document: drops, never leaks
@@ -217,6 +270,9 @@ def curation_rollup_stream(
     id_col: str = "doc_id",
     engine: str = "fused",
     importance_path: "str | None" = None,
+    decontam_path: "str | None" = None,
+    decontam_n: "int | None" = None,
+    decontam_format: str = "digests",
 ) -> DataFrame:
     """The full curation chain as ONE streaming frame: scored survivors
     rolled up per (tumbling window, pred) — kept/flagged document
@@ -231,6 +287,8 @@ def curation_rollup_stream(
     scored = curation_scored_stream(
         docs, bloom_path, weights_path, text_col=text_col, id_col=id_col,
         engine=engine, importance_path=importance_path,
+        decontam_path=decontam_path, decontam_n=decontam_n,
+        decontam_format=decontam_format,
     )
     win = F.window(ts_col, window_duration)
     aggs = [

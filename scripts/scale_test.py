@@ -1225,24 +1225,36 @@ def section_r10(spark) -> None:
         write_span_digest_table,
     )
 
+    # the raw synthetic corpus is punctuation-free (zero sentences ->
+    # zero spans -> an empty seen-set that never hits); lineate it with
+    # the registry's deterministic sentence structure so the probe's
+    # seen-set is REAL and hits actually fire at decade scale
+    from clickhouse_etl_spark.queries import _lineate_expr
+
     span_path = f"{BASE}/span_digests_r10"
+    lin1 = d1.withColumn("text", _lineate_expr())
+    lin10 = d10.withColumn("text", _lineate_expr())
     t0 = time.perf_counter()
-    write_span_digest_table(d1, span_path, mode="overwrite")
+    write_span_digest_table(lin1, span_path, mode="overwrite")
     n_spans = spark.read.parquet(span_path).count()
     print(
-        f"write_span_digest_table (one-time, 1M docs -> {n_spans} "
-        f"digests): {time.perf_counter()-t0:.1f}s"
+        f"write_span_digest_table (one-time, 1M lineated docs -> "
+        f"{n_spans} digests): {time.perf_counter()-t0:.1f}s"
     )
+    assert n_spans > 0, "lineated corpus produced no spans"
     _pair(
         "span_dedup_against[digests]",
-        span_dedup_against_path(d1, span_path),
-        span_dedup_against_path(d10, span_path),
+        span_dedup_against_path(lin1, span_path),
+        span_dedup_against_path(lin10, span_path),
     )
     release_span_digest_cache(span_path)
+    # same lineation for the batch op: raw docs carry ONE sentence each
+    # (no terminal marks -> no 3-spans -> the shuffle would be empty);
+    # lineated, every span repeats 100+ ways — the all-dup worst case
     _pair(
         "sentence_span_dedup",
-        sentence_span_dedup(d1),
-        sentence_span_dedup(d10),
+        sentence_span_dedup(lin1),
+        sentence_span_dedup(lin10),
     )
     # n-gram-grain decontamination probe (the published 13-gram rule):
     # the benchmark artifact builds ONCE from the 100k base corpus (a

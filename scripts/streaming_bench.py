@@ -198,7 +198,9 @@ def curation_chain_bench(spark) -> None:
 
     from clickhouse_etl_spark.dataops.dedup import (
         release_bloom_cache,
+        release_ngram_digest_cache,
         write_bloom_table,
+        write_ngram_digest_table,
     )
     from clickhouse_etl_spark.dataops.text import (
         normalize_text,
@@ -211,6 +213,7 @@ def curation_chain_bench(spark) -> None:
     bloom_path = f"{BASE}/curation_bloom"
     model_path = f"{BASE}/curation_clf"
     iw_path = f"{BASE}/curation_iw"
+    dc_path = f"{BASE}/curation_eval_ngrams"
     if not os.path.isdir(docs_dir):
         raise SystemExit("run scripts/scale_test.py first (materializes docs)")
     raw = spark.read.parquet(docs_dir)
@@ -240,6 +243,11 @@ def curation_chain_bench(spark) -> None:
         normalize_text(docs), iw_path, targets, text_col="text_norm",
         mode="overwrite",
     )
+    # eval-set n-grams for the optional decontamination stage: a
+    # benchmark-suite-sized slice (2% of the corpus) at the published n
+    write_ngram_digest_table(
+        docs.filter("doc_id % 50 = 0"), dc_path, mode="overwrite"
+    )
     artifacts_s = time.perf_counter() - t0
 
     schema = (
@@ -250,12 +258,21 @@ def curation_chain_bench(spark) -> None:
         .add("ts", "timestamp")
     )
     # the third variant carries the optional DSIR importance stage in
-    # the SAME fused pass (VERDICT r9 #8)
-    for engine, iw in (("staged", None), ("fused", None), ("fused", iw_path)):
+    # the SAME fused pass (VERDICT r9 #8); the fourth adds the
+    # decontamination probe as the fused chain's FIRST stage (r10) —
+    # the full five-stage deployment in ONE StreamingQuery
+    for engine, iw, dc in (
+        ("staged", None, None),
+        ("fused", None, None),
+        ("fused", iw_path, None),
+        ("fused", iw_path, dc_path),
+    ):
         best = float("inf")
         for i in range(2):
             release_bloom_cache(bloom_path)
-            ckpt = f"{BASE}/curation_ckpt_{engine}_{'iw' if iw else 'plain'}_{i}"
+            release_ngram_digest_cache()
+            tag = f"{'iw' if iw else 'plain'}{'_dc' if dc else ''}"
+            ckpt = f"{BASE}/curation_ckpt_{engine}_{tag}_{i}"
             shutil.rmtree(ckpt, ignore_errors=True)
             stream = (
                 spark.readStream.schema(schema)
@@ -264,7 +281,7 @@ def curation_chain_bench(spark) -> None:
             )
             rolled = curation_rollup_stream(
                 stream, bloom_path, model_path, engine=engine,
-                importance_path=iw,
+                importance_path=iw, decontam_path=dc,
             )
             t0 = time.perf_counter()
             q = (
@@ -280,7 +297,9 @@ def curation_chain_bench(spark) -> None:
             json.dumps(
                 {
                     "metric": "curation_chain_throughput",
-                    "engine": engine + ("+importance" if iw else ""),
+                    "engine": engine
+                    + ("+importance" if iw else "")
+                    + ("+decontam" if dc else ""),
                     "rows_in": n_in,
                     "artifact_build_seconds": round(artifacts_s, 2),
                     "seconds": round(best, 2),

@@ -2238,6 +2238,54 @@ def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
     for row in a2:
         assert row[idx["iw_tokens"]] == row[idx["n_tokens_norm"]]
         assert row[idx["iw_score"]] > 0
+
+    # the optional DECONTAMINATION stage composes into the same pass
+    # (r10): persist the n-grams of a benchmark slice of the corpus,
+    # probe on the RAW text — fused == staged with the stage active,
+    # every benchmark-colliding doc is gone, the stage strictly
+    # shrinks the survivor set, and clean survivors are unchanged
+    from clickhouse_etl_spark.dataops.dedup import (
+        release_ngram_digest_cache,
+        write_ngram_digest_table,
+    )
+
+    dc_path = str(tmp_path / "fused_eval_ngrams")
+    write_ngram_digest_table(
+        corpus2.filter("doc_id % 5 = 1"), dc_path, n=5, mode="overwrite"
+    )
+    a3 = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus2, bloom, weights, engine="staged",
+            importance_path=iw_path, decontam_path=dc_path, decontam_n=5,
+        ).collect()
+    )
+    b3 = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus2, bloom, weights, engine="fused",
+            importance_path=iw_path, decontam_path=dc_path, decontam_n=5,
+        ).collect()
+    )
+    assert a3 == b3
+    assert a3, "decontaminated curation output must be non-empty"
+    assert len(a3) < len(a2), "decontamination must drop colliders"
+    # composition law: the in-chain stage == the standalone dataop
+    # prepended to the 4-stage body (clean docs scored identically)
+    from clickhouse_etl_spark.dataops.dedup import decontaminate_against_path
+
+    clean_ids = {
+        r["doc_id"]
+        for r in decontaminate_against_path(
+            corpus2, dc_path, n=5
+        ).select("doc_id").collect()
+    }
+    id_i = idx["doc_id"]
+    assert {row[id_i] for row in a3} == {
+        row[id_i] for row in a2 if row[id_i] in clean_ids
+    }
+    assert set(a3) == {row for row in a2 if row[id_i] in clean_ids}
+    release_ngram_digest_cache(dc_path)
     release_bloom_cache(bloom)
 
 
