@@ -2000,20 +2000,20 @@ def span_dedup_against_path(
 DECONTAM_NGRAM_N = 13
 
 
-def _word_tokens_expr(text_col: str) -> Column:
-    """Case-folded alphanumeric-run word tokens of ``text_col`` — the
-    decontamination token unit (the published recipes match n-grams
-    case- and punctuation-insensitively). Same convention as the C4
-    bad-words matcher: ``lower()`` then split on ``[^a-z0-9]+`` runs,
-    drop empties; null text tokenizes like empty (the digest-lifecycle
-    null policy). ASCII case-fold assumption as documented for the
+def _word_tokens_expr(text) -> Column:
+    """Case-folded alphanumeric-run word tokens of ``text`` (a column
+    name or Column) — the decontamination token unit (the published
+    recipes match n-grams case- and punctuation-insensitively), and
+    the ONE definition of the ``lower()`` → split ``[^a-z0-9]+`` →
+    drop-empties convention (the C4 bad-words matcher composes it
+    too). Null text tokenizes like empty (the digest-lifecycle null
+    policy). ASCII case-fold assumption as documented for the
     classify_against family: the Python probe kernel replays this with
     ``str.lower()``/``re.split``, identical on ASCII corpora (parity
     equality-pinned in tests/test_dataops.py)."""
+    col = F.col(text) if isinstance(text, str) else text
     return F.filter(
-        F.split(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"
-        ),
+        F.split(F.lower(F.coalesce(col, F.lit(""))), "[^a-z0-9]+"),
         lambda w: F.length(w) > 0,
     )
 
@@ -2119,6 +2119,11 @@ def _decontam_probe_kernel(probe, n: int, count: bool):
     early-exit boolean verdict (drop mode / the fused stream);
     ``count=True`` returns the DISTINCT dirty-n-gram count (flag/audit
     mode)."""
+    # validate HERE, the one shared definition — a fused-curation
+    # caller passing n=0 would otherwise probe '' grams that never hit
+    # and silently disable decontamination (review r10)
+    if n < 1:
+        raise ValueError("n must be >= 1")
     import re
 
     split = re.compile(r"[^a-z0-9]+").split

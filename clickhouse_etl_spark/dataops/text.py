@@ -290,7 +290,6 @@ def c4_filters(
             c = F.replace(c, F.lit(ch), F.lit(""))
         return c
 
-    lower_text = F.lower(text)
     n_sentences = (
         F.length(text_clean) - F.length(_strip_punct(text_clean))
     ).cast("bigint")
@@ -313,11 +312,10 @@ def c4_filters(
             )
         # split on ANY non-alphanumeric run: 'badword.' at sentence
         # end and newline-adjacent occurrences still tokenize clean
-        toks = F.array_distinct(
-            F.filter(
-                F.split(lower_text, "[^a-z0-9]+"), lambda w: F.length(w) > 0
-            )
-        )
+        # (the ONE tokenizer definition, shared with decontamination)
+        from .dedup import _word_tokens_expr
+
+        toks = F.array_distinct(_word_tokens_expr(text))
         bad = F.array(*[F.lit(str(w).lower()) for w in bad_words])
         r_bad = F.when(
             F.size(F.array_intersect(toks, bad)) == 0, F.lit(1)

@@ -6413,6 +6413,7 @@ def docs_decontaminate_against(spark, sf_dir):
         release_ngram_digest_cache,
         write_ngram_digest_table,
     )
+    from .dataops.util import scale_out
 
     docs = _t(spark, sf_dir, "documents")
     base = (
@@ -6425,8 +6426,11 @@ def docs_decontaminate_against(spark, sf_dir):
         n=_DECONTAM_N, mode="overwrite",
     )
     release_ngram_digest_cache(seen)  # re-read the fresh artifact
+    # single-file parquet reads as ONE partition — scale_out before the
+    # compute-heavy inline probe (the r9 inline-DSIR rule; the SERVE
+    # path, decontaminate_against_path itself, stays repartition-free)
     out = decontaminate_against_path(
-        docs.filter(F.col("doc_id") % 10 != 0), seen,
+        scale_out(docs.filter(F.col("doc_id") % 10 != 0)), seen,
         n=_DECONTAM_N, action="flag",
     )
     return out.select(
