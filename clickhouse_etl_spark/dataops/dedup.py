@@ -2432,3 +2432,399 @@ def simhash_near_dup_pairs(
         )
     )
     return within.unionByName(cross)
+
+
+# --- MinHash-LSH near-dup serving split --------------------------------
+#
+# The near-dup grain of the train-offline/probe-online lifecycle: the
+# exact-digest (document), bloom, line, span, and n-gram (decontam)
+# seen-sets all have persisted probe paths; this adds the published
+# MinHash-LSH bucket-removal (Rae et al. 2021 §A.4 / Lee et al. 2021:
+# on an LSH band match with an already-kept document, remove the new
+# one). Wave N's survivors register their band keys once; every later
+# wave probes the artifact row-locally — no corpus-side candidate join
+# at serving time.
+
+
+def _band_geometry_check(n: int, k: int, rows_per_band: int) -> int:
+    """Validate an LSH band geometry and return n_bands — the ONE
+    definition the writers and the probe share (fail-loud at plan
+    construction, the parse-time-validation principle)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not 1 <= k <= len(MINHASH_COEFFS):
+        raise ValueError(
+            f"k must be in [1, {len(MINHASH_COEFFS)}] (the fixed "
+            f"MINHASH_COEFFS family), got {k}"
+        )
+    if rows_per_band < 1 or k % rows_per_band:
+        raise ValueError(
+            f"k ({k}) must divide evenly into rows_per_band "
+            f"({rows_per_band}) bands — an indivisible geometry would "
+            "silently drop signature rows"
+        )
+    return k // rows_per_band
+
+
+def _band_keys_expr(
+    text: Column, n: int, k: int, rows_per_band: int
+) -> Column:
+    """Catalyst array of LSH band-key strings ``"{band_idx}:{v}_{v}"``
+    for one document — the exact key format
+    :func:`minhash_lsh_pairs`'s candidate join buckets on, over the
+    same portable signature family (:func:`_minhash_signature`). A
+    document with fewer than ``n`` words has no shingles, hence no
+    signature: the array is EMPTY (it neither registers in an artifact
+    nor probes one — the pair-miner analogue, where gram-less docs
+    cannot form verified pairs)."""
+    n_bands = _band_geometry_check(n, k, rows_per_band)
+    t = F.coalesce(text, F.lit(""))
+    grams = _word_ngrams(t, n)
+    hashes = F.transform(grams, char_fold_hash)
+    sig = [
+        F.array_min(F.transform(hashes, _affine_mapper(a, b)))
+        for a, b in MINHASH_COEFFS[:k]
+    ]
+    bands = [
+        F.concat_ws(
+            ":",
+            F.lit(str(i)),
+            F.concat_ws(
+                "_",
+                *[
+                    sig[i * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ),
+        )
+        for i in range(n_bands)
+    ]
+    return F.when(F.size(grams) >= 1, F.array(*bands)).otherwise(
+        F.expr("array()").cast("array<string>")
+    )
+
+
+def _distinct_band_keys(
+    df: DataFrame, text_col: str, n: int, k: int, rows_per_band: int
+) -> DataFrame:
+    """The DISTINCT LSH band-key strings of a document frame (one
+    ``band`` column) — the near-dup seen-set both artifact writers
+    share (:func:`_distinct_lines` at band grain)."""
+    return (
+        df.select(
+            F.explode(
+                _band_keys_expr(F.col(text_col), n, k, rows_per_band)
+            ).alias("band")
+        )
+        .distinct()
+    )
+
+
+def _write_band_geometry(
+    spark, path: str, n: int, k: int, rows_per_band: int, mode: str
+) -> None:
+    (
+        spark.createDataFrame(
+            [(int(n), int(k), int(rows_per_band))],
+            "n int, k int, rows_per_band int",
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{path.rstrip('/')}/geometry")
+    )
+
+
+def _band_geometry(spark, path: str) -> "tuple[int, int, int]":
+    """Read and validate the ONE geometry of a band artifact at
+    ``path`` — the probe derives (n, k, rows_per_band) FROM the
+    artifact, so there is no probe-side parameter to mismatch (the
+    bloom single-geometry lesson, solved by construction). Mixed
+    geometries (appends under different parameters) fail loud."""
+    rows = (
+        spark.read.parquet(f"{path.rstrip('/')}/geometry")
+        .distinct()
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"band artifact at {path!r} holds {len(rows)} distinct "
+            "geometries — every wave must register under the SAME "
+            "(n, k, rows_per_band); rebuild the artifact"
+        )
+    r = rows[0]
+    return int(r["n"]), int(r["k"]), int(r["rows_per_band"])
+
+
+def write_band_digest_table(
+    df: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Persist the DISTINCT LSH band-key digests of an ingest wave —
+    the near-dup mirror of :func:`write_digest_table`, and the
+    artifact :func:`neardup_against_path` probes. Layout:
+    ``{path}/bands`` (one ``digest`` column, the shared
+    digest-broadcast format) + ``{path}/geometry`` (one row of
+    (n, k, rows_per_band), asserted single at probe time).
+
+    Register the wave's KEPT documents (survivors of within-wave
+    near-dup removal), then probe the next wave: the artifact is
+    ``n_bands`` 16-byte digests per registered document, shipped
+    between waves instead of text or signatures. ``mode="append"``
+    accumulates across waves (the probe reads DISTINCT digests, so
+    overlap between appends is harmless — but the geometry must
+    match).
+
+    Scale shape: one row-local signature projection + one explode +
+    one distinct — a band-keyed shuffle whose keys are
+    high-cardinality by construction (hash-partition-even, the
+    :func:`minhash_lsh_pairs` candidate-join property).
+    """
+    _band_geometry_check(n, k, rows_per_band)
+    (
+        _distinct_band_keys(df, text_col, n, k, rows_per_band)
+        .select(F.md5("band").alias("digest"))
+        .write.mode(mode)
+        .parquet(f"{path.rstrip('/')}/bands")
+    )
+    _write_band_geometry(df.sparkSession, path, n, k, rows_per_band, mode)
+
+
+def write_band_bloom_table(
+    df: DataFrame,
+    path: str,
+    capacity: int,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+    text_col: str = "text",
+    mode: str = "overwrite",
+    n_shards: int = 1,
+) -> None:
+    """Band-grain Bloom seen-set: :func:`write_bloom_table` over the
+    wave's distinct band keys — the 100-TB tier of the near-dup
+    lifecycle, for waves whose band-key set outgrows the exact digest
+    broadcast (size ``capacity`` to the true distinct band-key count,
+    ~= kept_docs x n_bands). Probe via
+    ``neardup_against_path(..., seen_format="bloom")``. No false
+    negatives: a genuinely colliding band always hits; ~FPR of fresh
+    bands hit with it — compounding the LSH candidate FP rate by the
+    bloom FP rate (both declared trades). Cross-wave accumulation is
+    :func:`merge_band_bloom_tables`."""
+    _band_geometry_check(n, k, rows_per_band)
+    write_bloom_table(
+        _distinct_band_keys(df, text_col, n, k, rows_per_band),
+        f"{path.rstrip('/')}/bands",
+        capacity,
+        bits_per_key=bits_per_key,
+        n_hashes=n_hashes,
+        text_col="band",
+        mode=mode,
+        n_shards=n_shards,
+    )
+    _write_band_geometry(df.sparkSession, path, n, k, rows_per_band, mode)
+
+
+def merge_band_bloom_tables(
+    spark, paths: "list[str]", out_path: str, mode: str = "overwrite"
+) -> None:
+    """OR-merge bloom-tier band artifacts from several waves into one
+    (the :func:`merge_bloom_tables` wrapper that also carries the
+    geometry sidecar, asserting every input registered under the SAME
+    (n, k, rows_per_band))."""
+    geoms = {_band_geometry(spark, p) for p in paths}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"cannot merge band artifacts with mixed geometries {sorted(geoms)}"
+        )
+    merge_bloom_tables(
+        spark,
+        [f"{p.rstrip('/')}/bands" for p in paths],
+        f"{out_path.rstrip('/')}/bands",
+        mode=mode,
+    )
+    n, k, rpb = next(iter(geoms))
+    _write_band_geometry(spark, out_path, n, k, rpb, mode)
+
+
+def _neardup_probe_kernel(
+    probe, n: int, k: int, rows_per_band: int, count: bool
+):
+    """The ONE row-local near-dup check every deployment shares
+    (:func:`neardup_against_path`; the ``_decontam_probe_kernel``
+    rule): replay the Catalyst band-key derivation in Python —
+    single-space token split keeping empties (``F.split(text, " ")``),
+    guarded sliding ``n``-word windows, distinct, char-fold hash,
+    ``MINHASH_COEFFS[:k]`` affine minima, ``"{i}:{v}_{v}"`` band keys
+    — and probe the seen-set. ``count=False`` returns an early-exit
+    boolean verdict (drop mode); ``count=True`` returns the number of
+    bands that hit (flag/audit mode; more bands hit ~= higher
+    estimated Jaccard, the LSH collision-probability curve)."""
+    n_bands = _band_geometry_check(n, k, rows_per_band)
+    from .hashing import HASH_MOD, char_fold_hash_py
+
+    coeffs = MINHASH_COEFFS[:k]
+
+    def band_keys(t):
+        toks = (t if t is not None else "").split(" ")
+        if len(toks) < n:
+            return []
+        grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        hs = [char_fold_hash_py(g) for g in grams]
+        sig = [min((a * h + b) % HASH_MOD for h in hs) for a, b in coeffs]
+        return [
+            str(i)
+            + ":"
+            + "_".join(
+                str(v)
+                for v in sig[i * rows_per_band : (i + 1) * rows_per_band]
+            )
+            for i in range(n_bands)
+        ]
+
+    if count:
+
+        def check(t):
+            return sum(1 for key in band_keys(t) if probe(key))
+
+    else:
+
+        def check(t):
+            return any(probe(key) for key in band_keys(t))
+
+    return check
+
+
+def neardup_against_path(
+    df: DataFrame,
+    seen_path: str,
+    text_col: str = "text",
+    action: str = "drop",
+    flag_col: str = "neardup",
+    count_col: str = "n_bands_hit",
+    seen_format: str = "digests",
+    max_bitmap_bytes: "int | None" = None,
+    max_broadcast_digests: "int | None" = None,
+) -> DataFrame:
+    """Stream-safe cross-wave NEAR-dup removal: probe every document's
+    MinHash-LSH band keys against a persisted band artifact and drop
+    (or flag) documents colliding with any already-registered band —
+    the published LSH bucket-removal (Rae et al. 2021 §A.4: MinHashLSH
+    match => remove; Lee et al. 2021 NearDup), deployed like
+    :func:`dedup_against_path`: wave N survivors →
+    :func:`write_band_digest_table` (or the bloom tier) → wave N+1
+    probes it. Geometry (n, k, rows_per_band) is read FROM the
+    artifact, so the probe cannot silently compute mismatched keys.
+
+    Semantics (identical on batch and streaming input — that IS the
+    parity guarantee):
+
+    - the verdict is CANDIDATE-grain, exactly the published removal
+      action: a band collision drops the document without Jaccard
+      verification (the within-wave batch miner
+      :func:`minhash_lsh_pairs` is where exact verification lives;
+      tune the band geometry for the collision-probability curve you
+      want — the s-curve threshold is (1/n_bands)^(1/rows_per_band));
+    - ``action="drop"`` keeps only non-colliding documents, schema
+      unchanged, early-exit on the first hit; ``action="flag"``
+      appends ``flag_col`` (boolean) + ``count_col`` (bigint, bands
+      hit of n_bands — a collision-strength audit signal);
+    - documents with fewer than ``n`` words carry no signature and
+      are always kept (null/empty text likewise);
+    - within-wave near-dup removal stays the batch miner's job, as
+      within-stream document dups are the dedup STAGE's job for
+      :func:`dedup_against_path`.
+
+    Scale shape: ONE row-local Arrow ``mapInPandas`` pass — no join,
+    no shuffle, no state — with the band seen-set in the task closure
+    (exact 16-byte digest broadcast bounded at 10M keys, or a
+    :func:`write_band_bloom_table` bitmap via the shared
+    :func:`_seen_probe_factory`). Append-safe under Structured
+    Streaming (the stream-safe ``neardup_against`` dataop); the
+    reference deployment shape is preserved — the probe composes
+    mid-chain in the one StreamingQuery like every row-local stage
+    (streaming_component.go:289-360).
+    """
+    spark = df.sparkSession
+    if action not in ("drop", "flag"):
+        raise ValueError(f"unknown action {action!r}: drop|flag")
+    if action == "flag":
+        for c in (flag_col, count_col):
+            if c in df.columns:
+                raise ValueError(
+                    f"input already has a {c!r} column — rename it "
+                    "before neardup_against"
+                )
+    n, k, rows_per_band = _band_geometry(spark, seen_path)
+    make_probe = _seen_probe_factory(
+        spark,
+        f"{seen_path.rstrip('/')}/bands",
+        seen_format,
+        max_bitmap_bytes,
+        max_broadcast_digests,
+        grain="band",
+    )
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_cols = [f.name for f in df.schema.fields]
+    if action == "flag":
+        schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField(flag_col, BooleanType()),
+                StructField(count_col, LongType()),
+            ]
+        )
+    else:
+        schema = df.schema
+    tcol = text_col
+    flag_mode = action == "flag"
+
+    def gen(batches):
+        import pandas as pd
+
+        check = _neardup_probe_kernel(
+            make_probe(), n, k, rows_per_band, count=flag_mode
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep_idx, flags, counts = [], [], []
+            for i, t in enumerate(pdf[tcol]):
+                if flag_mode:
+                    hits = check(t)
+                    keep_idx.append(i)
+                    flags.append(hits > 0)
+                    counts.append(hits)
+                elif not check(t):
+                    keep_idx.append(i)
+            if keep_idx:
+                out = pdf.iloc[keep_idx][in_cols].copy()
+                if flag_mode:
+                    out[flag_col] = pd.Series(
+                        flags, dtype="bool", index=out.index
+                    )
+                    out[count_col] = pd.Series(
+                        counts, dtype="int64", index=out.index
+                    )
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+#: band-grain alias — the near-dup digest broadcasts share the
+#: line/span/ngram digest cache (keyed by artifact path; release with
+#: the BANDS subpath, f"{path}/bands")
+release_band_digest_cache = release_line_digest_cache

@@ -116,7 +116,7 @@ DATAOPS = frozenset({
     "ann_serve", "gopher_rules", "temperature_mixture",
     "c4_filters", "line_dedup", "importance_weights",
     "importance_against", "line_dedup_against", "sentence_span_dedup",
-    "span_dedup_against", "decontaminate_against",
+    "span_dedup_against", "decontaminate_against", "neardup_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -129,6 +129,7 @@ REQUIRED_DATAOP_PARAMS = {
     "line_dedup_against": ("seen_path",),
     "span_dedup_against": ("seen_path",),
     "decontaminate_against": ("seen_path",),
+    "neardup_against": ("seen_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -189,6 +190,13 @@ REQUIRED_DATAOP_PARAMS = {
 # row-local Arrow pass with the eval seen-set in the task closure:
 # stream-safe, the dedup_against train-offline/probe-online pattern at
 # n-gram grain (the published 13-gram decontamination rule).
+# neardup_against — probing each document's MinHash-LSH band keys
+# against a PERSISTED band artifact (write_band_digest_table /
+# write_band_bloom_table) and dropping/flagging collisions (the
+# published LSH bucket-removal) — is one row-local Arrow pass with the
+# band seen-set in the task closure: stream-safe, the same pattern at
+# NEAR-dup grain; within-wave near-dup mining (minhash_lsh_pairs)
+# stays batch/library-level because candidate pairs need the corpus.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -214,6 +222,7 @@ def resolve_dataop(op: str):
         exact_dedup_keep,
         line_dedup,
         line_dedup_against_path,
+        neardup_against_path,
         sentence_span_dedup,
         simhash,
         span_dedup,
@@ -328,6 +337,7 @@ def resolve_dataop(op: str):
         "sentence_span_dedup": sentence_span_dedup,
         "span_dedup_against": span_dedup_against_path,
         "decontaminate_against": decontaminate_against_path,
+        "neardup_against": neardup_against_path,
         "importance_weights": importance_weights,
         "importance_against": importance_against_path,
     }

@@ -3435,3 +3435,301 @@ def test_decontaminate_guards(spark, tmp_path):
         decontaminate_against_path(
             train, path, n=3, max_broadcast_digests=1
         )
+
+
+def test_neardup_against_lifecycle(spark, tmp_path):
+    """The MinHash-LSH near-dup serving split: wave-1 survivors ->
+    write_band_digest_table -> wave 2 probes it. The flag verdict
+    equals the REFERENCE band-intersection computed Catalyst-side
+    (deterministic regardless of hash luck); an exact copy hits every
+    band; short/null docs carry no signature and always pass; drop ==
+    flag-filtered; a second wave APPENDS and the cached seen-set
+    rotates on the listing change."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        _band_keys_expr,
+        _distinct_band_keys,
+        neardup_against_path,
+        release_band_digest_cache,
+        write_band_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs today"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "band_seen")
+    write_band_digest_table(wave1, path, n=3, k=8, rows_per_band=2,
+                            mode="overwrite")
+
+    wave2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact
+            (11, "prefix the quick brown fox jumps over the lazy dog"),
+            (12, "a completely fresh document about training data"),
+            (13, "two words"),  # < n tokens -> no signature
+            (14, None),
+        ],
+        "doc_id long, text string",
+    )
+    # reference verdict: per-doc band keys intersected with wave-1's set
+    w1_keys = {
+        r["band"]
+        for r in _distinct_band_keys(wave1, "text", 3, 8, 2).collect()
+    }
+    expected = {
+        r["doc_id"]: len(set(r["keys"]) & w1_keys)
+        for r in wave2.select(
+            "doc_id",
+            _band_keys_expr(F.col("text"), 3, 8, 2).alias("keys"),
+        ).collect()
+    }
+    assert expected[10] == 4  # identical text -> all k/rows_per_band bands
+    assert expected[13] == 0 and expected[14] == 0
+
+    flagged = {
+        r["doc_id"]: (r["neardup"], r["n_bands_hit"])
+        for r in neardup_against_path(wave2, path, action="flag").collect()
+    }
+    assert set(flagged) == {10, 11, 12, 13, 14}
+    for d, hits in expected.items():
+        assert flagged[d] == (hits > 0, hits), f"doc {d}"
+
+    dropped = {
+        r["doc_id"]
+        for r in neardup_against_path(wave2, path, action="drop").collect()
+    }
+    assert dropped == {d for d, (v, _) in flagged.items() if not v}
+
+    # wave-2 survivors register; the cache rotates on the listing
+    # change and an exact copy of doc 12 now collides
+    write_band_digest_table(
+        wave2.filter(F.col("doc_id").isin(list(dropped))), path,
+        n=3, k=8, rows_per_band=2, mode="append",
+    )
+    wave3 = spark.createDataFrame(
+        [(20, "a completely fresh document about training data")],
+        "doc_id long, text string",
+    )
+    flagged3 = {
+        r["doc_id"]: r["n_bands_hit"]
+        for r in neardup_against_path(wave3, path, action="flag").collect()
+    }
+    assert flagged3[20] == 4
+    assert release_band_digest_cache(f"{path}/bands") == 1
+
+
+def test_neardup_band_catalyst_python_parity(spark):
+    """The Catalyst band-key derivation the artifact writers use
+    (_band_keys_expr: single-space split keeping empties, guarded
+    sliding windows, distinct, char-fold, affine minima, "{i}:{v}_{v}"
+    keys) produces EXACTLY the keys the Python probe kernel replays —
+    the decontam parity rule at band grain, on short/empty/null/
+    multi-space edges."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        _band_keys_expr,
+        _neardup_probe_kernel,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two three",
+        "two words",  # below n=3 -> no keys
+        "",
+        None,
+        "double  space  tokens  here",  # empty tokens preserved
+        "repeat repeat repeat repeat repeat",  # grams collapse distinct
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    catalyst = {
+        r["i"]: list(r["keys"])
+        for r in df.select(
+            "i", _band_keys_expr(F.col("text"), 3, 8, 2).alias("keys")
+        ).collect()
+    }
+
+    def record_keys(t):
+        probed = []
+        kern = _neardup_probe_kernel(
+            lambda key: probed.append(key) or False, 3, 8, 2, count=True
+        )
+        kern(t)
+        return probed
+
+    any_keys = False
+    for i, t in enumerate(texts):
+        assert record_keys(t) == catalyst[i], f"text {i}"
+        any_keys = any_keys or bool(catalyst[i])
+    assert any_keys, "parity set empty"
+
+
+def test_neardup_vs_pair_miner_no_false_negatives(spark, tmp_path):
+    """Every cross-wave candidate the batch miner verifies
+    (minhash_lsh_pairs over the union, same geometry) has its wave-2
+    member flagged by the probe — the serving split can only ADD
+    unverified candidates (the declared candidate-grain trade), never
+    miss a verified near-dup."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        minhash_lsh_pairs,
+        neardup_against_path,
+        write_band_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "completely different text about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),  # near
+            (11, "fresh and unrelated content goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        wave1.unionByName(wave2), n=3, k=8, rows_per_band=2, threshold=0.0
+    ).collect()
+    cross_w2 = {
+        r["id_b"] for r in pairs if r["id_a"] < 10 and r["id_b"] >= 10
+    } | {r["id_a"] for r in pairs if r["id_b"] < 10 and r["id_a"] >= 10}
+    assert 10 in cross_w2  # the near-copy IS a candidate
+
+    path = str(tmp_path / "band_fn")
+    write_band_digest_table(wave1, path, n=3, k=8, rows_per_band=2,
+                            mode="overwrite")
+    flagged = {
+        r["doc_id"]
+        for r in neardup_against_path(wave2, path, action="flag").collect()
+        if r["neardup"]
+    }
+    assert cross_w2 <= flagged
+
+
+def test_neardup_bloom_tier(spark, tmp_path):
+    """Bloom-tier near-dup probing: NO false negatives — every document
+    the exact digest probe flags, the bloom probe flags too (drop-mode
+    survivors are a subset); merge_band_bloom_tables carries the
+    geometry and equals the per-wave artifacts' union verdicts."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        merge_band_bloom_tables,
+        neardup_against_path,
+        release_bloom_cache,
+        write_band_bloom_table,
+        write_band_digest_table,
+    )
+
+    wave1 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs today"),
+        ],
+        "doc_id long, text string",
+    )
+    probe_df = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "pack my box with five dozen liquor jugs tomorrow"),
+            (12, "entirely novel content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "band_digests")
+    bpath = str(tmp_path / "band_bloom")
+    write_band_digest_table(wave1, dpath, n=3, k=8, rows_per_band=2,
+                            mode="overwrite")
+    write_band_bloom_table(wave1, bpath, capacity=64, n=3, k=8,
+                           rows_per_band=2, mode="overwrite")
+
+    exact_flags = {
+        r["doc_id"]
+        for r in neardup_against_path(probe_df, dpath, action="flag").collect()
+        if r["neardup"]
+    }
+    bloom_flags = {
+        r["doc_id"]
+        for r in neardup_against_path(
+            probe_df, bpath, action="flag", seen_format="bloom"
+        ).collect()
+        if r["neardup"]
+    }
+    assert exact_flags <= bloom_flags  # no false negatives
+
+    # merge carries geometry; merged verdicts cover each input's
+    wave2 = spark.createDataFrame(
+        [(2, "entirely novel content with no overlap at all")],
+        "doc_id long, text string",
+    )
+    bpath2 = str(tmp_path / "band_bloom2")
+    mpath = str(tmp_path / "band_bloom_merged")
+    write_band_bloom_table(wave2, bpath2, capacity=64, n=3, k=8,
+                           rows_per_band=2, mode="overwrite")
+    merge_band_bloom_tables(spark, [bpath, bpath2], mpath)
+    merged_flags = {
+        r["doc_id"]
+        for r in neardup_against_path(
+            probe_df, mpath, action="flag", seen_format="bloom"
+        ).collect()
+        if r["neardup"]
+    }
+    assert bloom_flags | {12} <= merged_flags
+    release_bloom_cache()
+
+
+def test_neardup_guards(spark, tmp_path):
+    """Fail-loud surface: indivisible/oversized geometry at write,
+    mixed geometry across appends at probe, mixed-geometry merge,
+    unknown action, flag-column clash."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        merge_band_bloom_tables,
+        neardup_against_path,
+        write_band_bloom_table,
+        write_band_digest_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="divide evenly"):
+        write_band_digest_table(docs, str(tmp_path / "x1"), k=8,
+                                rows_per_band=3)
+    with _pytest.raises(ValueError, match="MINHASH_COEFFS"):
+        write_band_digest_table(docs, str(tmp_path / "x2"), k=17)
+
+    path = str(tmp_path / "mixed")
+    write_band_digest_table(docs, path, k=8, rows_per_band=2,
+                            mode="overwrite")
+    write_band_digest_table(docs, path, k=4, rows_per_band=2,
+                            mode="append")
+    with _pytest.raises(ValueError, match="distinct geometries"):
+        neardup_against_path(docs, path)
+
+    ok = str(tmp_path / "ok")
+    write_band_digest_table(docs, ok, mode="overwrite")
+    with _pytest.raises(ValueError, match="drop|flag"):
+        neardup_against_path(docs, ok, action="verify")
+    with _pytest.raises(ValueError, match="rename"):
+        neardup_against_path(
+            docs.withColumn("neardup", docs.doc_id > 0), ok, action="flag"
+        )
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    write_band_bloom_table(docs, b1, capacity=16, k=8, mode="overwrite")
+    write_band_bloom_table(docs, b2, capacity=16, k=4, mode="overwrite")
+    with _pytest.raises(ValueError, match="mixed geometries"):
+        merge_band_bloom_tables(spark, [b1, b2], str(tmp_path / "bm"))

@@ -1429,3 +1429,96 @@ def test_decontaminate_against_on_spec_surface(spark, tmp_path):
     out_stream = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
     assert out_stream.isStreaming
     assert set(out_stream.columns) == {"doc_id", "text", "ts"}
+
+
+def test_neardup_against_on_spec_surface(spark, tmp_path):
+    """neardup_against (persisted MinHash-LSH band probe) is
+    declarable, requires seen_path at PARSE time, derives its geometry
+    FROM the artifact, and is one row-local Arrow pass -> stream-safe
+    (the dedup_against lifecycle at NEAR-dup grain — the published LSH
+    bucket-removal deployment)."""
+    import datetime as dt
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.dedup import write_band_digest_table
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        REQUIRED_DATAOP_PARAMS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+    from clickhouse_etl_spark.spec import parse_pipeline_json
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig, SpecError
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    assert "neardup_against" in DATAOPS
+    assert "neardup_against" in STREAM_SAFE_DATAOPS
+    assert REQUIRED_DATAOP_PARAMS["neardup_against"] == ("seen_path",)
+
+    def _doc(cfg):
+        return _json.dumps({
+            "version": "v3", "pipeline_id": "p", "name": "n",
+            "sources": [{"type": "kafka", "source_id": "documents",
+                         "topic": "documents",
+                         "schema_fields": [
+                             {"name": "doc_id", "type": "int64"},
+                             {"name": "text", "type": "string"}]}],
+            "transforms": [{"type": "dataop", "source_id": "documents",
+                            "config": cfg}],
+            "sink": {"type": "clickhouse", "database": "d", "table": "t",
+                     "table_mapping": [
+                         {"source_id": "documents", "column_name": "doc_id",
+                          "field_name": "doc_id", "column_type": "Int64"}]},
+        })
+
+    with _pytest.raises(SpecError, match="seen_path"):
+        parse_pipeline_json(_doc({"op": "neardup_against"}))
+
+    seen = str(tmp_path / "band_seen")
+    write_band_digest_table(
+        spark.createDataFrame(
+            [(0, "the canonical wave one document text here")],
+            "wave_id long, text string",
+        ),
+        seen,
+        mode="overwrite",
+    )
+    spec = parse_pipeline_json(
+        _doc({"op": "neardup_against", "seen_path": seen})
+    )
+    cfg = spec.sources[0].dataops[0]
+    docs = spark.createDataFrame(
+        [(1, "the canonical wave one document text here"),
+         (2, "genuinely fresh training text with new words")],
+        ["doc_id", "text"],
+    )
+    survivors = {r["doc_id"] for r in
+                 resolve_dataop(cfg.op)(docs, **cfg.params).collect()}
+    assert survivors == {2}  # drop is the default published action
+
+    # assembles into the one streaming chain (mid-chain position);
+    # drop mode leaves the schema unchanged
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "neardup_stream_in")
+    spark.createDataFrame(
+        [(2, "genuinely fresh training text with new words",
+          dt.datetime(2024, 1, 1, 10))],
+        schema,
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    safe = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(
+            op="neardup_against", params={"seen_path": seen}
+        ),),
+    )
+    out_stream = streaming_source_chain(safe, "ts", value_is_json=False)(stream)
+    assert out_stream.isStreaming
+    assert set(out_stream.columns) == {"doc_id", "text", "ts"}

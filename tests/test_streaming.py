@@ -1199,3 +1199,91 @@ def test_decontaminate_against_stream_parity(spark, tmp_path):
     }
     assert got == truth
     release_ngram_digest_cache()
+
+
+def test_neardup_against_stream_parity(spark, tmp_path):
+    """Streaming near-dup removal: a training stream probes the
+    persisted band artifact mid-chain (two parquet files -> two
+    micro-batches, append mode, drop action) and lands EXACTLY the
+    batch probe's surviving rows — the dedup_against deployment shape
+    at near-dup grain."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        neardup_against_path,
+        release_band_digest_cache,
+        write_band_digest_table,
+    )
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    wave1 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs today"),
+        ],
+        "wave_id long, text string",
+    )
+    seen = str(tmp_path / "band_seen")
+    write_band_digest_table(wave1, seen, mode="overwrite")
+
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "a fresh training document about nothing at all"),
+            (12, "prefix pack my box with five dozen liquor jugs today"),
+            (13, "another clean one entirely unrelated to anything"),
+        ],
+        "doc_id long, text string",
+    )
+    truth = {
+        (r["doc_id"], r["text"])
+        for r in neardup_against_path(train, seen).collect()
+    }
+    assert (11, "a fresh training document about nothing at all") in truth
+    assert not any(d == 10 for d, _ in truth)  # exact copy always drops
+
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    ts = dt.datetime(2024, 1, 1, 10)
+    src = str(tmp_path / "train_src")
+    rows = train.collect()
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], ts) for r in rows[:2]], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], ts) for r in rows[2:]], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(
+            op="neardup_against", params={"seen_path": seen}
+        ),),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT * FROM neardup_stream_out").collect()
+    }
+    assert got == truth
+    release_band_digest_cache()
