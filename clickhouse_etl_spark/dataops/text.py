@@ -2504,3 +2504,252 @@ def kgram_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+# --- Gopher repetition battery ------------------------------------------
+
+#: Rae et al. 2021 Table A1 (public paper) — the PUBLISHED repetition
+#: thresholds as integer PERCENTS, fixed verbatim from the paper: a
+#: document is removed when a fraction EXCEEDS its threshold (keep at
+#: or under — boundary inclusive, pinned in test_published_constants).
+#: The n-gram ladders are arithmetic in n: top n-gram (n=2..4) percent
+#: = 24 - 2n; duplicate n-gram (n=5..10) percent = 20 - n.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 30,
+    "dup_para_frac": 30,
+    "dup_line_char_frac": 20,
+    "dup_para_char_frac": 20,
+    "top_2gram_char_frac": 20,
+    "top_3gram_char_frac": 18,
+    "top_4gram_char_frac": 16,
+    "dup_5gram_char_frac": 15,
+    "dup_6gram_char_frac": 14,
+    "dup_7gram_char_frac": 13,
+    "dup_8gram_char_frac": 12,
+    "dup_9gram_char_frac": 11,
+    "dup_10gram_char_frac": 10,
+}
+
+#: output column order of :func:`_repetition_counters` — counters
+#: first (bigint), then the 13 per-rule flags in Table A1 order, then
+#: the conjunction
+_REPETITION_COUNTERS = (
+    "rep_n_lines", "rep_dup_lines", "rep_chars_lines",
+    "rep_chars_dup_lines", "rep_n_paras", "rep_dup_paras",
+    "rep_chars_paras", "rep_chars_dup_paras", "rep_n_toks",
+    "rep_chars_toks", "rep_top2_chars", "rep_top3_chars",
+    "rep_top4_chars", "rep_dup5_chars", "rep_dup6_chars",
+    "rep_dup7_chars", "rep_dup8_chars", "rep_dup9_chars",
+    "rep_dup10_chars",
+)
+_REPETITION_FLAGS = (
+    "r_dup_line", "r_dup_para", "r_dup_line_chars", "r_dup_para_chars",
+    "r_top_2gram", "r_top_3gram", "r_top_4gram", "r_dup_5gram",
+    "r_dup_6gram", "r_dup_7gram", "r_dup_8gram", "r_dup_9gram",
+    "r_dup_10gram",
+)
+
+
+def _dup_elements(items: "list[str]") -> "tuple[int, int]":
+    """(count, chars) of occurrences BEYOND the first of each distinct
+    element — the duplicate-line/paragraph counting rule (the first
+    copy is content; the repeats are the repetition)."""
+    seen = set()
+    n = chars = 0
+    for el in items:
+        if el in seen:
+            n += 1
+            chars += len(el)
+        else:
+            seen.add(el)
+    return n, chars
+
+
+def _repetition_counters(text: "str | None") -> "tuple[int, ...]":
+    """Pure-Python row-local counters for one document, in
+    ``_REPETITION_COUNTERS`` order — importable and unit-testable
+    without Spark (the ONE definition the Arrow pass ships).
+
+    Conventions (each deterministic and documented — the paper
+    publishes the thresholds and the filter structure; the unit
+    definitions follow the common public reimplementations):
+
+    - lines split on ``\\n``, paragraphs on ``\\n\\n``, empties
+      dropped; duplicate = occurrence beyond the first; char
+      numerators/denominators sum ``len()`` over the respective units
+      (separators excluded from both sides);
+    - tokens are case-folded whitespace-run splits (``.lower().split()``
+      — newlines break grams);
+    - top n-gram (n=2..4): among OVERLAPPING n-grams occurring >= 2
+      times, the one maximizing (count, gram chars, gram) — a gram
+      occurring once is not repetition and contributes 0; covered
+      chars = count x gram token chars;
+    - duplicate n-grams (n=5..10): token POSITIONS covered by any
+      n-gram occurring >= 2 times (ALL its occurrences — the whole
+      repeated span is low-value), summed as token chars, so
+      overlapping repeats never double-count a position.
+    """
+    t = text if text is not None else ""
+    lines = [li for li in t.split("\n") if li]
+    paras = [p for p in t.split("\n\n") if p]
+    dup_lines, dup_line_chars = _dup_elements(lines)
+    dup_paras, dup_para_chars = _dup_elements(paras)
+    toks = t.lower().split()
+    chars_toks = sum(len(w) for w in toks)
+
+    top_chars = []
+    for n in (2, 3, 4):
+        best = None
+        if len(toks) >= n:
+            from collections import Counter
+
+            counts = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            for gram, c in counts.items():
+                if c >= 2:
+                    key = (c, sum(len(w) for w in gram), gram)
+                    if best is None or key > best:
+                        best = key
+        top_chars.append(0 if best is None else best[0] * best[1])
+
+    dup_chars = []
+    for n in (5, 6, 7, 8, 9, 10):
+        covered = 0
+        if len(toks) >= n:
+            from collections import Counter
+
+            grams = [
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            counts = Counter(grams)
+            mask = bytearray(len(toks))
+            for i, g in enumerate(grams):
+                if counts[g] >= 2:
+                    for j in range(i, i + n):
+                        mask[j] = 1
+            covered = sum(len(w) for w, m in zip(toks, mask) if m)
+        dup_chars.append(covered)
+
+    return (
+        len(lines), dup_lines, sum(len(li) for li in lines),
+        dup_line_chars, len(paras), dup_paras,
+        sum(len(p) for p in paras), dup_para_chars, len(toks),
+        chars_toks, *top_chars, *dup_chars,
+    )
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full published Gopher REPETITION battery (Rae et al. 2021
+    Table A1 — the companion of :func:`gopher_rules`' quality battery;
+    together they are the paper's complete document filter): per-rule
+    keep flags for duplicate line/paragraph fractions (count and
+    character), top 2/3/4-gram character fractions, and duplicate
+    5..10-gram character fractions, at the PUBLISHED thresholds
+    (``GOPHER_REPETITION_THRESHOLDS``, spec-pinned in
+    test_published_constants against the paper's numbers — the C4
+    threshold-swap lesson).
+
+    Appends the ``_REPETITION_COUNTERS`` (bigint audit counters),
+    thirteen 0/1 ``r_*`` flags (keep when the fraction is at or UNDER
+    the threshold: ``100 * numerator <= pct * denominator``, exact
+    integer cross-multiplication — no float division anywhere), and
+    ``pass_repetition`` (conjunction). Empty/null documents have zero
+    counters everywhere and pass every rule.
+
+    Scale shape: ONE row-local Arrow ``mapInPandas`` pass — per-row
+    line/paragraph/token scans only, no shuffle, no state — so the
+    battery rides the scan partitioning at 100 TB and is stream-safe
+    on the spec surface (the ``gopher_repetition`` dataop). The
+    n-gram position-marking is genuinely procedural (overlap-aware
+    coverage), which is why this battery is an Arrow kernel while
+    :func:`gopher_rules` stays a Catalyst expression battery.
+    """
+    out_cols = (
+        list(_REPETITION_COUNTERS) + list(_REPETITION_FLAGS)
+        + ["pass_repetition"]
+    )
+    clash = [c for c in out_cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash} — rename them before "
+            "gopher_repetition"
+        )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, LongType()) for c in _REPETITION_COUNTERS]
+        + [StructField(c, IntegerType()) for c in _REPETITION_FLAGS]
+        + [StructField("pass_repetition", IntegerType())]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+    tcol = text_col
+    th = GOPHER_REPETITION_THRESHOLDS
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counters = [_repetition_counters(t) for t in pdf[tcol]]
+            out = pdf[in_cols].copy()
+            cols = {
+                name: [c[i] for c in counters]
+                for i, name in enumerate(_REPETITION_COUNTERS)
+            }
+            for name, vals in cols.items():
+                out[name] = pd.Series(vals, dtype="int64", index=out.index)
+
+            def keep(numer, denom, pct):
+                return [
+                    1 if 100 * a <= pct * b else 0
+                    for a, b in zip(cols[numer], cols[denom])
+                ]
+
+            flags = {
+                "r_dup_line": keep(
+                    "rep_dup_lines", "rep_n_lines", th["dup_line_frac"]
+                ),
+                "r_dup_para": keep(
+                    "rep_dup_paras", "rep_n_paras", th["dup_para_frac"]
+                ),
+                "r_dup_line_chars": keep(
+                    "rep_chars_dup_lines", "rep_chars_lines",
+                    th["dup_line_char_frac"],
+                ),
+                "r_dup_para_chars": keep(
+                    "rep_chars_dup_paras", "rep_chars_paras",
+                    th["dup_para_char_frac"],
+                ),
+                "r_top_2gram": keep(
+                    "rep_top2_chars", "rep_chars_toks",
+                    th["top_2gram_char_frac"],
+                ),
+                "r_top_3gram": keep(
+                    "rep_top3_chars", "rep_chars_toks",
+                    th["top_3gram_char_frac"],
+                ),
+                "r_top_4gram": keep(
+                    "rep_top4_chars", "rep_chars_toks",
+                    th["top_4gram_char_frac"],
+                ),
+            }
+            for n in (5, 6, 7, 8, 9, 10):
+                flags[f"r_dup_{n}gram"] = keep(
+                    f"rep_dup{n}_chars", "rep_chars_toks",
+                    th[f"dup_{n}gram_char_frac"],
+                )
+            conj = [1] * len(pdf)
+            for name in _REPETITION_FLAGS:
+                vals = flags[name]
+                out[name] = pd.Series(vals, dtype="int32", index=out.index)
+                conj = [c & v for c, v in zip(conj, vals)]
+            out["pass_repetition"] = pd.Series(
+                conj, dtype="int32", index=out.index
+            )
+            yield out
+
+    return df.mapInPandas(gen, schema)

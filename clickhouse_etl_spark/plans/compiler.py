@@ -117,6 +117,7 @@ DATAOPS = frozenset({
     "c4_filters", "line_dedup", "importance_weights",
     "importance_against", "line_dedup_against", "sentence_span_dedup",
     "span_dedup_against", "decontaminate_against", "neardup_against",
+    "gopher_repetition",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -197,6 +198,10 @@ REQUIRED_DATAOP_PARAMS = {
 # band seen-set in the task closure: stream-safe, the same pattern at
 # NEAR-dup grain; within-wave near-dup mining (minhash_lsh_pairs)
 # stays batch/library-level because candidate pairs need the corpus.
+# gopher_repetition is row-local like gopher_rules (per-row line/
+# paragraph/n-gram scans inside one Arrow pass, no shuffle) —
+# stream-safe; together the two batteries are the paper's complete
+# document filter.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -233,6 +238,7 @@ def resolve_dataop(op: str):
         c4_filters,
         classify_against_path,
         doc_fingerprint,
+        gopher_repetition,
         gopher_rules,
         hash_embedding,
         importance_against_path,
@@ -330,6 +336,7 @@ def resolve_dataop(op: str):
         "classify_against": classify_against_path,
         "ann_serve": ann_serve_op,
         "gopher_rules": gopher_rules,
+        "gopher_repetition": gopher_repetition,
         "temperature_mixture": temperature_mixture,
         "c4_filters": c4_filters,
         "line_dedup": line_dedup,

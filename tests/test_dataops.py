@@ -3733,3 +3733,89 @@ def test_neardup_guards(spark, tmp_path):
     write_band_bloom_table(docs, b2, capacity=16, k=4, mode="overwrite")
     with _pytest.raises(ValueError, match="mixed geometries"):
         merge_band_bloom_tables(spark, [b1, b2], str(tmp_path / "bm"))
+
+
+def test_gopher_repetition_battery(spark):
+    """Hand-computed counters on one crafted document: duplicate
+    line/paragraph counting (first occurrence is content), top-n-gram
+    coverage (count x gram chars, once-only grams contribute 0), and
+    overlap-aware duplicate-n-gram position coverage; clash guard; the
+    battery composes after gopher_rules (disjoint output columns)."""
+    from clickhouse_etl_spark.dataops.text import (
+        _repetition_counters,
+        gopher_repetition,
+        gopher_rules,
+    )
+
+    # two paragraphs; the second repeats a line; "x y" bigram repeats
+    text = "x y one two\nx y one two\n\nx y three four five"
+    c = dict(zip(
+        ("rep_n_lines", "rep_dup_lines", "rep_chars_lines",
+         "rep_chars_dup_lines", "rep_n_paras", "rep_dup_paras",
+         "rep_chars_paras", "rep_chars_dup_paras", "rep_n_toks",
+         "rep_chars_toks", "rep_top2_chars", "rep_top3_chars",
+         "rep_top4_chars", "rep_dup5_chars", "rep_dup6_chars",
+         "rep_dup7_chars", "rep_dup8_chars", "rep_dup9_chars",
+         "rep_dup10_chars"),
+        _repetition_counters(text),
+    ))
+    assert c["rep_n_lines"] == 3 and c["rep_dup_lines"] == 1
+    assert c["rep_chars_lines"] == 11 + 11 + 19
+    assert c["rep_chars_dup_lines"] == 11
+    assert c["rep_n_paras"] == 2 and c["rep_dup_paras"] == 0
+    assert c["rep_n_toks"] == 13
+    # tokens: x y one two x y one two x y three four five
+    assert c["rep_chars_toks"] == 1+1+3+3 + 1+1+3+3 + 1+1+5+4+4
+    # top 2-gram (x,y) count 3 -> 3 * 2 chars; (y,one)/(one,two) tie at
+    # 2 but fewer covered... top picks max (count, chars): (one,two)x2
+    # = 12 chars beats (x,y)x3 = 6? no: count 3 > count 2 wins first
+    assert c["rep_top2_chars"] == 3 * 2
+    # top 3-gram: (x,y,one) x2 -> 2*5=10; (y,one,two) x2 -> 2*7=14 wins
+    assert c["rep_top3_chars"] == 14
+    # top 4-gram: (x,y,one,two) x2 -> 2*8=16
+    assert c["rep_top4_chars"] == 16
+    # dup 5-grams: (x,y,one,two,x) repeats at positions 0 and 4 (and
+    # (y,one,two,x,y) at 1 and 5) -> positions 0..9 covered = 18 chars
+    assert c["rep_dup5_chars"] == 18
+    # 7-grams: no repeats survive the paragraph change
+    assert c["rep_dup7_chars"] == 0
+
+    # a repeated 5-gram covering all occurrences, overlap not
+    # double-counted: "a b c d e a b c d e" -> all 10 positions
+    c2 = _repetition_counters("a b c d e a b c d e")
+    assert dict(zip(c.keys(), c2))["rep_dup5_chars"] == 10
+
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    row = gopher_repetition(df).collect()[0]
+    for k, v in c.items():
+        assert row[k] == v, k
+    assert row["pass_repetition"] in (0, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename"):
+        gopher_repetition(gopher_repetition(df))
+
+    # composes after gopher_rules: column sets are disjoint by design
+    both = gopher_repetition(gopher_rules(df, required_stops=["one"]))
+    r = both.collect()[0]
+    assert "pass_gopher" in both.columns and r["pass_repetition"] == r["pass_repetition"]
+
+
+def test_gopher_repetition_on_spec_surface(spark):
+    """gopher_repetition is declarable as a dataop and stream-safe
+    (row-local Arrow pass, like gopher_rules)."""
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+        resolve_dataop,
+    )
+
+    assert "gopher_repetition" in DATAOPS
+    assert "gopher_repetition" in STREAM_SAFE_DATAOPS
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)], ["doc_id", "text"]
+    )
+    out = resolve_dataop("gopher_repetition")(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["pass_repetition"] == 1 and rows[2]["pass_repetition"] == 1

@@ -307,3 +307,125 @@ def test_decontamination_ngram_length_is_13(spark):
         ).collect()
     }
     assert out == {1: True, 2: False}
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition battery (Rae et al. 2021, table A1)
+# --------------------------------------------------------------------------
+
+
+def test_gopher_repetition_thresholds_are_the_published_table():
+    # table A1 "repetitious text" thresholds, verbatim: remove when the
+    # fraction EXCEEDS the value (keep at or under)
+    from clickhouse_etl_spark.dataops.text import GOPHER_REPETITION_THRESHOLDS
+
+    assert GOPHER_REPETITION_THRESHOLDS == {
+        "dup_line_frac": 30,
+        "dup_para_frac": 30,
+        "dup_line_char_frac": 20,
+        "dup_para_char_frac": 20,
+        "top_2gram_char_frac": 20,
+        "top_3gram_char_frac": 18,
+        "top_4gram_char_frac": 16,
+        "dup_5gram_char_frac": 15,
+        "dup_6gram_char_frac": 14,
+        "dup_7gram_char_frac": 13,
+        "dup_8gram_char_frac": 12,
+        "dup_9gram_char_frac": 11,
+        "dup_10gram_char_frac": 10,
+    }
+
+
+def test_gopher_dup_line_and_para_fraction_30pct(spark):
+    # A1: duplicate line fraction / duplicate paragraph fraction 0.30
+    from clickhouse_etl_spark.dataops.text import gopher_repetition
+
+    # the FIRST occurrence is content, not a duplicate: 4 occurrences
+    # of one line among 10 = 3 dups (boundary keep); 5 of 10 = 4 dups
+    distinct6 = [f"line number {i}" for i in range(6)]
+    distinct5 = [f"line number {i}" for i in range(5)]
+    texts = [
+        "\n".join(distinct6 + ["repeat me"] * 4),   # 3 dups / 10 -> keep
+        "\n".join(distinct5 + ["repeat me"] * 5),   # 4 dups / 10 -> remove
+        "\n\n".join(distinct6 + ["repeat me"] * 4),  # paragraphs keep
+        "\n\n".join(distinct5 + ["repeat me"] * 5),  # paragraphs remove
+    ]
+    got = _flags(spark, texts, gopher_repetition,
+                 ["r_dup_line", "r_dup_para"])
+    assert got[0][0] == 1 and got[1][0] == 0
+    assert got[2][1] == 1 and got[3][1] == 0
+
+
+def test_gopher_dup_line_and_para_char_fraction_20pct(spark):
+    # A1: duplicate line/paragraph CHARACTER fraction 0.20 — 4 dup
+    # chars of 20 total is the boundary keep; of 18 total is a remove
+    from clickhouse_etl_spark.dataops.text import gopher_repetition
+
+    texts = [
+        "aaaa\naaaa\nbbbbbb\ncccccc",  # dup=4, total=20 -> keep
+        "aaaa\naaaa\nbbbbb\nccccc",    # dup=4, total=18 -> remove
+        "aaaa\n\naaaa\n\nbbbbbb\n\ncccccc",
+        "aaaa\n\naaaa\n\nbbbbb\n\nccccc",
+    ]
+    got = _flags(spark, texts, gopher_repetition,
+                 ["r_dup_line_chars", "r_dup_para_chars"])
+    assert got[0][0] == 1 and got[1][0] == 0
+    assert got[2][1] == 1 and got[3][1] == 0
+
+
+def _rep_boundary_doc(n, length, total):
+    """A doc whose ONE repeated n-gram (tokens of `length` chars)
+    covers 2*n*length chars of exactly `total` token chars."""
+    a = [chr(ord("a") + i) * length for i in range(n)]
+    covered = 2 * n * length
+    filler = "q" * (total - covered - 1)
+    return " ".join(a + ["z"] + a + [filler])
+
+
+def test_gopher_top_ngram_char_fractions_20_18_16(spark):
+    # A1: top 2/3/4-gram character fraction 0.20 / 0.18 / 0.16 —
+    # covered = count x gram chars; boundary-exact keep, one char
+    # under the denominator flips to remove
+    from clickhouse_etl_spark.dataops.text import gopher_repetition
+
+    cases = {2: (1, 20), 3: (3, 100), 4: (1, 50)}  # n -> (L, total)
+    for n, (length, total) in cases.items():
+        pct = 24 - 2 * n
+        covered = 2 * n * length
+        assert 100 * covered == pct * total  # the boundary is exact
+        texts = [
+            _rep_boundary_doc(n, length, total),
+            _rep_boundary_doc(n, length, total - 1),
+        ]
+        got = _flags(spark, texts, gopher_repetition, [f"r_top_{n}gram"])
+        assert got[0][0] == 1 and got[1][0] == 0, f"n={n}"
+
+
+def test_gopher_dup_ngram_char_fractions_15_down_to_10(spark):
+    # A1: duplicate 5..10-gram character fraction 0.15 .. 0.10 (the
+    # 20-n ladder) — covered positions of the one repeated n-gram
+    from clickhouse_etl_spark.dataops.text import gopher_repetition
+
+    cases = {5: (3, 200), 6: (7, 600), 7: (13, 1400),
+             8: (3, 400), 9: (11, 1800), 10: (1, 200)}
+    for n, (length, total) in cases.items():
+        pct = 20 - n
+        covered = 2 * n * length
+        assert 100 * covered == pct * total
+        texts = [
+            _rep_boundary_doc(n, length, total),
+            _rep_boundary_doc(n, length, total - 1),
+        ]
+        got = _flags(spark, texts, gopher_repetition, [f"r_dup_{n}gram"])
+        assert got[0][0] == 1 and got[1][0] == 0, f"n={n}"
+
+
+def test_gopher_repetition_empty_and_null_pass(spark):
+    from clickhouse_etl_spark.dataops.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None)], "doc_id int, text string"
+    )
+    rows = gopher_repetition(df).collect()
+    assert all(r["pass_repetition"] == 1 for r in rows)
+    assert all(r["rep_n_lines"] == 0 and r["rep_n_toks"] == 0 for r in rows)
