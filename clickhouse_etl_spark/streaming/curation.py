@@ -7,9 +7,10 @@ extension of that shape is the production pipeline every training-data
 team actually runs on the ingest stream:
 
     [decontaminate against a persisted eval-set →] normalize → dedup
-    against the cross-wave seen-set → quality-score against a
-    persisted classifier [→ DSIR importance scoring] → windowed
-    rollup to the sink
+    against the cross-wave seen-set [→ near-dup probe against a
+    persisted LSH band set] → quality-score against a persisted
+    classifier [→ DSIR importance scoring] → windowed rollup to the
+    sink
 
 Every stage here is the stream-safe form of an oracle-backed batch op:
 
@@ -23,6 +24,11 @@ Every stage here is the stream-safe form of an oracle-backed batch op:
 - :func:`~clickhouse_etl_spark.dataops.dedup.dedup_against_path` with
   ``seen_format="bloom"`` — the 100-TB seen-set tier: one broadcast
   bitmap probe, no join, no state (``write_bloom_table`` artifacts);
+- :func:`~clickhouse_etl_spark.dataops.dedup.neardup_against_path`
+  (optional) — the published MinHash-LSH bucket-removal against a
+  persisted band seen-set (``write_band_digest_table`` artifacts),
+  probing the CANONICAL text after exact dedup (the published order:
+  exact first, fuzzy second);
 - :func:`~clickhouse_etl_spark.dataops.text.classify_against_path` —
   train-offline/score-online, the dim-bounded weight table ships in
   the task closure (``write_classifier_table`` artifacts);
@@ -54,6 +60,8 @@ def curation_scored_stream(
     decontam_path: "str | None" = None,
     decontam_n: "int | None" = None,
     decontam_format: str = "digests",
+    neardup_path: "str | None" = None,
+    neardup_format: str = "digests",
 ) -> DataFrame:
     """The row-local curation body (normalize → bloom dedup →
     classifier scoring, plus OPTIONAL DSIR importance scoring) without
@@ -88,6 +96,15 @@ def curation_scored_stream(
     fold makes it normalization-independent, and dropping leaked docs
     before any other work is the deployment order); row-local,
     early-exits on the first dirty gram.
+
+    ``neardup_path`` (optional) adds the MinHash-LSH NEAR-dup probe
+    after the exact bloom dedup (the published order) — drop every
+    document whose band keys collide with a persisted
+    :func:`~clickhouse_etl_spark.dataops.dedup.write_band_digest_table`
+    artifact (or the bloom tier via ``neardup_format="bloom"``). The
+    probe runs on the CANONICAL text, so build the band artifact from
+    normalized survivors (``text_col="text_norm"``); geometry is read
+    from the artifact. Row-local, early-exits on the first band hit.
     """
     from ..dataops.dedup import DECONTAM_NGRAM_N
 
@@ -130,6 +147,13 @@ def curation_scored_stream(
         fresh = dedup_against_bloom_path(
             normed, bloom_path, text_col="text_norm", id_col=id_col
         )
+        if neardup_path is not None:
+            from ..dataops.dedup import neardup_against_path
+
+            fresh = neardup_against_path(
+                fresh, neardup_path, text_col="text_norm",
+                seen_format=neardup_format,
+            )
         scored = classify_against_path(
             fresh, weights_path, text_col="text_norm", id_col=id_col
         )
@@ -146,9 +170,11 @@ def curation_scored_stream(
     from pyspark.sql import types as T
 
     from ..dataops.dedup import (
+        _band_geometry,
         _bloom_broadcast,
         _bloom_probe_kernel,
         _decontam_probe_kernel,
+        _neardup_probe_kernel,
         _seen_probe_factory,
     )
     from ..dataops.text import (
@@ -176,6 +202,14 @@ def curation_scored_stream(
         else None
     )
     dc_n = decontam_n
+    if neardup_path is not None:
+        nd_geom = _band_geometry(spark, neardup_path)
+        make_nd_probe = _seen_probe_factory(
+            spark, f"{neardup_path.rstrip('/')}/bands", neardup_format,
+            None, None, grain="band",
+        )
+    else:
+        nd_geom = make_nd_probe = None
     in_cols = [f.name for f in docs.schema.fields]
     schema = T.StructType(
         list(docs.schema.fields)
@@ -210,6 +244,11 @@ def curation_scored_stream(
             if make_dc_probe is not None
             else None
         )
+        nd_check = (
+            _neardup_probe_kernel(make_nd_probe(), *nd_geom, count=False)
+            if make_nd_probe is not None
+            else None
+        )
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -223,6 +262,8 @@ def curation_scored_stream(
                 cleaned, nr, nn = norm(x)
                 if seen(cleaned):
                     continue  # seen document: drops, never leaks
+                if nd_check is not None and nd_check(cleaned):
+                    continue  # near-dup of a registered wave: drops
                 toks = [t for t in (cleaned or "").split(" ") if t]
                 if not toks:
                     continue  # token-less docs drop, as in the batch op
@@ -273,6 +314,8 @@ def curation_rollup_stream(
     decontam_path: "str | None" = None,
     decontam_n: "int | None" = None,
     decontam_format: str = "digests",
+    neardup_path: "str | None" = None,
+    neardup_format: str = "digests",
 ) -> DataFrame:
     """The full curation chain as ONE streaming frame: scored survivors
     rolled up per (tumbling window, pred) — kept/flagged document
@@ -288,7 +331,8 @@ def curation_rollup_stream(
         docs, bloom_path, weights_path, text_col=text_col, id_col=id_col,
         engine=engine, importance_path=importance_path,
         decontam_path=decontam_path, decontam_n=decontam_n,
-        decontam_format=decontam_format,
+        decontam_format=decontam_format, neardup_path=neardup_path,
+        neardup_format=neardup_format,
     )
     win = F.window(ts_col, window_duration)
     aggs = [

@@ -29,7 +29,7 @@ from clickhouse_etl_spark.sources.batch import load_table  # noqa: E402
 
 BASE = "/tmp/scale"
 N_ROWS = 10_000_000
-SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9", "r9b", "r10"]
+SECTIONS = ["ops", "text", "multimodal", "new", "r4", "r5", "r6", "r7", "r7b", "r8", "r8b", "r9", "r9b", "r10", "r10b"]
 
 
 def materialize(spark) -> None:
@@ -1291,6 +1291,79 @@ def section_r10(spark) -> None:
     release_ngram_digest_cache(ngram_path)
 
 
+def section_r10b(spark) -> None:
+    """Third-session r10 ops at decade scale (1M -> 10M docs, same
+    replicated corpora, fresh JVM): the MinHash-LSH near-dup probe at
+    both seen-set tiers (per-doc cost = shingle set + k char-fold
+    minhashes + n_bands set probes — compute-heavier per row than the
+    line/ngram probes, all row-local) and the Gopher repetition
+    battery (per-row line/para/n-gram scans, n=2..10 coverage marking).
+    One-time artifact builds FIRST in the fresh JVM (the r9 sequencing
+    rule). Linear reads as per-row-cost ratio ~ 1; > 2 prints
+    SUPER-LINEAR."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        neardup_against_path,
+        release_band_digest_cache,
+        release_bloom_cache,
+        write_band_bloom_table,
+        write_band_digest_table,
+    )
+    from clickhouse_etl_spark.dataops.text import gopher_repetition
+    from clickhouse_etl_spark.dataops.util import shuffle_partitions_for
+
+    d1, d10 = _decade_docs(spark)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions_for(10_000_000, target_rows_per_partition=40_000)),
+    )
+    _pair = _decade_pair
+
+    # one-time band artifacts from the SMALL corpus (cross-wave shape;
+    # distinct band keys are bounded by the generator's distinct
+    # canonical texts x n_bands, so the artifact is small and the
+    # per-doc signature computation is what scales)
+    band_path = f"{BASE}/band_digests_r10b"
+    band_bloom = f"{BASE}/band_bloom_r10b"
+    t0 = time.perf_counter()
+    write_band_digest_table(d1, band_path, mode="overwrite")
+    n_bands = spark.read.parquet(f"{band_path}/bands").count()
+    print(
+        f"write_band_digest_table (one-time, 1M docs -> {n_bands} "
+        f"band digests): {time.perf_counter()-t0:.1f}s"
+    )
+    t0 = time.perf_counter()
+    write_band_bloom_table(d1, band_bloom, capacity=max(n_bands, 1000))
+    print(
+        f"write_band_bloom_table (one-time, 1M docs): "
+        f"{time.perf_counter()-t0:.1f}s"
+    )
+    _pair(
+        "neardup_against[digests,drop]",
+        neardup_against_path(d1, band_path),
+        neardup_against_path(d10, band_path),
+    )
+    _pair(
+        "neardup_against[digests,flag]",
+        neardup_against_path(d1, band_path, action="flag"),
+        neardup_against_path(d10, band_path, action="flag"),
+    )
+    _pair(
+        "neardup_against[bloom,drop]",
+        neardup_against_path(d1, band_bloom, seen_format="bloom"),
+        neardup_against_path(d10, band_bloom, seen_format="bloom"),
+    )
+    release_band_digest_cache(f"{band_path}/bands")
+    release_bloom_cache(f"{band_bloom}/bands")
+
+    # the repetition battery: pure per-row compute, zero shuffle — the
+    # n=5..10 coverage masks dominate (six Counter passes per doc)
+    _pair(
+        "gopher_repetition",
+        gopher_repetition(d1),
+        gopher_repetition(d10),
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1:
         section = sys.argv[1]
@@ -1305,7 +1378,7 @@ def main() -> None:
          "r7": section_r7, "r7b": section_r7b,
          "r8": section_r8, "r8b": section_r8b,
          "r9": section_r9, "r9b": section_r9b,
-         "r10": section_r10}[section](spark)
+         "r10": section_r10, "r10b": section_r10b}[section](spark)
         return
     # parent: one fresh JVM per section (see module docstring)
     for section in SECTIONS:

@@ -93,6 +93,7 @@ def main() -> None:
     stateful_join_bench(spark)
     digest_lifecycle_bench(spark)
     line_dedup_lifecycle_bench(spark)
+    neardup_lifecycle_bench(spark)
     otlp_rollup_bench(spark)
     classifier_inference_bench(spark)
     curation_chain_bench(spark)
@@ -197,8 +198,10 @@ def curation_chain_bench(spark) -> None:
     from pyspark.sql import types as T
 
     from clickhouse_etl_spark.dataops.dedup import (
+        release_band_digest_cache,
         release_bloom_cache,
         release_ngram_digest_cache,
+        write_band_digest_table,
         write_bloom_table,
         write_ngram_digest_table,
     )
@@ -214,6 +217,7 @@ def curation_chain_bench(spark) -> None:
     model_path = f"{BASE}/curation_clf"
     iw_path = f"{BASE}/curation_iw"
     dc_path = f"{BASE}/curation_eval_ngrams"
+    nd_path = f"{BASE}/curation_band_seen"
     if not os.path.isdir(docs_dir):
         raise SystemExit("run scripts/scale_test.py first (materializes docs)")
     raw = spark.read.parquet(docs_dir)
@@ -248,6 +252,12 @@ def curation_chain_bench(spark) -> None:
     write_ngram_digest_table(
         docs.filter("doc_id % 50 = 0"), dc_path, mode="overwrite"
     )
+    # band keys of a quarter-corpus's CANONICAL text for the optional
+    # near-dup probe stage (third r10 session)
+    write_band_digest_table(
+        normalize_text(docs.filter("doc_id % 4 = 1")), nd_path,
+        text_col="text_norm", mode="overwrite",
+    )
     artifacts_s = time.perf_counter() - t0
 
     schema = (
@@ -261,17 +271,21 @@ def curation_chain_bench(spark) -> None:
     # the SAME fused pass (VERDICT r9 #8); the fourth adds the
     # decontamination probe as the fused chain's FIRST stage (r10) —
     # the full five-stage deployment in ONE StreamingQuery
-    for engine, iw, dc in (
-        ("staged", None, None),
-        ("fused", None, None),
-        ("fused", iw_path, None),
-        ("fused", iw_path, dc_path),
+    # the fifth variant adds the near-dup band probe after the exact
+    # bloom dedup — the full SIX-stage deployment in ONE StreamingQuery
+    for engine, iw, dc, nd in (
+        ("staged", None, None, None),
+        ("fused", None, None, None),
+        ("fused", iw_path, None, None),
+        ("fused", iw_path, dc_path, None),
+        ("fused", iw_path, dc_path, nd_path),
     ):
         best = float("inf")
         for i in range(2):
             release_bloom_cache(bloom_path)
             release_ngram_digest_cache()
-            tag = f"{'iw' if iw else 'plain'}{'_dc' if dc else ''}"
+            release_band_digest_cache()
+            tag = f"{'iw' if iw else 'plain'}{'_dc' if dc else ''}{'_nd' if nd else ''}"
             ckpt = f"{BASE}/curation_ckpt_{engine}_{tag}_{i}"
             shutil.rmtree(ckpt, ignore_errors=True)
             stream = (
@@ -281,7 +295,7 @@ def curation_chain_bench(spark) -> None:
             )
             rolled = curation_rollup_stream(
                 stream, bloom_path, model_path, engine=engine,
-                importance_path=iw, decontam_path=dc,
+                importance_path=iw, decontam_path=dc, neardup_path=nd,
             )
             t0 = time.perf_counter()
             q = (
@@ -299,7 +313,8 @@ def curation_chain_bench(spark) -> None:
                     "metric": "curation_chain_throughput",
                     "engine": engine
                     + ("+importance" if iw else "")
-                    + ("+decontam" if dc else ""),
+                    + ("+decontam" if dc else "")
+                    + ("+neardup" if nd else ""),
                     "rows_in": n_in,
                     "artifact_build_seconds": round(artifacts_s, 2),
                     "seconds": round(best, 2),
@@ -627,6 +642,81 @@ def line_dedup_lifecycle_bench(spark) -> None:
                 "metric": "line_dedup_chain_throughput",
                 "rows_in": n_in,
                 "seen_line_digests": n_seen,
+                "digests_sec": round(results["digests"], 2),
+                "bloom_sec": round(results["bloom"], 2),
+                "digests_docs_per_sec": int(n_in / results["digests"]),
+                "bloom_docs_per_sec": int(n_in / results["bloom"]),
+            }
+        )
+    )
+
+
+def neardup_lifecycle_bench(spark) -> None:
+    """MinHash-LSH near-dup probing in the live chain (third r10
+    session): stream the document corpus through
+    ``neardup_against_path`` against a band artifact built from the
+    even half — exact digest tier and bloom tier — reporting docs/s.
+    Per-doc cost is the full signature computation (shingle set,
+    k char-fold minhashes, n_bands probes), so this is the
+    compute-heaviest of the row-local probe stages."""
+    from clickhouse_etl_spark.dataops.dedup import (
+        neardup_against_path,
+        release_band_digest_cache,
+        release_bloom_cache,
+        write_band_bloom_table,
+        write_band_digest_table,
+    )
+
+    docs_dir = f"{BASE}/docs"
+    digest_path = f"{BASE}/band_digests_seen"
+    bloom_path = f"{BASE}/band_bloom_seen"
+    if not os.path.isdir(docs_dir):
+        raise SystemExit("run scripts/scale_test.py first (materializes docs)")
+    docs = spark.read.parquet(docs_dir)
+    n_in = docs.count()
+    seen_half = docs.filter(F.col("doc_id") % 2 == 0)
+    if not os.path.isdir(digest_path):
+        write_band_digest_table(seen_half, digest_path, mode="overwrite")
+    n_seen = spark.read.parquet(f"{digest_path}/bands").count()
+    if not os.path.isdir(bloom_path):
+        write_band_bloom_table(
+            seen_half, bloom_path, capacity=max(n_seen, 1000)
+        )
+    schema = docs.schema
+    results = {}
+    for label, kw in (
+        ("digests", {"seen_path": digest_path}),
+        ("bloom", {"seen_path": bloom_path, "seen_format": "bloom"}),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(docs_dir)
+        )
+        chain = neardup_against_path(stream, **kw)
+        best = float("inf")
+        for i in range(2):
+            ckpt = f"{BASE}/neardup_ckpt_{label}_{i}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.perf_counter()
+            q = (
+                chain.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            best = min(best, time.perf_counter() - t0)
+        results[label] = best
+    release_band_digest_cache(f"{digest_path}/bands")
+    release_bloom_cache(f"{bloom_path}/bands")
+    print(
+        json.dumps(
+            {
+                "metric": "neardup_chain_throughput",
+                "rows_in": n_in,
+                "seen_band_digests": n_seen,
                 "digests_sec": round(results["digests"], 2),
                 "bloom_sec": round(results["bloom"], 2),
                 "digests_docs_per_sec": int(n_in / results["digests"]),

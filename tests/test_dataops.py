@@ -2285,6 +2285,51 @@ def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
         row[id_i] for row in a2 if row[id_i] in clean_ids
     }
     assert set(a3) == {row for row in a2 if row[id_i] in clean_ids}
+
+    # the optional NEAR-dup stage composes into the same pass (third
+    # r10 session): register a slice's CANONICAL band keys, probe
+    # text_norm after the exact bloom dedup — fused == staged with the
+    # stage active, the stage strictly shrinks the survivor set, and
+    # the in-chain verdict == the standalone dataop on the same
+    # canonical text (composition law)
+    from clickhouse_etl_spark.dataops.dedup import (
+        neardup_against_path,
+        release_band_digest_cache,
+        write_band_digest_table,
+    )
+
+    nd_path = str(tmp_path / "fused_band_seen")
+    write_band_digest_table(
+        normalize_text(corpus2.filter("doc_id % 4 = 2")), nd_path,
+        text_col="text_norm", mode="overwrite",
+    )
+    kw = dict(
+        importance_path=iw_path, decontam_path=dc_path, decontam_n=5,
+        neardup_path=nd_path,
+    )
+    a4 = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus2, bloom, weights, engine="staged", **kw
+        ).collect()
+    )
+    b4 = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            corpus2, bloom, weights, engine="fused", **kw
+        ).collect()
+    )
+    assert a4 == b4
+    assert a4, "near-dup-staged curation output must be non-empty"
+    assert len(a4) < len(a3), "the near-dup probe must drop colliders"
+    nd_clean_ids = {
+        r["doc_id"]
+        for r in neardup_against_path(
+            normalize_text(corpus2), nd_path, text_col="text_norm"
+        ).select("doc_id").collect()
+    }
+    assert set(a4) == {row for row in a3 if row[id_i] in nd_clean_ids}
+    release_band_digest_cache(f"{nd_path}/bands")
     release_ngram_digest_cache(dc_path)
     release_bloom_cache(bloom)
 
