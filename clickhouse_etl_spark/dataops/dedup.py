@@ -2459,9 +2459,9 @@ def _band_geometry_check(n: int, k: int, rows_per_band: int) -> int:
         )
     if rows_per_band < 1 or k % rows_per_band:
         raise ValueError(
-            f"k ({k}) must divide evenly into rows_per_band "
-            f"({rows_per_band}) bands — an indivisible geometry would "
-            "silently drop signature rows"
+            f"rows_per_band ({rows_per_band}) must divide k ({k}) "
+            "evenly (k/rows_per_band bands) — an indivisible geometry "
+            "would silently drop signature rows"
         )
     return k // rows_per_band
 
@@ -2480,11 +2480,10 @@ def _band_keys_expr(
     n_bands = _band_geometry_check(n, k, rows_per_band)
     t = F.coalesce(text, F.lit(""))
     grams = _word_ngrams(t, n)
-    hashes = F.transform(grams, char_fold_hash)
-    sig = [
-        F.array_min(F.transform(hashes, _affine_mapper(a, b)))
-        for a, b in MINHASH_COEFFS[:k]
-    ]
+    # compose the ONE signature definition the pair miner uses — the
+    # no-false-negatives-vs-miner property depends on the persisted
+    # artifact and minhash_lsh_pairs deriving identical band values
+    sig = _minhash_signature(t, n, k)
     bands = [
         F.concat_ws(
             ":",
@@ -2616,7 +2615,17 @@ def write_band_bloom_table(
     negatives: a genuinely colliding band always hits; ~FPR of fresh
     bands hit with it — compounding the LSH candidate FP rate by the
     bloom FP rate (both declared trades). Cross-wave accumulation is
-    :func:`merge_band_bloom_tables`."""
+    :func:`merge_band_bloom_tables` ONLY — appending sparse bitmap rows
+    in place would let the loader's plain row assignment clobber bits
+    across waves (silent false negatives), so ``mode="append"`` is
+    rejected here."""
+    if mode == "append":
+        raise ValueError(
+            "write_band_bloom_table cannot append in place — bloom "
+            "rows from two waves would clobber each other's bits at "
+            "load time (false negatives); write each wave to its own "
+            "path and OR-merge with merge_band_bloom_tables"
+        )
     _band_geometry_check(n, k, rows_per_band)
     write_bloom_table(
         _distinct_band_keys(df, text_col, n, k, rows_per_band),

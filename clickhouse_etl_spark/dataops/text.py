@@ -2583,12 +2583,18 @@ def _repetition_counters(text: "str | None") -> "tuple[int, ...]":
     - top n-gram (n=2..4): among OVERLAPPING n-grams occurring >= 2
       times, the one maximizing (count, gram chars, gram) — a gram
       occurring once is not repetition and contributes 0; covered
-      chars = count x gram token chars;
-    - duplicate n-grams (n=5..10): token POSITIONS covered by any
-      n-gram occurring >= 2 times (ALL its occurrences — the whole
-      repeated span is low-value), summed as token chars, so
-      overlapping repeats never double-count a position.
+      chars = count x gram token chars (every occurrence of the top
+      gram, the public-reimplementation convention);
+    - duplicate n-grams (n=5..10): a greedy left-to-right scan counts
+      token chars of occurrences BEYOND the first of each distinct
+      n-gram, advancing past a matched gram so repeats never overlap
+      — the datatrove/NeMo ``find_all_duplicate`` convention, and the
+      battery's own dup-line rule (the first copy is content), except
+      that numerator and denominator here both sum TOKEN chars
+      (separator-free on both sides, unlike len(text) denominators).
     """
+    from collections import Counter
+
     t = text if text is not None else ""
     lines = [li for li in t.split("\n") if li]
     paras = [p for p in t.split("\n\n") if p]
@@ -2601,8 +2607,6 @@ def _repetition_counters(text: "str | None") -> "tuple[int, ...]":
     for n in (2, 3, 4):
         best = None
         if len(toks) >= n:
-            from collections import Counter
-
             counts = Counter(
                 tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
             )
@@ -2617,18 +2621,17 @@ def _repetition_counters(text: "str | None") -> "tuple[int, ...]":
     for n in (5, 6, 7, 8, 9, 10):
         covered = 0
         if len(toks) >= n:
-            from collections import Counter
-
-            grams = [
-                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            ]
-            counts = Counter(grams)
-            mask = bytearray(len(toks))
-            for i, g in enumerate(grams):
-                if counts[g] >= 2:
-                    for j in range(i, i + n):
-                        mask[j] = 1
-            covered = sum(len(w) for w, m in zip(toks, mask) if m)
+            unique = set()
+            i = 0
+            end = len(toks) - n + 1
+            while i < end:
+                g = tuple(toks[i : i + n])
+                if g in unique:
+                    covered += sum(len(w) for w in g)
+                    i += n
+                else:
+                    unique.add(g)
+                    i += 1
         dup_chars.append(covered)
 
     return (

@@ -3749,9 +3749,12 @@ def test_neardup_guards(spark, tmp_path):
         [(0, "alpha beta gamma delta epsilon")],
         "doc_id long, text string",
     )
-    with _pytest.raises(ValueError, match="divide evenly"):
+    with _pytest.raises(ValueError, match="must divide k"):
         write_band_digest_table(docs, str(tmp_path / "x1"), k=8,
                                 rows_per_band=3)
+    with _pytest.raises(ValueError, match="merge_band_bloom_tables"):
+        write_band_bloom_table(docs, str(tmp_path / "x3"), capacity=16,
+                               mode="append")
     with _pytest.raises(ValueError, match="MINHASH_COEFFS"):
         write_band_digest_table(docs, str(tmp_path / "x2"), k=17)
 
@@ -3819,16 +3822,20 @@ def test_gopher_repetition_battery(spark):
     assert c["rep_top3_chars"] == 14
     # top 4-gram: (x,y,one,two) x2 -> 2*8=16
     assert c["rep_top4_chars"] == 16
-    # dup 5-grams: (x,y,one,two,x) repeats at positions 0 and 4 (and
-    # (y,one,two,x,y) at 1 and 5) -> positions 0..9 covered = 18 chars
-    assert c["rep_dup5_chars"] == 18
+    # dup 5-grams, beyond-first greedy scan: (x,y,one,two,x) first at
+    # position 0, its repeat found at position 4 -> tokens 4..8 count
+    # (1+1+3+3+1 = 9), scan advances past the match
+    assert c["rep_dup5_chars"] == 9
+    # dup 6-grams: (x,y,one,two,x,y) repeat at position 4 -> 10 chars
+    assert c["rep_dup6_chars"] == 10
     # 7-grams: no repeats survive the paragraph change
     assert c["rep_dup7_chars"] == 0
 
-    # a repeated 5-gram covering all occurrences, overlap not
-    # double-counted: "a b c d e a b c d e" -> all 10 positions
+    # "a b c d e a b c d e": the first copy is content; only the
+    # second occurrence's 5 token chars count (the dup-line rule at
+    # n-gram grain)
     c2 = _repetition_counters("a b c d e a b c d e")
-    assert dict(zip(c.keys(), c2))["rep_dup5_chars"] == 10
+    assert dict(zip(c.keys(), c2))["rep_dup5_chars"] == 5
 
     df = spark.createDataFrame([(0, text)], "doc_id int, text string")
     row = gopher_repetition(df).collect()[0]
@@ -3841,10 +3848,14 @@ def test_gopher_repetition_battery(spark):
     with _pytest.raises(ValueError, match="rename"):
         gopher_repetition(gopher_repetition(df))
 
-    # composes after gopher_rules: column sets are disjoint by design
+    # composes after gopher_rules: column sets are disjoint by design,
+    # and the composed battery reproduces the standalone values
     both = gopher_repetition(gopher_rules(df, required_stops=["one"]))
     r = both.collect()[0]
-    assert "pass_gopher" in both.columns and r["pass_repetition"] == r["pass_repetition"]
+    assert "pass_gopher" in both.columns
+    assert r["pass_repetition"] == row["pass_repetition"]
+    for kk in c:
+        assert r[kk] == row[kk], kk
 
 
 def test_gopher_repetition_on_spec_surface(spark):

@@ -403,14 +403,15 @@ def test_gopher_top_ngram_char_fractions_20_18_16(spark):
 
 def test_gopher_dup_ngram_char_fractions_15_down_to_10(spark):
     # A1: duplicate 5..10-gram character fraction 0.15 .. 0.10 (the
-    # 20-n ladder) — covered positions of the one repeated n-gram
+    # 20-n ladder) — the greedy beyond-first scan counts only the
+    # SECOND occurrence's n*L token chars (the first copy is content)
     from clickhouse_etl_spark.dataops.text import gopher_repetition
 
-    cases = {5: (3, 200), 6: (7, 600), 7: (13, 1400),
-             8: (3, 400), 9: (11, 1800), 10: (1, 200)}
+    cases = {5: (3, 100), 6: (7, 300), 7: (13, 700),
+             8: (3, 200), 9: (11, 900), 10: (1, 100)}
     for n, (length, total) in cases.items():
         pct = 20 - n
-        covered = 2 * n * length
+        covered = n * length
         assert 100 * covered == pct * total
         texts = [
             _rep_boundary_doc(n, length, total),
