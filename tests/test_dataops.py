@@ -3875,3 +3875,35 @@ def test_gopher_repetition_on_spec_surface(spark):
     out = resolve_dataop("gopher_repetition")(docs)
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["pass_repetition"] == 1 and rows[2]["pass_repetition"] == 1
+
+
+def test_lsh_geometry_tuning_helpers():
+    """The textbook s-curve (1 - (1 - s^r)^b) and the midpoint-tuning
+    rule: band_geometry_for(0.5) is exactly the library default (8, 2)
+    — midpoint (1/4)^(1/2) = 0.5 — collision probability is monotone
+    in jaccard, endpoints exact, and pinning k restricts the search."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        band_geometry_for,
+        lsh_collision_probability,
+    )
+
+    assert band_geometry_for(0.5) == (8, 2)
+    # pinned-k variants: midpoint (1/b)^(1/r) closest to the target
+    assert band_geometry_for(0.2, k=5) == (5, 1)  # exact: 1/5
+    k8 = band_geometry_for(0.9, k=8)
+    assert k8[0] == 8 and 8 % k8[1] == 0
+
+    assert lsh_collision_probability(0.0) == 0.0
+    assert lsh_collision_probability(1.0) == 1.0
+    # the default geometry's midpoint is its tuning target
+    mid = lsh_collision_probability(0.5, k=8, rows_per_band=2)
+    assert abs(mid - (1 - (1 - 0.25) ** 4)) < 1e-12
+    probs = [lsh_collision_probability(s / 10) for s in range(11)]
+    assert probs == sorted(probs)
+
+    with _pytest.raises(ValueError, match="jaccard"):
+        lsh_collision_probability(1.5)
+    with _pytest.raises(ValueError, match="threshold"):
+        band_geometry_for(0.0)
