@@ -2504,19 +2504,54 @@ def _band_keys_expr(
 
 
 def _distinct_band_keys(
-    df: DataFrame, text_col: str, n: int, k: int, rows_per_band: int
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    k: int,
+    rows_per_band: int,
+    engine: str = "pandas",
 ) -> DataFrame:
     """The DISTINCT LSH band-key strings of a document frame (one
     ``band`` column) — the near-dup seen-set both artifact writers
-    share (:func:`_distinct_lines` at band grain)."""
-    return (
-        df.select(
+    share (:func:`_distinct_lines` at band grain).
+
+    ``engine="pandas"`` (default) derives keys in ONE Arrow
+    ``mapInPandas`` pass via :func:`_band_keys_py` — the SAME kernel
+    the probe runs, so registered and probed keys agree by
+    construction. The Catalyst reference form (``engine="catalyst"``,
+    :func:`_band_keys_expr`) is equality-pinned by test but its nested
+    higher-order functions are CodegenFallback — interpreted per
+    shingle — which made the one-time artifact build ~25x slower than
+    the probe at decade scale (the `_shingle_stream` lesson)."""
+    if engine == "catalyst":
+        keyed = df.select(
             F.explode(
                 _band_keys_expr(F.col(text_col), n, k, rows_per_band)
             ).alias("band")
         )
-        .distinct()
-    )
+    elif engine == "pandas":
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        band_keys = _band_keys_py(n, k, rows_per_band)
+        schema = StructType([StructField("band", StringType())])
+        tcol = text_col
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = set()
+                for t in pdf[tcol]:
+                    out.update(band_keys(t))
+                if out:
+                    yield pd.DataFrame({"band": sorted(out)})
+
+        keyed = scale_out(df).mapInPandas(gen, schema)
+    else:
+        raise ValueError(f"unknown engine {engine!r}: pandas|catalyst")
+    return keyed.distinct()
 
 
 def _write_band_geometry(
@@ -2562,6 +2597,7 @@ def write_band_digest_table(
     rows_per_band: int = 2,
     text_col: str = "text",
     mode: str = "append",
+    engine: str = "pandas",
 ) -> None:
     """Persist the DISTINCT LSH band-key digests of an ingest wave —
     the near-dup mirror of :func:`write_digest_table`, and the
@@ -2585,7 +2621,7 @@ def write_band_digest_table(
     """
     _band_geometry_check(n, k, rows_per_band)
     (
-        _distinct_band_keys(df, text_col, n, k, rows_per_band)
+        _distinct_band_keys(df, text_col, n, k, rows_per_band, engine=engine)
         .select(F.md5("band").alias("digest"))
         .write.mode(mode)
         .parquet(f"{path.rstrip('/')}/bands")
@@ -2605,6 +2641,7 @@ def write_band_bloom_table(
     text_col: str = "text",
     mode: str = "overwrite",
     n_shards: int = 1,
+    engine: str = "pandas",
 ) -> None:
     """Band-grain Bloom seen-set: :func:`write_bloom_table` over the
     wave's distinct band keys — the 100-TB tier of the near-dup
@@ -2628,7 +2665,7 @@ def write_band_bloom_table(
         )
     _band_geometry_check(n, k, rows_per_band)
     write_bloom_table(
-        _distinct_band_keys(df, text_col, n, k, rows_per_band),
+        _distinct_band_keys(df, text_col, n, k, rows_per_band, engine=engine),
         f"{path.rstrip('/')}/bands",
         capacity,
         bits_per_key=bits_per_key,
@@ -2662,19 +2699,14 @@ def merge_band_bloom_tables(
     _write_band_geometry(spark, out_path, n, k, rpb, mode)
 
 
-def _neardup_probe_kernel(
-    probe, n: int, k: int, rows_per_band: int, count: bool
-):
-    """The ONE row-local near-dup check every deployment shares
-    (:func:`neardup_against_path`; the ``_decontam_probe_kernel``
-    rule): replay the Catalyst band-key derivation in Python —
-    single-space token split keeping empties (``F.split(text, " ")``),
-    guarded sliding ``n``-word windows, distinct, char-fold hash,
-    ``MINHASH_COEFFS[:k]`` affine minima, ``"{i}:{v}_{v}"`` band keys
-    — and probe the seen-set. ``count=False`` returns an early-exit
-    boolean verdict (drop mode); ``count=True`` returns the number of
-    bands that hit (flag/audit mode; more bands hit ~= higher
-    estimated Jaccard, the LSH collision-probability curve)."""
+def _band_keys_py(n: int, k: int, rows_per_band: int):
+    """The ONE Python replay of the Catalyst band-key derivation
+    (``text -> list of band-key strings``) — single-space token split
+    keeping empties (``F.split(text, " ")``), guarded sliding
+    ``n``-word windows, distinct, char-fold hash, ``MINHASH_COEFFS[:k]``
+    affine minima, ``"{i}:{v}_{v}"`` keys. Shared by the probe kernel
+    AND the Arrow write path, so the registered and probed keys cannot
+    diverge (parity with :func:`_band_keys_expr` equality-pinned)."""
     n_bands = _band_geometry_check(n, k, rows_per_band)
     from .hashing import HASH_MOD, char_fold_hash_py
 
@@ -2696,6 +2728,21 @@ def _neardup_probe_kernel(
             )
             for i in range(n_bands)
         ]
+
+    return band_keys
+
+
+def _neardup_probe_kernel(
+    probe, n: int, k: int, rows_per_band: int, count: bool
+):
+    """The ONE row-local near-dup check every deployment shares
+    (:func:`neardup_against_path`; the ``_decontam_probe_kernel``
+    rule): derive the document's band keys via :func:`_band_keys_py`
+    and probe the seen-set. ``count=False`` returns an early-exit
+    boolean verdict (drop mode); ``count=True`` returns the number of
+    bands that hit (flag/audit mode; more bands hit ~= higher
+    estimated Jaccard, the LSH collision-probability curve)."""
+    band_keys = _band_keys_py(n, k, rows_per_band)
 
     if count:
 

@@ -3907,3 +3907,32 @@ def test_lsh_geometry_tuning_helpers():
         lsh_collision_probability(1.5)
     with _pytest.raises(ValueError, match="threshold"):
         band_geometry_for(0.0)
+
+
+def test_band_keys_engines_identical(spark):
+    """The Arrow write path (default, _band_keys_py — the probe's own
+    kernel) and the Catalyst reference form (_band_keys_expr) derive
+    the IDENTICAL distinct band-key set, on short/empty/null/
+    multi-space edges and real-looking text."""
+    from clickhouse_etl_spark.dataops.dedup import _distinct_band_keys
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs today",
+        "one two three",
+        "two words",
+        "",
+        None,
+        "double  space  tokens  here",
+        "repeat repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = {
+        r["band"]
+        for r in _distinct_band_keys(df, "text", 3, 8, 2, engine="pandas").collect()
+    }
+    b = {
+        r["band"]
+        for r in _distinct_band_keys(df, "text", 3, 8, 2, engine="catalyst").collect()
+    }
+    assert a == b and a, "engines diverged or produced nothing"
