@@ -2548,7 +2548,9 @@ def _distinct_band_keys(
                 if out:
                     yield pd.DataFrame({"band": sorted(out)})
 
-        keyed = scale_out(df).mapInPandas(gen, schema)
+        # prune to the text column BEFORE the repartition + Arrow
+        # boundary — the writers receive arbitrarily wide wave frames
+        keyed = scale_out(df.select(text_col)).mapInPandas(gen, schema)
     else:
         raise ValueError(f"unknown engine {engine!r}: pandas|catalyst")
     return keyed.distinct()
@@ -2914,6 +2916,11 @@ def band_geometry_for(threshold: float, k: "int | None" = None) -> "tuple[int, i
     s-curve == fewer accidental candidates)."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
+    if k is not None and not 2 <= k <= len(MINHASH_COEFFS):
+        raise ValueError(
+            f"k must be in [2, {len(MINHASH_COEFFS)}] (the fixed "
+            f"MINHASH_COEFFS budget), got {k}"
+        )
     ks = [k] if k is not None else list(range(2, len(MINHASH_COEFFS) + 1))
     best = None
     for kk in ks:
