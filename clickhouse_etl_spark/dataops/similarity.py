@@ -1851,3 +1851,280 @@ def pq_index_append(
     enc.select(*cols).write.mode("append").partitionBy("cell").parquet(
         f"{path}/codes"
     )
+
+
+# --- SemDeDup-style near-dup serving split ------------------------------
+#
+# The embedding-grain member of the train-offline/probe-online dedup
+# lifecycle (documents: digest/bloom; lines/spans/n-grams: digest;
+# MinHash text near-dup: band keys). Wave N's kept vectors register
+# their hyperplane LSH bucket keys once; later waves probe the
+# artifact row-locally and drop bucket collisions — the SemDeDup
+# removal action (Abbas et al. 2023: cosine-near neighbors collapse)
+# at CANDIDATE grain, with within-wave clustering staying
+# :func:`semantic_dedup`'s job.
+
+
+def _vec_bucket_keys_py(n_tables: int, bits_per_table: int, dim: int):
+    """The ONE Python derivation of a vector's LSH bucket keys
+    ``"{table}:{code}"`` — shared by the artifact writer and the probe
+    so registered and probed keys agree by construction, and replaying
+    :func:`_lsh_buckets_batched`'s exact dimension-order fold per
+    plane (``d += x[j] * P[:, j]`` over j), so keys are bit-identical
+    to the pair miner's buckets on any BLAS."""
+    if n_tables < 1 or bits_per_table < 1 or dim < 1:
+        raise ValueError("n_tables, bits_per_table, dim must be >= 1")
+    if bits_per_table > 62:
+        raise ValueError("bits_per_table must fit an int64 code (<= 62)")
+    import numpy as np
+
+    n_planes = n_tables * bits_per_table
+    P = np.asarray(
+        [_pseudo_hyperplane(dim, j) for j in range(n_planes)],
+        dtype="float64",
+    )
+
+    def keys(vec) -> "list[str]":
+        if vec is None:
+            return []
+        x = np.asarray(vec, dtype="float64")
+        if x.shape != (dim,):
+            raise ValueError(
+                f"vector of shape {x.shape} does not match the "
+                f"artifact's dim={dim}"
+            )
+        d = np.zeros(n_planes)
+        for j in range(dim):  # dimension-by-dimension: _dot's fold order
+            d += x[j] * P[:, j]
+        bits = (d > 0).astype("int64")
+        out = []
+        for t in range(n_tables):
+            code = 0
+            for p in range(bits_per_table):
+                code += int(bits[t * bits_per_table + p]) << p
+            out.append(f"{t}:{code}")
+        return out
+
+    return keys
+
+
+def _write_vec_bucket_geometry(
+    spark, path: str, n_tables: int, bits_per_table: int, dim: int,
+    mode: str,
+) -> None:
+    (
+        spark.createDataFrame(
+            [(int(n_tables), int(bits_per_table), int(dim))],
+            "n_tables int, bits_per_table int, dim int",
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{path.rstrip('/')}/geometry")
+    )
+
+
+def _vec_bucket_geometry(spark, path: str) -> "tuple[int, int, int]":
+    """Read and validate the ONE geometry of a vector-bucket artifact
+    — the probe derives (n_tables, bits_per_table, dim) FROM the
+    artifact (the band-artifact rule: no probe-side parameter to
+    mismatch); mixed geometries fail loud."""
+    rows = (
+        spark.read.parquet(f"{path.rstrip('/')}/geometry")
+        .distinct()
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"vector-bucket artifact at {path!r} holds {len(rows)} "
+            "distinct geometries — every wave must register under the "
+            "SAME (n_tables, bits_per_table, dim); rebuild the artifact"
+        )
+    r = rows[0]
+    return int(r["n_tables"]), int(r["bits_per_table"]), int(r["dim"])
+
+
+def write_vec_bucket_table(
+    df: DataFrame,
+    path: str,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    mode: str = "append",
+) -> None:
+    """Persist the DISTINCT hyperplane LSH bucket-key digests of an
+    ingest wave's KEPT vectors (:func:`semantic_dedup` survivors) —
+    the embedding-grain mirror of ``write_band_digest_table``, and the
+    artifact :func:`vec_dedup_against_path` probes. Layout:
+    ``{path}/buckets`` (one ``digest`` column, the shared
+    digest-broadcast format) + ``{path}/geometry`` (one row of
+    (n_tables, bits_per_table, dim), asserted single at probe time).
+
+    Defaults match :func:`lsh_near_dup_pairs` (8 tables x 4 bits over
+    the portable hyperplane family), so a probe hit corresponds
+    exactly to "would have been an LSH candidate of a registered
+    vector" in the within-wave miner. ``mode="append"`` accumulates
+    across waves under the SAME geometry.
+
+    Scale shape: one row-local Arrow pass (the shared
+    :func:`_vec_bucket_keys_py` kernel) + one distinct — a
+    bucket-keyed shuffle bounded by distinct (table, code) keys; the
+    artifact is <= ``n_tables`` 16-byte digests per registered vector.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    keys = _vec_bucket_keys_py(n_tables, bits_per_table, dim)
+    schema = StructType([StructField("bucket", StringType())])
+    vcol = vec_col
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = set()
+            for v in pdf[vcol]:
+                out.update(keys(v))
+            if out:
+                yield pd.DataFrame({"bucket": sorted(out)})
+
+    (
+        scale_out(df.select(vec_col))
+        .mapInPandas(gen, schema)
+        .distinct()
+        .select(F.md5("bucket").alias("digest"))
+        .write.mode(mode)
+        .parquet(f"{path.rstrip('/')}/buckets")
+    )
+    _write_vec_bucket_geometry(
+        df.sparkSession, path, n_tables, bits_per_table, dim, mode
+    )
+
+
+def vec_dedup_against_path(
+    df: DataFrame,
+    seen_path: str,
+    vec_col: str = "embedding",
+    action: str = "drop",
+    flag_col: str = "semantic_neardup",
+    count_col: str = "n_tables_hit",
+    max_broadcast_digests: "int | None" = None,
+) -> DataFrame:
+    """Stream-safe cross-wave SEMANTIC near-dup removal: probe every
+    vector's hyperplane LSH bucket keys against a persisted
+    :func:`write_vec_bucket_table` artifact and drop (or flag) vectors
+    colliding in ANY table — SemDeDup's removal action deployed as a
+    serving split (register wave N's kept vectors once, probe later
+    waves row-locally; within-wave clustering stays
+    :func:`semantic_dedup`'s job, exactly the ``neardup_against``
+    division of labor at embedding grain).
+
+    Semantics (identical on batch and streaming input):
+
+    - CANDIDATE-grain verdict: a bucket collision drops the vector
+      without cosine verification (the declared LSH trade; tune
+      ``bits_per_table`` up for precision / ``n_tables`` up for
+      recall — collision probability is ``1-(1-p^b)^L`` with ``p`` the
+      angular-agreement probability);
+    - geometry (n_tables, bits_per_table, dim) is read FROM the
+      artifact — no probe-side parameter to mismatch; wrong-dim input
+      vectors fail loud;
+    - ``action="drop"`` keeps non-colliding rows, schema unchanged,
+      early-exit on the first hit; ``action="flag"`` appends
+      ``flag_col`` (boolean) + ``count_col`` (bigint, tables hit of
+      n_tables — collision strength); NULL vectors carry no keys and
+      always pass.
+
+    Scale shape: ONE row-local Arrow ``mapInPandas`` pass — no join,
+    no shuffle, no state — with the bucket seen-set broadcast in the
+    task closure (exact digest tier, bounded at 10M keys ~= 1.25M
+    registered vectors at the default 8 tables; shard waves or raise
+    ``max_broadcast_digests`` past that). Append-safe under
+    Structured Streaming (the ``semantic_dedup_against`` dataop).
+    """
+    spark = df.sparkSession
+    if action not in ("drop", "flag"):
+        raise ValueError(f"unknown action {action!r}: drop|flag")
+    if action == "flag":
+        for c in (flag_col, count_col):
+            if c in df.columns:
+                raise ValueError(
+                    f"input already has a {c!r} column — rename it "
+                    "before vec_dedup_against"
+                )
+    n_tables, bits_per_table, dim = _vec_bucket_geometry(spark, seen_path)
+    from .dedup import _seen_probe_factory
+
+    make_probe = _seen_probe_factory(
+        spark,
+        f"{seen_path.rstrip('/')}/buckets",
+        "digests",
+        None,
+        max_broadcast_digests,
+        grain="bucket",
+    )
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_cols = [f.name for f in df.schema.fields]
+    if action == "flag":
+        schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField(flag_col, BooleanType()),
+                StructField(count_col, LongType()),
+            ]
+        )
+    else:
+        schema = df.schema
+    vcol = vec_col
+    flag_mode = action == "flag"
+
+    def gen(batches):
+        import pandas as pd
+
+        probe = make_probe()
+        keys = _vec_bucket_keys_py(n_tables, bits_per_table, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep_idx, flags, counts = [], [], []
+            for i, v in enumerate(pdf[vcol]):
+                ks = keys(v)
+                if flag_mode:
+                    hits = sum(1 for key in ks if probe(key))
+                    keep_idx.append(i)
+                    flags.append(hits > 0)
+                    counts.append(hits)
+                elif not any(probe(key) for key in ks):
+                    keep_idx.append(i)
+            if keep_idx:
+                out = pdf.iloc[keep_idx][in_cols].copy()
+                if flag_mode:
+                    out[flag_col] = pd.Series(
+                        flags, dtype="bool", index=out.index
+                    )
+                    out[count_col] = pd.Series(
+                        counts, dtype="int64", index=out.index
+                    )
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def release_vec_bucket_cache(seen_path: "str | None" = None) -> int:
+    """Unpersist the broadcast bucket-digest set for ``seen_path``'s
+    BUCKETS subpath (or ALL cached digest sets when None) — the
+    embedding-grain mirror of ``release_band_digest_cache`` (the
+    digest broadcasts share one cache, keyed by artifact subpath)."""
+    from .dedup import release_line_digest_cache
+
+    return release_line_digest_cache(
+        f"{seen_path.rstrip('/')}/buckets" if seen_path is not None else None
+    )

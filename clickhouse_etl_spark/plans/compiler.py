@@ -117,7 +117,7 @@ DATAOPS = frozenset({
     "c4_filters", "line_dedup", "importance_weights",
     "importance_against", "line_dedup_against", "sentence_span_dedup",
     "span_dedup_against", "decontaminate_against", "neardup_against",
-    "gopher_repetition",
+    "gopher_repetition", "semantic_dedup_against",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -131,6 +131,7 @@ REQUIRED_DATAOP_PARAMS = {
     "span_dedup_against": ("seen_path",),
     "decontaminate_against": ("seen_path",),
     "neardup_against": ("seen_path",),
+    "semantic_dedup_against": ("seen_path",),
 }
 # Row-local / explode-only ops — no window, no aggregation, no global
 # state — safe as mid-chain transforms under Structured Streaming
@@ -202,6 +203,13 @@ REQUIRED_DATAOP_PARAMS = {
 # paragraph/n-gram scans inside one Arrow pass, no shuffle) —
 # stream-safe; together the two batteries are the paper's complete
 # document filter.
+# semantic_dedup_against — probing each VECTOR's hyperplane LSH bucket
+# keys against a PERSISTED write_vec_bucket_table artifact — is one
+# row-local Arrow pass (bucket seen-set in the task closure):
+# stream-safe on an embeddings-shaped stream (the ann_serve precedent;
+# a documents stream must carry an embedding column — hash_embedding
+# is batch-only, so embed upstream); within-wave clustering stays
+# semantic_dedup's job.
 STREAM_SAFE_DATAOPS = DATAOPS - {
     "exact_dedup", "simhash", "span_dedup", "rare_token_ratio",
     "balanced_sample", "quality_deciles", "epoch_shuffle",
@@ -233,7 +241,11 @@ def resolve_dataop(op: str):
         span_dedup,
         span_dedup_against_path,
     )
-    from ..dataops.similarity import balanced_sample, cluster_balanced_sample
+    from ..dataops.similarity import (
+        balanced_sample,
+        cluster_balanced_sample,
+        vec_dedup_against_path,
+    )
     from ..dataops.text import (
         c4_filters,
         classify_against_path,
@@ -345,6 +357,7 @@ def resolve_dataop(op: str):
         "span_dedup_against": span_dedup_against_path,
         "decontaminate_against": decontaminate_against_path,
         "neardup_against": neardup_against_path,
+        "semantic_dedup_against": vec_dedup_against_path,
         "importance_weights": importance_weights,
         "importance_against": importance_against_path,
     }

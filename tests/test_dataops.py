@@ -3936,3 +3936,208 @@ def test_band_keys_engines_identical(spark):
         for r in _distinct_band_keys(df, "text", 3, 8, 2, engine="catalyst").collect()
     }
     assert a == b and a, "engines diverged or produced nothing"
+
+
+def test_vec_dedup_against_lifecycle(spark, sf_dir, tmp_path):
+    """The SemDeDup serving split: wave-1 kept vectors ->
+    write_vec_bucket_table -> wave 2 probes it. The flag verdict
+    equals the REFERENCE bucket-intersection computed with the shared
+    kernel; an exact copy hits every table; NULL vectors always pass;
+    drop == flag-filtered; appends under the same geometry accumulate
+    and the cache rotates on the listing change."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        _vec_bucket_keys_py,
+        release_vec_bucket_cache,
+        vec_dedup_against_path,
+        write_vec_bucket_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w1 = emb.filter("vec_id % 2 = 0")
+    w2 = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "vec_buckets")
+    write_vec_bucket_table(w1, path, mode="overwrite")
+
+    keys = _vec_bucket_keys_py(8, 4, 64)
+    w1_keys = set()
+    for r in w1.collect():
+        w1_keys.update(keys(r["embedding"]))
+    expected = {
+        r["vec_id"]: sum(1 for kk in keys(r["embedding"]) if kk in w1_keys)
+        for r in w2.collect()
+    }
+
+    flagged = {
+        r["vec_id"]: (r["semantic_neardup"], r["n_tables_hit"])
+        for r in vec_dedup_against_path(w2, path, action="flag").collect()
+    }
+    assert len(flagged) == w2.count()
+    for vid, hits in expected.items():
+        assert flagged[vid] == (hits > 0, hits), f"vec {vid}"
+
+    dropped = {
+        r["vec_id"]
+        for r in vec_dedup_against_path(w2, path).collect()
+    }
+    assert dropped == {v for v, (f, _) in flagged.items() if not f}
+
+    # an exact copy of a registered vector hits all 8 tables; a NULL
+    # vector has no keys and passes
+    one = w1.limit(1).collect()[0]
+    probe_df = spark.createDataFrame(
+        [(9001, one["embedding"]), (9002, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["semantic_neardup"], r["n_tables_hit"])
+        for r in vec_dedup_against_path(probe_df, path, action="flag").collect()
+    }
+    assert got[9001] == (True, 8) and got[9002] == (False, 0)
+
+    # a later wave registers (append, same geometry); an exact copy of
+    # the newly registered vector collides after the cache rotates on
+    # the listing change (the vector itself is synthetic — on this
+    # label-clustered corpus the 4-bit buckets are dense enough that
+    # wave 2 may have no survivors at all, which is fine: the probe's
+    # job is the verdict, within-wave survival is the miner's)
+    fresh_vec = [0.0] * 63 + [1.0]
+    wave3 = spark.createDataFrame(
+        [(9100, fresh_vec)], "vec_id long, embedding array<float>"
+    )
+    write_vec_bucket_table(wave3, path, mode="append")
+    again = vec_dedup_against_path(
+        spark.createDataFrame(
+            [(9101, fresh_vec)], "vec_id long, embedding array<float>"
+        ),
+        path, action="flag",
+    ).collect()[0]
+    assert again["semantic_neardup"] and again["n_tables_hit"] == 8
+    assert release_vec_bucket_cache(path) == 1
+
+
+def test_vec_bucket_keys_match_pair_miner(spark, sf_dir, tmp_path):
+    """The shared probe/writer kernel derives EXACTLY the bucket keys
+    the LSH pair miner buckets on (_lsh_buckets_batched's '_bkt'), so
+    a probe hit == 'would have been a miner candidate': every
+    cross-wave candidate pair's wave-2 member is flagged (no false
+    negatives vs the miner)."""
+    from clickhouse_etl_spark.dataops.similarity import (
+        _lsh_buckets_batched,
+        _vec_bucket_keys_py,
+        lsh_near_dup_pairs,
+        vec_dedup_against_path,
+        write_vec_bucket_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = emb.limit(50)
+    mined = {}
+    for r in _lsh_buckets_batched(
+        sample, 8, 4, 64, "vec_id", "embedding"
+    ).collect():
+        mined.setdefault(r["vec_id"], set()).add(r["_bkt"])
+    keys = _vec_bucket_keys_py(8, 4, 64)
+    for r in sample.collect():
+        assert set(keys(r["embedding"])) == mined[r["vec_id"]], r["vec_id"]
+
+    w1 = emb.filter("vec_id % 2 = 0")
+    w2 = emb.filter("vec_id % 2 = 1")
+    # threshold -1: every LSH candidate pair survives (cosine >= -1)
+    pairs = lsh_near_dup_pairs(w1.unionByName(w2), threshold=-1.0)
+    w1_ids = {r["vec_id"] for r in w1.collect()}
+    cross_w2 = set()
+    for r in pairs.collect():
+        if r["id_a"] in w1_ids and r["id_b"] not in w1_ids:
+            cross_w2.add(r["id_b"])
+        elif r["id_b"] in w1_ids and r["id_a"] not in w1_ids:
+            cross_w2.add(r["id_a"])
+    path = str(tmp_path / "vb_miner")
+    write_vec_bucket_table(w1, path, mode="overwrite")
+    flagged = {
+        r["vec_id"]
+        for r in vec_dedup_against_path(w2, path, action="flag").collect()
+        if r["semantic_neardup"]
+    }
+    assert cross_w2 and cross_w2 <= flagged
+
+
+def test_vec_dedup_against_guards(spark, tmp_path):
+    """Fail-loud surface: mixed geometry across appends, wrong-dim
+    probe vectors, unknown action, flag-column clash, bad geometry
+    parameters, spec-surface registration."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        _vec_bucket_keys_py,
+        vec_dedup_against_path,
+        write_vec_bucket_table,
+    )
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        REQUIRED_DATAOP_PARAMS,
+        STREAM_SAFE_DATAOPS,
+    )
+
+    assert "semantic_dedup_against" in DATAOPS
+    assert "semantic_dedup_against" in STREAM_SAFE_DATAOPS
+    assert REQUIRED_DATAOP_PARAMS["semantic_dedup_against"] == ("seen_path",)
+
+    vecs = spark.createDataFrame(
+        [(0, [float(i) for i in range(8)])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "vb_mixed")
+    write_vec_bucket_table(vecs, path, n_tables=4, bits_per_table=4,
+                           dim=8, mode="overwrite")
+    write_vec_bucket_table(vecs, path, n_tables=8, bits_per_table=4,
+                           dim=8, mode="append")
+    with _pytest.raises(ValueError, match="distinct geometries"):
+        vec_dedup_against_path(vecs, path)
+
+    ok = str(tmp_path / "vb_ok")
+    write_vec_bucket_table(vecs, ok, dim=8, mode="overwrite")
+    wrong_dim = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="dim"):
+        vec_dedup_against_path(wrong_dim, ok).collect()
+    with _pytest.raises(ValueError, match="drop|flag"):
+        vec_dedup_against_path(vecs, ok, action="verify")
+    with _pytest.raises(ValueError, match="rename"):
+        vec_dedup_against_path(
+            vecs.withColumn("n_tables_hit", F.lit(1)), ok, action="flag"
+        )
+    with _pytest.raises(ValueError, match="int64"):
+        _vec_bucket_keys_py(1, 63, 8)
+    with _pytest.raises(ValueError, match=">= 1"):
+        _vec_bucket_keys_py(0, 4, 8)
+
+    # assembles into the one streaming chain (mid-chain, embeddings-
+    # shaped stream — the ann_serve precedent); drop mode keeps schema
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src_dir = str(tmp_path / "vb_stream_in")
+    spark.createDataFrame(
+        [(7, [float(i) for i in range(8)], dt.datetime(2024, 1, 1))],
+        schema,
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    cfg = SourceConfig(
+        source_id="embeddings",
+        dataops=(DataopConfig(
+            op="semantic_dedup_against", params={"seen_path": ok}
+        ),),
+    )
+    out_stream = streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+    assert out_stream.isStreaming
+    assert set(out_stream.columns) == {"vec_id", "embedding", "ts"}
