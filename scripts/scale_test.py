@@ -1018,8 +1018,8 @@ def _decade_pair(name, small_df, big_df, n1=1_000_000, n10=10_000_000):
     ratio = (dt_b / n10) / (dt_s / n1)
     flag = "  ** SUPER-LINEAR **" if ratio > 2.0 else ""
     print(
-        f"{name}: 1M->10M docs in {dt_s:.1f}s/{dt_b:.1f}s "
-        f"({n1/dt_s/1000:.0f}/{n10/dt_b/1000:.0f}k docs/s), "
+        f"{name}: {n1/1e6:g}M->{n10/1e6:g}M rows in {dt_s:.1f}s/{dt_b:.1f}s "
+        f"({n1/dt_s/1000:.0f}/{n10/dt_b/1000:.0f}k rows/s), "
         f"per-row-cost ratio {ratio:.2f}{flag}"
     )
 
@@ -1362,6 +1362,47 @@ def section_r10b(spark) -> None:
         gopher_repetition(d1),
         gopher_repetition(d10),
     )
+
+    # embedding-grain probe decade (100k -> 1M synthetic 64-dim
+    # vectors, the section_r4 deterministic hash-feature family): at
+    # the default 8x4-bit geometry the bucket space is 128 keys, so a
+    # uniform corpus saturates it and virtually every probe collides —
+    # the all-hit worst case; the cost measured is the full 32-plane
+    # signature + probes per vector
+    from clickhouse_etl_spark.dataops.similarity import (
+        release_vec_bucket_cache,
+        vec_dedup_against_path,
+        write_vec_bucket_table,
+    )
+
+    def _vecs(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    (F.col("id") * 131 + i * 65537) % 1000
+                ).cast("double") / 1000.0,
+            ).alias("embedding"),
+        )
+
+    v_small, v_big = _vecs(100_000), _vecs(1_000_000)
+    vb_path = f"{BASE}/vec_buckets_r10b"
+    t0 = time.perf_counter()
+    write_vec_bucket_table(v_small, vb_path, mode="overwrite")
+    n_bkt = spark.read.parquet(f"{vb_path}/buckets").count()
+    print(
+        f"write_vec_bucket_table (one-time, 100k vectors -> {n_bkt} "
+        f"bucket digests): {time.perf_counter()-t0:.1f}s"
+    )
+    _pair(
+        "vec_dedup_against[flag]",
+        vec_dedup_against_path(v_small, vb_path, action="flag"),
+        vec_dedup_against_path(v_big, vb_path, action="flag"),
+        n1=100_000,
+        n10=1_000_000,
+    )
+    release_vec_bucket_cache(vb_path)
 
 
 def main() -> None:
