@@ -917,6 +917,14 @@ def write_bloom_table(
     its declared bits/key past that — each shard is its own filter,
     the table just gains a shard column, and merges require identical
     sharding.
+
+    WARNING — cross-wave accumulation is :func:`merge_bloom_tables`
+    ONLY: writing a second wave with ``mode="append"`` leaves two rows
+    per overlapping (shard, word_idx) and the loader's plain row
+    assignment then clobbers one wave's bits (silent FALSE NEGATIVES).
+    The grain wrappers (line/span/ngram/band) reject ``append``
+    outright; direct callers must write each wave to its own path and
+    OR-merge.
     """
     m, coeffs = _bloom_params(capacity, bits_per_key, n_hashes, n_shards)
     # materialize the key hash ONCE per row before fanning out — the
@@ -1565,11 +1573,20 @@ def write_line_bloom_table(
     wave's distinct non-empty lines — the 100-TB tier of the line
     lifecycle, for corpora whose distinct-line set is too large to
     broadcast as exact digests (size ``capacity`` to the true distinct
-    LINE count). Cross-wave accumulation is the ordinary
-    :func:`merge_bloom_tables`; probe via
+    LINE count). Cross-wave accumulation is :func:`merge_bloom_tables`
+    ONLY — in-place ``mode="append"`` is rejected (two waves' sparse
+    bitmap rows clobber each other's bits at load time: silent false
+    negatives; the band-tier lesson). Probe via
     ``line_dedup_against_path(..., seen_format="bloom")``. No false
     negatives: a seen line always drops; ~FPR of fresh lines drop with
     it (bits/key trade, declared)."""
+    if mode == "append":
+        raise ValueError(
+            "bloom tables cannot append in place — rows from two waves "
+            "clobber each other's bits at load time (false negatives); "
+            "write each wave to its own path and OR-merge with "
+            "merge_bloom_tables"
+        )
     write_bloom_table(
         _distinct_lines(df, text_col),
         path,
@@ -1877,7 +1894,16 @@ def write_span_bloom_table(
 ) -> None:
     """Span-grain Bloom seen-set (size ``capacity`` to the true
     distinct SPAN count) — the 100-TB tier of the span lifecycle, via
-    the ordinary portable bloom build over the distinct span strings."""
+    the ordinary portable bloom build over the distinct span strings.
+    Cross-wave accumulation is :func:`merge_bloom_tables` ONLY
+    (in-place append clobbers bits — see the line-grain writer)."""
+    if mode == "append":
+        raise ValueError(
+            "bloom tables cannot append in place — rows from two waves "
+            "clobber each other's bits at load time (false negatives); "
+            "write each wave to its own path and OR-merge with "
+            "merge_bloom_tables"
+        )
     write_bloom_table(
         _distinct_spans(df, text_col, span_sentences),
         path,
@@ -2094,9 +2120,18 @@ def write_ngram_bloom_table(
     decontamination lifecycle, via the ordinary portable bloom build
     over the distinct n-gram strings. No false negatives: a genuinely
     contaminated document always flags; ~FPR of clean documents flag
-    with it (declared trade, like every bloom tier)."""
+    with it (declared trade, like every bloom tier). Cross-suite
+    accumulation is :func:`merge_bloom_tables` ONLY (in-place append
+    clobbers bits — see the line-grain writer)."""
     if n < 1:
         raise ValueError("n must be >= 1")
+    if mode == "append":
+        raise ValueError(
+            "bloom tables cannot append in place — rows from two waves "
+            "clobber each other's bits at load time (false negatives); "
+            "write each wave to its own path and OR-merge with "
+            "merge_bloom_tables"
+        )
     write_bloom_table(
         _distinct_ngrams(df, text_col, n),
         path,

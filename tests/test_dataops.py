@@ -4141,3 +4141,28 @@ def test_vec_dedup_against_guards(spark, tmp_path):
     out_stream = streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
     assert out_stream.isStreaming
     assert set(out_stream.columns) == {"vec_id", "embedding", "ts"}
+
+
+def test_bloom_grain_writers_reject_inplace_append(spark, tmp_path):
+    """Every grain wrapper of the bloom tier rejects mode='append':
+    two waves' sparse bitmap rows clobber each other's bits at load
+    time (silent false negatives) — merge_bloom_tables is the only
+    accumulation path (the band-tier review lesson, applied to the
+    line/span/ngram grains it generalized to)."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        write_line_bloom_table,
+        write_ngram_bloom_table,
+        write_span_bloom_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon. second sentence here. third one too.")],
+        "doc_id long, text string",
+    )
+    for i, writer in enumerate(
+        (write_line_bloom_table, write_span_bloom_table, write_ngram_bloom_table)
+    ):
+        with _pytest.raises(ValueError, match="merge_bloom_tables"):
+            writer(docs, str(tmp_path / f"bl{i}"), capacity=16, mode="append")
