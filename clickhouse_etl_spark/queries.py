@@ -7187,10 +7187,33 @@ _R09_CHECKED = frozenset({
     "validate_dlq_counts",
 })
 
+_R10_CHECKED = frozenset({
+    "asof_join_clicks", "cube_order_stats", "dedup_first_wins",
+    "dedup_windowed", "docs_bm25", "docs_bpe_tokens", "docs_bpe_vocab",
+    "docs_curation_e2e", "docs_curation_v5", "docs_decontaminate_against",
+    "docs_epoch_shuffle", "docs_quality_deciles", "docs_rare_token_ratio",
+    "docs_sentence_span_dedup", "docs_span_dedup",
+    "docs_upsample_mixture", "emb_cluster_sample", "events_moving_sum_1h",
+    "events_winsorize", "filter_project", "funnel_conversion",
+    "otlp_flatten_metrics", "pipeline_canonical",
+    "pivot_user_event_counts", "q10_returned_revenue",
+    "q12_priority_buckets", "q13_customer_distribution",
+    "q14_conditional_agg", "q15_top_supplier", "q16_supplier_cardinality",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q3_top_revenue", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "range_join_attribution",
+    "retention_cohorts", "sink_mapping_casts", "temporal_join_enrich",
+    "transform_scalars", "validate_dlq_counts",
+})
+
 # Newest-signature round per entry, derived from the artifact key sets.
 # Newer rounds shadow older ones; entries in no set have never been
 # driver-checked (priority 0).
 _CHECKED_ROUNDS = (
+    (10, _R10_CHECKED),
     (9, _R09_CHECKED),
     (8, _R08_CHECKED),
     (7, _R07_CHECKED),
@@ -7217,29 +7240,10 @@ def _newest_signature(name: str) -> int:
 # is missing from this set. Re-snapshot at the start of each round, then add
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r10 edits after an r3..r9 signature — keep EXACTLY equal to the
+    # r11 edits after an r3..r10 signature — keep EXACTLY equal to the
     # mechanical changed-set (tests/test_rotation.py). Reset empty at
-    # round start (impl hashes re-snapshotted from the r10-start tree =
-    # the r9-signed commit 331ecdd plus driver artifacts only).
-    # line_dedup_against registration touches the dataop registry,
-    # which pipeline_canonical's impl closure reaches (no behavior
-    # change for any registered op — registry additions only):
-    "pipeline_canonical",
-    # ADVICE r9 fixes, value-identical for registry inputs: c4_filters
-    # gained the inert-bad_words fail-loud guard (registry entry passes
-    # no bad_words); the DSIR oracle IN-list is built explicitly
-    # (renders to the same SQL string) and the scoring kernel gained
-    # the documented ASCII assumption (comment-only for behavior):
-    "docs_c4_filters",
-    "docs_importance_weights",
-    # _lineated_docs refactored to share _lineate_expr with the v5
-    # flagship (expression tree unchanged — output identical):
-    "docs_line_dedup",
-    # curation stream gained the optional importance stage (fused pass
-    # composes _iw_kernel; no behavior change with importance_path
-    # unset, fused==staged equality-pinned) — e2e's closure reaches
-    # streaming/curation.py:
-    "docs_curation_e2e",
+    # round start (impl hashes re-snapshotted from the r11-start tree =
+    # the r10-signed commit 58ea44a plus driver artifacts only).
 })
 
 

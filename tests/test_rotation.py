@@ -56,7 +56,7 @@ def test_stale_set_entries_exist():
     assert not unknown, f"_STALE_SIGNED names unknown entries: {sorted(unknown)}"
 
 
-@pytest.mark.parametrize("round_no", [3, 4, 5, 6])
+@pytest.mark.parametrize("round_no", [3, 4, 5, 6, 7, 8, 9, 10])
 def test_checked_sets_match_driver_artifacts(round_no):
     artifact = REPO / f"CORRECTNESS_r{round_no:02d}.json"
     if not artifact.exists():
