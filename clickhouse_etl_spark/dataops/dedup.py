@@ -918,14 +918,22 @@ def write_bloom_table(
     the table just gains a shard column, and merges require identical
     sharding.
 
-    WARNING — cross-wave accumulation is :func:`merge_bloom_tables`
-    ONLY: writing a second wave with ``mode="append"`` leaves two rows
+    Cross-wave accumulation is :func:`merge_bloom_tables` ONLY:
+    writing a second wave with ``mode="append"`` would leave two rows
     per overlapping (shard, word_idx) and the loader's plain row
-    assignment then clobbers one wave's bits (silent FALSE NEGATIVES).
-    The grain wrappers (line/span/ngram/band) reject ``append``
-    outright; direct callers must write each wave to its own path and
-    OR-merge.
+    assignment then clobbers one wave's bits (silent FALSE NEGATIVES)
+    — so ``append`` is rejected here at the base writer too (ADVICE
+    r10 #2 promoted the docstring warning: the grain wrappers already
+    rejected it, but a direct caller could still hit the footgun).
+    Write each wave to its own path and OR-merge.
     """
+    if mode == "append":
+        raise ValueError(
+            "write_bloom_table cannot append in place — bloom rows "
+            "from two waves would clobber each other's bits at load "
+            "time (false negatives); write each wave to its own path "
+            "and OR-merge with merge_bloom_tables"
+        )
     m, coeffs = _bloom_params(capacity, bits_per_key, n_hashes, n_shards)
     # materialize the key hash ONCE per row before fanning out — the
     # char fold is an interpreted HOF over the md5 digest and would
@@ -2649,7 +2657,10 @@ def write_band_digest_table(
     between waves instead of text or signatures. ``mode="append"``
     accumulates across waves (the probe reads DISTINCT digests, so
     overlap between appends is harmless — but the geometry must
-    match).
+    match, and a mismatched append fails loud BEFORE any band key is
+    written (ADVICE r10 #1): the old order wrote the keys first, so a
+    wrong-geometry append corrupted the artifact and was only caught
+    at probe time, forcing a full rebuild).
 
     Scale shape: one row-local signature projection + one explode +
     one distinct — a band-keyed shuffle whose keys are
@@ -2657,6 +2668,19 @@ def write_band_digest_table(
     :func:`minhash_lsh_pairs` candidate-join property).
     """
     _band_geometry_check(n, k, rows_per_band)
+    from .util import path_exists
+
+    if mode == "append" and path_exists(
+        df.sparkSession, f"{path.rstrip('/')}/geometry"
+    ):
+        existing = _band_geometry(df.sparkSession, path)
+        if existing != (int(n), int(k), int(rows_per_band)):
+            raise ValueError(
+                f"geometry mismatch appending to {path!r}: artifact "
+                f"registered under (n, k, rows_per_band)={existing}, "
+                f"append requested {(int(n), int(k), int(rows_per_band))}"
+                " — nothing was written; rebuild or match the geometry"
+            )
     (
         _distinct_band_keys(df, text_col, n, k, rows_per_band, engine=engine)
         .select(F.md5("band").alias("digest"))

@@ -2579,7 +2579,9 @@ def _repetition_counters(text: "str | None") -> "tuple[int, ...]":
       numerators/denominators sum ``len()`` over the respective units
       (separators excluded from both sides);
     - tokens are case-folded whitespace-run splits (``.lower().split()``
-      — newlines break grams);
+      — newlines act as token separators like spaces, so n-grams MAY
+      span line boundaries; ADVICE r10 #3 fixed the earlier misstated
+      convention here);
     - top n-gram (n=2..4): among OVERLAPPING n-grams occurring >= 2
       times, the one maximizing (count, gram chars, gram) — a gram
       occurring once is not repetition and contributes 0; covered

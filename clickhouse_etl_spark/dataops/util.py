@@ -61,6 +61,17 @@ def shuffle_partitions_for(
     return min(max_partitions, 1 << (need - 1).bit_length())
 
 
+def path_exists(spark, path: str) -> bool:
+    """Filesystem-agnostic existence check through the session's Hadoop
+    FileSystem (works for local paths in tests and object-store URIs at
+    scale) — the pre-write guard the artifact writers use to validate
+    an existing geometry sidecar BEFORE touching the key data."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 class sized_shuffle:
     """Context manager: set ``spark.sql.shuffle.partitions`` via
     :func:`shuffle_partitions_for` for the block, restore on exit —

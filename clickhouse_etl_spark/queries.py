@@ -7244,6 +7244,17 @@ _STALE_SIGNED = frozenset({
     # mechanical changed-set (tests/test_rotation.py). Reset empty at
     # round start (impl hashes re-snapshotted from the r11-start tree =
     # the r10-signed commit 58ea44a plus driver artifacts only).
+    # VERDICT r10 #2 + ADVICE r10 #1: the vec-bucket saturation guard
+    # and the pre-write append-geometry checks live in dataop functions
+    # the dataop registry reaches (write_vec_bucket_table /
+    # vec_dedup_against_path / write_band_digest_table); no registered
+    # pipeline behavior changes — guards only:
+    "pipeline_canonical",
+    # ADVICE r10 #2: the base write_bloom_table rejects mode="append"
+    # (the grain wrappers already did; registry callers always pass
+    # overwrite, so no signed output changes):
+    "docs_curation_e2e",
+    "docs_decontaminate_against",
 })
 
 

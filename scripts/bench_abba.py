@@ -69,6 +69,37 @@ def _default_queries() -> list[str]:
     )
 
 
+def _prune_stale_worktrees() -> None:
+    """Remove /tmp/abba_signed_* worktrees left by KILLED earlier runs
+    (VERDICT r10 #1: a poisoned worktree from an interrupted run made
+    the fast suite fail forever until hand-removed). A worktree whose
+    PID suffix is a live process belongs to a concurrent run and is
+    left alone; everything else is crash residue — remove + prune."""
+    listing = subprocess.run(
+        ["git", "worktree", "list", "--porcelain"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout
+    for line in listing.splitlines():
+        if not line.startswith("worktree /tmp/abba_signed_"):
+            continue
+        path = line.split(" ", 1)[1]
+        pid = path.rsplit("_", 1)[-1]
+        try:
+            os.kill(int(pid), 0)
+            continue  # a live concurrent run owns it
+        except (ValueError, ProcessLookupError):
+            pass
+        except PermissionError:
+            continue  # alive under another uid
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", path],
+            cwd=REPO, capture_output=True,
+        )
+    subprocess.run(
+        ["git", "worktree", "prune"], cwd=REPO, capture_output=True
+    )
+
+
 def _run_bench(tree: str, queries: list[str], sf_dir: str) -> dict:
     """One full bench.py sweep of ``queries`` from ``tree`` (its own
     chunk JVMs, warm-up and best-of-2 exactly as the recorded bench)."""
@@ -113,6 +144,7 @@ def main() -> None:
         raise SystemExit(f"--pattern must be a string of A/B, got {args.pattern!r}")
     queries = (args.queries.split(",") if args.queries else _default_queries())
 
+    _prune_stale_worktrees()
     worktree = f"/tmp/abba_signed_{os.getpid()}"
     subprocess.run(
         ["git", "worktree", "add", "--force", "--detach", worktree, args.ref],

@@ -1364,11 +1364,12 @@ def section_r10b(spark) -> None:
     )
 
     # embedding-grain probe decade (100k -> 1M synthetic 64-dim
-    # vectors, the section_r4 deterministic hash-feature family): at
-    # the default 8x4-bit geometry the bucket space is 128 keys, so a
-    # uniform corpus saturates it and virtually every probe collides —
-    # the all-hit worst case; the cost measured is the full 32-plane
-    # signature + probes per vector
+    # vectors, the section_r4 deterministic hash-feature family) at
+    # the DEFAULT 8x16-bit geometry (524,288-key space — VERDICT r10
+    # #2 moved the default off 8x4, whose 128-key space made this
+    # segment an all-hit worst case): the segment now measures real
+    # probe selectivity — signature + probe per vector with most
+    # probes missing, the production shape
     from clickhouse_etl_spark.dataops.similarity import (
         release_vec_bucket_cache,
         vec_dedup_against_path,

@@ -2009,10 +2009,14 @@ def test_digest_cache_invalidates_on_rewrite(spark, sf_dir, tmp_path):
 
 
 def test_bloom_probe_rejects_mixed_geometry(spark, tmp_path):
-    """ADVICE r7: two write_bloom_table calls with different capacity
-    into ONE path (mode='append') yield a mixed-geometry artifact; the
-    probe must refuse it instead of silently reading the wrong m and
-    breaking the no-false-negative guarantee."""
+    """ADVICE r7: a mixed-geometry bloom artifact (two capacities in
+    ONE path — writable only by pre-guard code now that the base
+    writer rejects mode='append', ADVICE r10 #2) must be refused by
+    the probe instead of silently reading the wrong m and breaking the
+    no-false-negative guarantee."""
+    import shutil
+    from pathlib import Path as _P
+
     import pytest as _pytest
 
     from clickhouse_etl_spark.dataops import dedup as dd
@@ -2021,10 +2025,19 @@ def test_bloom_probe_rejects_mixed_geometry(spark, tmp_path):
         [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
     )
     path = str(tmp_path / "bloom_mixed")
+    other = str(tmp_path / "bloom_other")
     dd.write_bloom_table(docs, path, capacity=1000)
-    dd.write_bloom_table(docs, path, capacity=2000, mode="append")
+    dd.write_bloom_table(docs, other, capacity=2000)
+    # splice the second geometry's rows in by file copy — the legacy
+    # on-disk state the in-place append used to produce
+    for f in _P(other).glob("part-*.parquet"):
+        shutil.copy(f, _P(path) / f"legacy-{f.name}")
     with _pytest.raises(ValueError, match="mixes geometries"):
         dd.dedup_against_bloom_path(docs, path).collect()
+
+    # and the base writer itself refuses in-place appends outright
+    with _pytest.raises(ValueError, match="merge_bloom_tables"):
+        dd.write_bloom_table(docs, path, capacity=1000, mode="append")
 
 
 def test_bloom_bitmap_size_guard(spark, tmp_path):
@@ -3958,7 +3971,7 @@ def test_vec_dedup_against_lifecycle(spark, sf_dir, tmp_path):
     path = str(tmp_path / "vec_buckets")
     write_vec_bucket_table(w1, path, mode="overwrite")
 
-    keys = _vec_bucket_keys_py(8, 4, 64)
+    keys = _vec_bucket_keys_py(8, 16, 64)
     w1_keys = set()
     for r in w1.collect():
         w1_keys.update(keys(r["embedding"]))
@@ -3996,10 +4009,7 @@ def test_vec_dedup_against_lifecycle(spark, sf_dir, tmp_path):
 
     # a later wave registers (append, same geometry); an exact copy of
     # the newly registered vector collides after the cache rotates on
-    # the listing change (the vector itself is synthetic — on this
-    # label-clustered corpus the 4-bit buckets are dense enough that
-    # wave 2 may have no survivors at all, which is fine: the probe's
-    # job is the verdict, within-wave survival is the miner's)
+    # the listing change
     fresh_vec = [0.0] * 63 + [1.0]
     wave3 = spark.createDataFrame(
         [(9100, fresh_vec)], "vec_id long, embedding array<float>"
@@ -4052,10 +4062,19 @@ def test_vec_bucket_keys_match_pair_miner(spark, sf_dir, tmp_path):
         elif r["id_b"] in w1_ids and r["id_a"] not in w1_ids:
             cross_w2.add(r["id_a"])
     path = str(tmp_path / "vb_miner")
-    write_vec_bucket_table(w1, path, mode="overwrite")
+    # parity with the miner needs the MINER'S geometry (8x4) — its
+    # 128-key space runs dense on this label-clustered corpus, so the
+    # occupancy guard is explicitly lifted (this test measures miner
+    # parity, not geometry health; the guard has its own test)
+    write_vec_bucket_table(
+        w1, path, n_tables=8, bits_per_table=4, mode="overwrite",
+        max_occupancy=1.0,
+    )
     flagged = {
         r["vec_id"]
-        for r in vec_dedup_against_path(w2, path, action="flag").collect()
+        for r in vec_dedup_against_path(
+            w2, path, action="flag", max_occupancy=1.0
+        ).collect()
         if r["semantic_neardup"]
     }
     assert cross_w2 and cross_w2 <= flagged
@@ -4089,8 +4108,22 @@ def test_vec_dedup_against_guards(spark, tmp_path):
     path = str(tmp_path / "vb_mixed")
     write_vec_bucket_table(vecs, path, n_tables=4, bits_per_table=4,
                            dim=8, mode="overwrite")
-    write_vec_bucket_table(vecs, path, n_tables=8, bits_per_table=4,
-                           dim=8, mode="append")
+    # ADVICE r10 #1: a mismatched-geometry append fails loud BEFORE
+    # writing any key — the artifact stays intact and probeable
+    before = spark.read.parquet(f"{path}/buckets").count()
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        write_vec_bucket_table(vecs, path, n_tables=8, bits_per_table=4,
+                               dim=8, mode="append")
+    assert spark.read.parquet(f"{path}/buckets").count() == before
+    vec_dedup_against_path(vecs, path).collect()  # still healthy
+
+    # a legacy artifact that DID accumulate two geometries (written by
+    # pre-guard code) still fails loud at probe time
+    from clickhouse_etl_spark.dataops.similarity import (
+        _write_vec_bucket_geometry,
+    )
+
+    _write_vec_bucket_geometry(spark, path, 8, 4, 8, "append")
     with _pytest.raises(ValueError, match="distinct geometries"):
         vec_dedup_against_path(vecs, path)
 
@@ -4141,6 +4174,89 @@ def test_vec_dedup_against_guards(spark, tmp_path):
     out_stream = streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
     assert out_stream.isStreaming
     assert set(out_stream.columns) == {"vec_id", "embedding", "ts"}
+
+
+def test_vec_bucket_saturation_guard(spark, tmp_path):
+    """VERDICT r10 #2: a vector-bucket artifact whose registered keys
+    fill the geometry's bucket space past max_occupancy is rejected at
+    BOTH ends — the writer raises pre-write (artifact untouched), and
+    the probe raises on a saturated artifact built by legacy code —
+    instead of silently dropping ~100% of every probed wave."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.similarity import (
+        vec_dedup_against_path,
+        write_vec_bucket_table,
+    )
+
+    # 1 table x 1 bit = a 2-key space; v and -v land in opposite
+    # hyperplane buckets, so together they saturate it exactly
+    both = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [-1.0, -1.0, -1.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "vb_sat")
+    with _pytest.raises(ValueError, match="occupancy"):
+        write_vec_bucket_table(
+            both, path, n_tables=1, bits_per_table=1, dim=4,
+            mode="overwrite",
+        )
+    from clickhouse_etl_spark.dataops.util import path_exists
+
+    assert not path_exists(spark, f"{path}/buckets"), (
+        "rejected wave must leave nothing behind"
+    )
+
+    # half the space (one key) passes the default 0.5 threshold ...
+    one = both.filter("vec_id = 0")
+    write_vec_bucket_table(
+        one, path, n_tables=1, bits_per_table=1, dim=4, mode="overwrite"
+    )
+    # ... and an append that would overflow it is rejected pre-write
+    before = spark.read.parquet(f"{path}/buckets").count()
+    with _pytest.raises(ValueError, match="occupancy"):
+        write_vec_bucket_table(
+            both, path, n_tables=1, bits_per_table=1, dim=4, mode="append"
+        )
+    assert spark.read.parquet(f"{path}/buckets").count() == before
+
+    # a saturated artifact force-built (or written by pre-guard code)
+    # is rejected at probe time; the explicit override still probes
+    write_vec_bucket_table(
+        both, path, n_tables=1, bits_per_table=1, dim=4,
+        mode="overwrite", max_occupancy=1.0,
+    )
+    with _pytest.raises(ValueError, match="occupancy"):
+        vec_dedup_against_path(both, path)
+    assert (
+        vec_dedup_against_path(both, path, max_occupancy=1.0).count() == 0
+    )  # every vector collides — the loud-vs-silent difference
+
+
+def test_band_digest_append_geometry_prechecked(spark, tmp_path):
+    """ADVICE r10 #1 at band grain: a mismatched-geometry append to a
+    band-digest artifact fails loud BEFORE any band key is written, so
+    the artifact stays intact instead of corrupt-then-detected."""
+    import pytest as _pytest
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        neardup_against_path,
+        write_band_digest_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands_geom")
+    write_band_digest_table(docs, path, n=3, k=8, rows_per_band=2,
+                            mode="overwrite")
+    before = spark.read.parquet(f"{path}/bands").count()
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        write_band_digest_table(docs, path, n=2, k=8, rows_per_band=4,
+                                mode="append")
+    assert spark.read.parquet(f"{path}/bands").count() == before
+    assert neardup_against_path(docs, path).count() == 0  # still healthy
 
 
 def test_bloom_grain_writers_reject_inplace_append(spark, tmp_path):
