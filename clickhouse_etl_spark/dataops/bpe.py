@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fold import fold_space_tokens
 from .util import scale_out
 
 #: marks end-of-word so merges never cross word boundaries
@@ -231,7 +232,7 @@ def apply_bpe(
                 continue
             n_words, n_tokens = [], []
             for text in pdf[text_col]:
-                words = [w for w in (text or "").lower().split(" ") if w]
+                words = fold_space_tokens(text)
                 total = 0
                 for w in words:
                     n = cache.get(w)

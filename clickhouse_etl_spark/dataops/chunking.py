@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fold import fold_lower
 from .util import scale_out
 
 #: shared with the oracle SQL verbatim — plain patterns that parse
@@ -105,7 +106,8 @@ def top_terms(
                     if x is None:
                         continue
                     cnt = Counter(
-                        t for t in x.lower().split(" ") if len(t) >= min_len
+                        t for t in fold_lower(x).split(" ")
+                        if len(t) >= min_len
                     )
                     if not cnt:
                         continue

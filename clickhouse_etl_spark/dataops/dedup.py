@@ -2157,7 +2157,8 @@ def _decontam_probe_kernel(probe, n: int, count: bool):
     (:func:`decontaminate_against_path` and the fused curation stream —
     the ``_score_kernel`` rule: one definition, composed everywhere):
     tokenize the raw text with the :func:`_word_tokens_expr` convention
-    (``lower()`` + ``[^a-z0-9]+`` runs, ASCII case-fold assumption),
+    (:func:`fold.fold_word_tokens` — the ONE fold policy; see
+    ``dataops/fold.py`` for the declared engine-agreement contract),
     slide ``n``-grams, probe the seen-set. ``count=False`` returns an
     early-exit boolean verdict (drop mode / the fused stream);
     ``count=True`` returns the DISTINCT dirty-n-gram count (flag/audit
@@ -2167,16 +2168,12 @@ def _decontam_probe_kernel(probe, n: int, count: bool):
     # and silently disable decontamination (review r10)
     if n < 1:
         raise ValueError("n must be >= 1")
-    import re
-
-    split = re.compile(r"[^a-z0-9]+").split
+    from .fold import fold_word_tokens
 
     if count:
 
         def check(t):
-            toks = [
-                w for w in split((t if t is not None else "").lower()) if w
-            ]
+            toks = fold_word_tokens(t)
             return len(
                 {
                     g
@@ -2188,9 +2185,7 @@ def _decontam_probe_kernel(probe, n: int, count: bool):
     else:
 
         def check(t):
-            toks = [
-                w for w in split((t if t is not None else "").lower()) if w
-            ]
+            toks = fold_word_tokens(t)
             return any(
                 probe(" ".join(toks[j : j + n]))
                 for j in range(0, len(toks) - n + 1)

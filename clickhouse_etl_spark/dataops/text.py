@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fold import fold_lower, fold_space_tokens
 from .hashing import affine_hash, char_fold_hash
 from .util import scale_out
 
@@ -300,7 +301,7 @@ def c4_filters(
         # blocklist entry (ADVICE r9; the target_sources convention)
         inert = [
             w
-            for w in (str(w).lower() for w in bad_words)
+            for w in (fold_lower(str(w)) for w in bad_words)
             if not w or not all("a" <= c <= "z" or "0" <= c <= "9" for c in w)
         ]
         if inert:
@@ -316,7 +317,7 @@ def c4_filters(
         from .dedup import _word_tokens_expr
 
         toks = F.array_distinct(_word_tokens_expr(text))
-        bad = F.array(*[F.lit(str(w).lower()) for w in bad_words])
+        bad = F.array(*[F.lit(fold_lower(str(w))) for w in bad_words])
         r_bad = F.when(
             F.size(F.array_intersect(toks, bad)) == 0, F.lit(1)
         ).otherwise(F.lit(0))
@@ -1350,10 +1351,7 @@ def _iw_score_frame(
             # equality and serve parity are pinned for ASCII corpora
             # (the classify_against family's documented assumption;
             # ADVICE r9). Non-ASCII inputs should normalize_text first.
-            tok_lists = [
-                [t for t in (x or "").lower().split(" ") if t]
-                for x in pdf[text_col]
-            ]
+            tok_lists = [fold_space_tokens(x) for x in pdf[text_col]]
             keep = [i for i, tl in enumerate(tok_lists) if tl]
             if not keep:
                 continue  # token-less docs drop, as in the catalyst form
@@ -1527,10 +1525,7 @@ def hash_embedding(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                tok_lists = [
-                    [t for t in (x or "").lower().split(" ") if t]
-                    for x in pdf[text_col]
-                ]
+                tok_lists = [fold_space_tokens(x) for x in pdf[text_col]]
                 # the explode in the reference form drops token-less docs
                 keep = [i for i, tl in enumerate(tok_lists) if tl]
                 if not keep:
@@ -1737,10 +1732,7 @@ def _classifier_feats(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                tok_lists = [
-                    [t for t in (x or "").lower().split(" ") if t]
-                    for x in pdf[text_col]
-                ]
+                tok_lists = [fold_space_tokens(x) for x in pdf[text_col]]
                 keep = [i for i, tl in enumerate(tok_lists) if tl]
                 if not keep:
                     continue
@@ -2025,7 +2017,7 @@ def _normalize_kernel():
         if x is None:
             return None, -1, -1
         nr = sum(1 for _ in raw_tok.finditer(x))
-        cleaned = space_runs.sub(" ", non_alnum.sub(" ", x.lower())).strip(" ")
+        cleaned = space_runs.sub(" ", non_alnum.sub(" ", fold_lower(x))).strip(" ")
         return cleaned, nr, 0 if not cleaned else cleaned.count(" ") + 1
 
     return norm
@@ -2182,10 +2174,7 @@ def classify_against_path(
         for pdf in batches:
             if not len(pdf):
                 continue
-            tok_lists = [
-                [t for t in (x or "").lower().split(" ") if t]
-                for x in pdf[text_col]
-            ]
+            tok_lists = [fold_space_tokens(x) for x in pdf[text_col]]
             keep0 = [i for i, tl in enumerate(tok_lists) if tl]
             if not keep0:
                 continue  # token-less docs drop, as in the batch op
@@ -2277,7 +2266,7 @@ def bm25_scores(
     ride a broadcast join. Output: (id, score_micros) for docs matching
     >= 1 term.
     """
-    terms = [t.lower() for t in query_terms]
+    terms = [fold_lower(t) for t in query_terms]
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "),
         lambda t: F.length(t) >= min_token_len,
@@ -2602,7 +2591,7 @@ def _repetition_counters(text: "str | None") -> "tuple[int, ...]":
     paras = [p for p in t.split("\n\n") if p]
     dup_lines, dup_line_chars = _dup_elements(lines)
     dup_paras, dup_para_chars = _dup_elements(paras)
-    toks = t.lower().split()
+    toks = fold_lower(t).split()
     chars_toks = sum(len(w) for w in toks)
 
     top_chars = []

@@ -7255,6 +7255,22 @@ _STALE_SIGNED = frozenset({
     # overwrite, so no signed output changes):
     "docs_curation_e2e",
     "docs_decontaminate_against",
+    # VERDICT r10 #4: every Python text-kernel case fold routes through
+    # the ONE dataops/fold.py helper (fold_lower / fold_space_tokens /
+    # fold_word_tokens). Pure refactor — each helper is the same
+    # expression the kernels inlined, equality- and policy-pinned by
+    # tests/test_fold_policy.py; outputs identical for every input:
+    "docs_bm25",
+    "docs_bpe_apply_fixed",
+    "docs_bpe_tokens",
+    "docs_c4_filters",
+    "docs_curation_v4",
+    "docs_curation_v5",
+    "docs_hash_embed_topk",
+    "docs_importance_weights",
+    "docs_normalize_text",
+    "docs_top_terms",
+    "docs_trained_classifier",
 })
 
 
