@@ -165,6 +165,60 @@ def scrub_pii(
     return df.withColumn(out_col, scrubbed)
 
 
+#: The published-pipeline PII battery beyond email/URL (C4 scrubs more
+#: than email; RefinedWeb §3.1 removes URLs/emails/phone/IP-class
+#: identifiers) — ordered (name, pattern, replacement) rules in the
+#: deterministic Java-regex/RE2 agreement subset (ASCII classes, \b
+#: word boundaries, explicit digit counts — the normalize_text
+#: precedent; agreement spot-checked against DuckDB in
+#: tests/test_dataops.py). Order matters and is part of the contract:
+#: emails before URLs (addresses embed dots/digits), URLs before the
+#: numeric rules (an IP inside a URL belongs to the <URL> token),
+#: card/ID numbers before phone (a phone pattern could bite their
+#: separator groups), IP before phone (dotted quads vs dotted phones).
+PII_RULES = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("url", URL_RE, "<URL>"),
+    ("cc", r"\b[0-9]{4}([ -][0-9]{4}){3}\b", "<CC>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # phone: international prefix optional, then (area) or area with a
+    # separator, then two separator-joined groups. Separator-less digit
+    # runs are deliberately OUT of the deterministic subset (a 10-digit
+    # run is as likely an id or a timestamp; published scrubs differ
+    # here, so the battery takes the conservative, explainable side).
+    (
+        "phone",
+        r"(\+[0-9]{1,3}[-. ])?(\([0-9]{2,4}\)[-. ]?|\b[0-9]{2,4}[-. ])"
+        r"[0-9]{3,4}[-. ][0-9]{3,4}\b",
+        "<PHONE>",
+    ),
+)
+
+
+def scrub_pii_battery(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """The full published scrub pass — :data:`PII_RULES` applied in
+    declared order, each stage counting its matches BEFORE redacting
+    (``pii_<rule>`` bigint audit columns), so the attrition report a
+    curation deployment needs rides along for free. Superset of
+    :func:`scrub_pii` (same email/URL rules and tokens first).
+
+    Stream-safe and row-local: one projection, no shuffle, no state —
+    the whole battery is a single whole-stage-codegen pass over the
+    scan at any scale. Reference parity: the reference has no PII
+    surface; this extends the curation family the way C4/RefinedWeb
+    §3.1 describe (VERDICT r10 #5).
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {}
+    for name, pat, repl in PII_RULES:
+        counts[f"pii_{name}"] = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumns({**counts, out_col: cur})
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 2048,

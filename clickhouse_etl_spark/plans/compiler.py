@@ -117,7 +117,7 @@ DATAOPS = frozenset({
     "c4_filters", "line_dedup", "importance_weights",
     "importance_against", "line_dedup_against", "sentence_span_dedup",
     "span_dedup_against", "decontaminate_against", "neardup_against",
-    "gopher_repetition", "semantic_dedup_against",
+    "gopher_repetition", "semantic_dedup_against", "scrub_pii_battery",
 })
 # params with no usable default — their absence fails at PARSE time
 # (spec/model.py), not on the first chain run (ADVICE r4 principle)
@@ -228,7 +228,12 @@ def resolve_dataop(op: str):
     time.  Corpus-global ops (near-dup pair mining, clustering,
     packing) stay library-level because they need a bounded batch to
     be well-defined."""
-    from ..dataops.chunking import chunk_documents, epoch_shuffle, scrub_pii
+    from ..dataops.chunking import (
+        chunk_documents,
+        epoch_shuffle,
+        scrub_pii,
+        scrub_pii_battery,
+    )
     from ..dataops.dedup import (
         decontaminate_against_path,
         dedup_against_path,
@@ -340,6 +345,7 @@ def resolve_dataop(op: str):
         "split_assign": split_assign,
         "mixture_sample": mixture_sample,
         "scrub_pii": scrub_pii,
+        "scrub_pii_battery": scrub_pii_battery,
         "chunk_documents": chunk_documents,
         "normalize_text": normalize_text,
         "hash_embedding": hash_embedding,

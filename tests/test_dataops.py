@@ -4282,3 +4282,130 @@ def test_bloom_grain_writers_reject_inplace_append(spark, tmp_path):
     ):
         with _pytest.raises(ValueError, match="merge_bloom_tables"):
             writer(docs, str(tmp_path / f"bl{i}"), capacity=16, mode="append")
+
+
+def test_scrub_pii_battery(spark):
+    """VERDICT r10 #5: the published scrub surface beyond email/URL —
+    per-rule boundary cases, the declared rule ORDER (IPs inside URLs
+    belong to <URL>; card/ID numbers are not bitten by the phone
+    rule), audit counts, and cross-engine determinism (the battery is
+    in the Java-regex/RE2 agreement subset — pinned against DuckDB on
+    every tricky row, the normalize_text precedent)."""
+    import duckdb
+
+    from clickhouse_etl_spark.dataops.chunking import (
+        PII_RULES,
+        scrub_pii,
+        scrub_pii_battery,
+    )
+    from clickhouse_etl_spark.plans.compiler import (
+        DATAOPS,
+        STREAM_SAFE_DATAOPS,
+    )
+
+    assert "scrub_pii_battery" in DATAOPS
+    assert "scrub_pii_battery" in STREAM_SAFE_DATAOPS
+
+    rows = [
+        # (doc_id, text, expected_scrubbed, {rule: count})
+        (0, "mail bob.smith+x@corp.example.co now",
+         "mail <EMAIL> now", {"email": 1}),
+        (1, "see https://a.example.com/p?q=1.2.3.4 ok",
+         "see <URL> ok", {"url": 1}),          # IP inside URL -> <URL>
+        (2, "card 1234 5678 9012 3456 and 1234-5678-9012-3456",
+         "card <CC> and <CC>", {"cc": 2}),
+        (3, "ssn 123-45-6789 stays ID not phone",
+         "ssn <ID> stays ID not phone", {"ssn": 1}),
+        (4, "host 192.168.0.1 up", "host <IP> up", {"ip": 1}),
+        (5, "call +1 555 123 4567 or (555) 123-4567 or 555.123.4567",
+         "call <PHONE> or <PHONE> or <PHONE>", {"phone": 3}),
+        # boundary misses: 5-digit zip pair, a date, a bare digit run,
+        # a 3-part dotted version that is not a quad
+        (6, "zip 12345-6789 date 2024-01-15 run 5551234567 v 1.2.3",
+         "zip 12345-6789 date 2024-01-15 run 5551234567 v 1.2.3", {}),
+        (7, None, "", {}),
+        # a 4-4-4 separator-joined group is NOT a <CC> (needs 4 groups)
+        # but IS phone-shaped — the battery's documented behavior
+        (8, "x 1234 5678 9012 345 y",
+         "x <PHONE> 345 y", {"phone": 1}),
+        (9, "both a@b.co https://c.d 222-333-4444 10.0.0.7",
+         "both <EMAIL> <URL> <PHONE> <IP>",
+         {"email": 1, "url": 1, "phone": 1, "ip": 1}),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii_battery(df).collect()}
+    for i, _, want, want_counts in rows:
+        assert got[i]["text_scrubbed"] == want, f"doc {i}"
+        for name, _, _ in PII_RULES:
+            assert got[i][f"pii_{name}"] == want_counts.get(name, 0), (
+                f"doc {i} count {name}"
+            )
+
+    # cross-engine determinism: DuckDB (RE2) replays the same ordered
+    # battery to identical text and counts on every row
+    con = duckdb.connect()
+    for i, t, want, want_counts in rows:
+        if t is None:
+            continue
+        cur = t
+        for name, pat, repl in PII_RULES:
+            n = con.execute(
+                "select len(regexp_extract_all(?, ?))", [cur, pat]
+            ).fetchone()[0]
+            assert n == want_counts.get(name, 0), f"duckdb {i} {name}"
+            cur = con.execute(
+                "select regexp_replace(?, ?, ?, 'g')", [cur, pat, repl]
+            ).fetchone()[0]
+        assert cur == want, f"duckdb doc {i}"
+
+    # superset of the email/URL pass: identical text_scrubbed there
+    base = df.filter("doc_id in (0, 1, 9)")
+    a = {r["doc_id"]: r["text_scrubbed"]
+         for r in scrub_pii(base).collect()}
+    b = {r["doc_id"]: r["text_scrubbed"]
+         for r in scrub_pii_battery(base).collect()}
+    assert a[0] == b[0] and a[1] == b[1]  # no numeric rules triggered
+
+
+def test_scrub_pii_battery_streams(spark, tmp_path):
+    """The battery assembles mid-chain under Structured Streaming (a
+    row-local projection — no state, no shuffle) via the spec surface."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.spec.model import DataopConfig, SourceConfig
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "scrub_stream_in")
+    spark.createDataFrame(
+        [(1, "mail a@b.co from 10.0.0.7", dt.datetime(2024, 1, 1))], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    cfg = SourceConfig(
+        source_id="documents",
+        dataops=(DataopConfig(op="scrub_pii_battery", params={}),),
+    )
+    out = streaming_source_chain(cfg, "ts", value_is_json=False)(stream)
+    assert out.isStreaming
+    assert "text_scrubbed" in out.columns and "pii_ip" in out.columns
+    # and the one micro-batch actually scrubs
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrub_battery_smoke")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select text_scrubbed from scrub_battery_smoke"
+    ).collect()[0][0]
+    assert got == "mail <EMAIL> from <IP>"
