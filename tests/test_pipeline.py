@@ -776,6 +776,159 @@ def test_streaming_curation_dataops_spec_chain(spark, tmp_path):
     release_bloom_cache(bloom)
 
 
+def test_six_stage_curation_chain_from_one_pipeline_json(spark, tmp_path):
+    """VERDICT r10 #6: the FULL six-stage curation deployment declared
+    in ONE v3 pipeline JSON (the reference's config-in/plan-out
+    thesis) — decontaminate → normalize → bloom dedup → near-dup probe
+    → classifier → DSIR importance, each stage bound to its persisted
+    artifact path — assembles into the one StreamingQuery and
+    equality-pins against curation_scored_stream(engine='staged') on
+    the same wave."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_etl_spark.dataops.dedup import (
+        release_band_digest_cache,
+        release_bloom_cache,
+        release_ngram_digest_cache,
+        write_band_digest_table,
+        write_bloom_table,
+        write_ngram_digest_table,
+    )
+    from clickhouse_etl_spark.dataops.text import (
+        normalize_text,
+        write_classifier_table,
+        write_importance_table,
+    )
+    from clickhouse_etl_spark.sources import load_table
+    from clickhouse_etl_spark.streaming.curation import curation_scored_stream
+    from clickhouse_etl_spark.streaming.runner import streaming_source_chain
+
+    corpus = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text", "source")
+    )
+    bloom = str(tmp_path / "c6_bloom")
+    write_bloom_table(
+        normalize_text(corpus.filter("doc_id % 3 = 0")),
+        bloom, capacity=1000, text_col="text_norm",
+    )
+    weights = str(tmp_path / "c6_weights")
+    write_classifier_table(normalize_text(corpus), weights, text_col="text_norm")
+    iw_path = str(tmp_path / "c6_iw")
+    write_importance_table(
+        normalize_text(corpus), iw_path, ["src0", "src1"],
+        text_col="text_norm",
+    )
+    dc_path = str(tmp_path / "c6_eval_ngrams")
+    write_ngram_digest_table(
+        corpus.filter("doc_id % 5 = 1"), dc_path, n=5, mode="overwrite"
+    )
+    nd_path = str(tmp_path / "c6_band_seen")
+    write_band_digest_table(
+        normalize_text(corpus.filter("doc_id % 4 = 2")), nd_path,
+        text_col="text_norm", mode="overwrite",
+    )
+
+    # the wave: odd-id documents plus a timestamp (the stream's event
+    # time) — a real mix of decontam collisions, bloom dups, band
+    # near-dups, and fresh survivors
+    wave = corpus.filter("doc_id % 2 = 1").withColumn(
+        "ts", F.lit("2024-01-01 10:00:00").cast("timestamp")
+    )
+    wave_dir = str(tmp_path / "c6_wave")
+    wave.write.parquet(wave_dir)
+
+    stage_kw = dict(
+        decontam_path=dc_path, decontam_n=5,
+        neardup_path=nd_path, importance_path=iw_path,
+    )
+    truth = sorted(
+        tuple(r)
+        for r in curation_scored_stream(
+            spark.read.parquet(wave_dir), bloom, weights,
+            engine="staged", **stage_kw,
+        ).collect()
+    )
+    assert truth, "the six-stage wave must have survivors"
+
+    doc = {
+        "version": "v3",
+        "pipeline_id": "curation-six-stage",
+        "name": "curation-six-stage",
+        "sources": [{
+            "type": "kafka", "source_id": "documents", "topic": "documents",
+            "schema_fields": [
+                {"name": "doc_id", "type": "int64"},
+                {"name": "text", "type": "string"},
+                {"name": "source", "type": "string"},
+                {"name": "ts", "type": "string"},
+            ],
+        }],
+        "transforms": [
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "decontaminate_against",
+                        "seen_path": dc_path, "n": 5}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "normalize_text"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "dedup_against", "seen_path": bloom,
+                        "seen_format": "bloom", "text_col": "text_norm"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "neardup_against", "seen_path": nd_path,
+                        "text_col": "text_norm"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "classify_against", "weights_path": weights,
+                        "text_col": "text_norm"}},
+            {"type": "dataop", "source_id": "documents",
+             "config": {"op": "importance_against", "weights_path": iw_path,
+                        "text_col": "text_norm", "tokens_col": "iw_tokens",
+                        "score_col": "iw_score"}},
+        ],
+        "sink": {"type": "clickhouse", "table": "curated_stream",
+                 "table_mapping": [
+                     {"source_id": "documents", "field_name": "doc_id",
+                      "column_name": "doc_id", "column_type": "Int64"},
+                     {"source_id": "documents", "field_name": "score",
+                      "column_name": "score", "column_type": "Int64"},
+                 ]},
+    }
+    spec = parse_pipeline_json(doc)
+    assert [d.op for d in spec.source("documents").dataops] == [
+        "decontaminate_against", "normalize_text", "dedup_against",
+        "neardup_against", "classify_against", "importance_against",
+    ]
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(wave_dir)
+    out = streaming_source_chain(
+        spec.source("documents"), "ts", value_is_json=False
+    )(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_six_stage")
+        .option("checkpointLocation", str(tmp_path / "c6_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM curation_six_stage").collect()
+    )
+    assert got == truth
+    for rel in (release_bloom_cache, release_ngram_digest_cache):
+        rel()
+    release_band_digest_cache()
+
+
 def test_multi_wave_curation_lifecycle(spark, tmp_path):
     """Continuous corpus construction across THREE ingest waves: each
     wave streams through the fused curation pass against the
