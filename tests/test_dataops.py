@@ -3774,8 +3774,21 @@ def test_neardup_guards(spark, tmp_path):
     path = str(tmp_path / "mixed")
     write_band_digest_table(docs, path, k=8, rows_per_band=2,
                             mode="overwrite")
-    write_band_digest_table(docs, path, k=4, rows_per_band=2,
-                            mode="append")
+    # ADVICE r10 #1 (7baeb11): a mismatched-geometry append now fails
+    # loud BEFORE any band key is written — the artifact stays intact
+    # and probeable under its registered geometry
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        write_band_digest_table(docs, path, k=4, rows_per_band=2,
+                                mode="append")
+    assert [
+        r["neardup"]
+        for r in neardup_against_path(docs, path, action="flag").collect()
+    ] == [True]
+    # a legacy artifact that DID accumulate two geometries (pre-guard
+    # code) still fails loud at probe time
+    from clickhouse_etl_spark.dataops.dedup import _write_band_geometry
+
+    _write_band_geometry(spark, path, 3, 4, 2, "append")
     with _pytest.raises(ValueError, match="distinct geometries"):
         neardup_against_path(docs, path)
 
