@@ -1195,41 +1195,52 @@ def _importance_table(
 ) -> DataFrame:
     """The dim-bounded DSIR bucket-weight frame (_b, _wt) — the shared
     build of :func:`importance_weights` (inline) and
-    :func:`write_importance_table` (persisted)."""
+    :func:`write_importance_table` (persisted).
+
+    ONE corpus pass (optimization r11, guide §2.3/§2.4): the raw and
+    target bucket totals come from the SAME explode — count(*) vs a
+    sum over the per-row target flag — instead of the original two
+    ``_totals`` passes (the target slice re-scanned, re-exploded,
+    re-dictionaried, re-aggregated its tokens, and the ``n_t.take(1)``
+    guard then executed the target build a SECOND time before the
+    consumer's own run). Same arithmetic, same ``_b`` dictionary, same
+    add-one-smoothed fixed-point weights; the left-join + fillna
+    disappears because every target bucket is a raw bucket by
+    construction. The dim-bounded result is localCheckpointed (≤ dim
+    rows — NOT the corpus-scale frame the r9 OOM note forbids
+    checkpointing), so the fail-loud empty-target guard and every
+    downstream consumer read the one materialized build."""
     from .hashing import char_fold_hash
 
     targets = [str(s) for s in target_sources]
-
-    def _totals(frame: DataFrame, alias: str) -> DataFrame:
-        # bucket-grain occurrence totals: explode -> per-DISTINCT-token
-        # hash dict broadcast back -> count per bucket (partial agg
-        # combines map-side, the shuffle carries <= dim rows/partition)
-        toks = F.filter(
-            _tokens(F.coalesce(F.col(text_col), F.lit(""))),
-            lambda t: F.length(t) > 0,
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: F.length(t) > 0,
+    )
+    exploded = scale_out(df).select(
+        F.col(source_col).isin(*targets).cast("bigint").alias("_it"),
+        F.explode(toks).alias("_tok"),
+    )
+    tok_dict = exploded.select("_tok").distinct().select(
+        "_tok", (char_fold_hash(F.col("_tok")) % dim).cast("int").alias("_b")
+    )
+    bw = (
+        exploded.join(F.broadcast(tok_dict), "_tok")
+        .groupBy("_b")
+        .agg(
+            F.count("*").cast("bigint").alias("_nr"),
+            F.sum("_it").cast("bigint").alias("_nt"),
         )
-        exploded = scale_out(frame).select(F.explode(toks).alias("_tok"))
-        tok_dict = exploded.select("_tok").distinct().select(
-            "_tok", (char_fold_hash(F.col("_tok")) % dim).cast("int").alias("_b")
-        )
-        return (
-            exploded.join(F.broadcast(tok_dict), "_tok")
-            .groupBy("_b")
-            .agg(F.count("*").cast("bigint").alias(alias))
-        )
-
-    n_r = _totals(df, "_nr")
-    n_t = _totals(df.filter(F.col(source_col).isin(*targets)), "_nt")
+    ).localCheckpoint()
     # fail-loud convention (r6: sample artifacts raise on empty
     # corpora): a typo'd source name would otherwise yield _nt = 0
     # everywhere and a degenerate inverse-frequency table that scores
     # "successfully"
-    if not n_t.take(1):
+    if not bw.filter(F.col("_nt") > 0).take(1):
         raise ValueError(
             f"target_sources {targets!r} matched no non-empty documents "
             f"in {source_col!r} — check the source names"
         )
-    bw = n_r.join(n_t, "_b", "left").fillna(0, subset=["_nt"])
     a_dec = (F.col("_nt") + 1).cast("decimal(38,0)") * F.lit(_CLF_FP)
     b_dec = (F.col("_nr") + 1).cast("decimal(38,0)")
     wt = ((a_dec - a_dec % b_dec) / b_dec).cast("bigint")
