@@ -1813,9 +1813,11 @@ def _classifier_feats(
     return feats.localCheckpoint() if checkpoint else feats
 
 
-def _classifier_model(feats: DataFrame, id_col: str):
-    """Weight table (64 rows), per-doc scores, and the 1-row
-    train-mean threshold from checkpointed labeled features."""
+def _classifier_weights(feats: DataFrame) -> DataFrame:
+    """Bucket-grain weight table from labeled features: (_b, _wt, _tf)
+    where ``_tf = Σ train-row f at the bucket`` (= ``_pos + _neg``) —
+    the per-bucket train-mass total the write path's bucket-grain
+    threshold needs (see :func:`write_classifier_table`). ≤ dim rows."""
     fp = F.lit(_CLF_FP).cast("bigint")
     idiv = _clf_idiv
     cls = (
@@ -1830,7 +1832,7 @@ def _classifier_model(feats: DataFrame, id_col: str):
         F.sum("_pos").cast("bigint").alias("_np"),
         F.sum("_neg").cast("bigint").alias("_nn"),
     )
-    w = cls.crossJoin(F.broadcast(tot)).select(
+    return cls.crossJoin(F.broadcast(tot)).select(
         "_b",
         (
             F.when(F.col("_np") > 0, idiv(F.col("_pos") * fp, F.col("_np")))
@@ -1838,7 +1840,14 @@ def _classifier_model(feats: DataFrame, id_col: str):
             - F.when(F.col("_nn") > 0, idiv(F.col("_neg") * fp, F.col("_nn")))
             .otherwise(F.lit(0))
         ).cast("bigint").alias("_wt"),
+        (F.col("_pos") + F.col("_neg")).cast("bigint").alias("_tf"),
     )
+
+
+def _classifier_model(feats: DataFrame, id_col: str):
+    """Weight table (64 rows), per-doc scores, and the 1-row
+    train-mean threshold from checkpointed labeled features."""
+    w = _classifier_weights(feats).select("_b", "_wt")
     scored = (
         feats.join(F.broadcast(w), "_b")
         .groupBy(id_col, "_tr", "_y")
@@ -1990,7 +1999,39 @@ def write_classifier_table(
     try:
         lazy_feats.write.mode("overwrite").parquet(tmp)
         feats = spark.read.parquet(tmp)
-        w, _scored, thr = _classifier_model(feats, id_col)
+        # train-offline threshold WITHOUT the per-doc scored frame
+        # (optimization r11, guide §2.3): Σ train scores regroups
+        # exactly to bucket grain — Σ_docs Σ_b f·wt = Σ_b wt·(Σ train
+        # f at b) = Σ_b _wt·_tf over the ≤dim weight table (every
+        # train row's bucket is in the table by construction, so the
+        # old inner join dropped nothing) — and n_tr is the distinct
+        # train-id count from the spilled feature parquet (a 2-column
+        # columnar scan). The previous form built, shuffled and
+        # EAGERLY localCheckpointed the corpus-grain per-doc scored
+        # frame only to aggregate these two scalars from it: one full
+        # (doc,bucket)→doc shuffle + a checkpoint materialization per
+        # train, discarded unread. DECIMAL(19,0)·DECIMAL(19,0) →
+        # DECIMAL(38,0) keeps every term exact past int64 (the
+        # _calibrated_pred convention); regrouping exact integers is
+        # associative, so s_sum is bit-identical to the per-doc form
+        # (serve==batch parity stays pinned in tests).
+        w_tf = _classifier_weights(feats)
+        thr = (
+            w_tf.agg(
+                F.sum(
+                    F.col("_wt").cast("decimal(19,0)")
+                    * F.col("_tf").cast("decimal(19,0)")
+                ).alias("_ss")
+            )
+            .crossJoin(
+                feats.filter(F.col("_tr") == 1).agg(
+                    F.count_distinct(F.col(id_col))
+                    .cast("bigint")
+                    .alias("_nt")
+                )
+            )
+        )
+        w = w_tf.select("_b", "_wt")
         (
             w.crossJoin(F.broadcast(thr))
             .select(
