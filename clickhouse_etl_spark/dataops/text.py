@@ -2324,24 +2324,29 @@ def bm25_scores(
         lambda t: F.length(t) >= min_token_len,
     )
     base = scale_out(df).select(F.col(id_col), toks.alias("_toks"))
-    doclen = base.select(id_col, F.size("_toks").cast("bigint").alias("dl"))
-    stats = doclen.agg(
+    stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_len"),
+        F.sum(F.size("_toks")).cast("bigint").alias("total_len"),
     )
 
-    words = base.select(id_col, F.explode("_toks").alias("term")).filter(
-        F.col("term").isin(terms)
+    # dl rides the explode and the (doc, term) grouping — it is
+    # functionally dependent on the doc id, so grouping by it changes
+    # no groups. The previous shape broadcast the CORPUS-GRAIN doclen
+    # table back onto tf (a broadcast that grows with the corpus — the
+    # one non-bounded broadcast on the bench surface); carrying 8
+    # bytes/row through the postings shuffle replaces it outright
+    # (optimization r11, guide §3.1/§2.3).
+    words = base.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode("_toks").alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = words.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
     )
-    tf = words.groupBy(id_col, "term").agg(F.count("*").cast("bigint").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).cast("bigint").alias("df"))
 
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(doclen.withColumnRenamed(id_col, "_dlid")),
-              F.col(id_col) == F.col("_dlid"))
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     # keep the arithmetic order EXACTLY as written in the oracle SQL
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
     idf = (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
@@ -2362,16 +2367,25 @@ def bm25_scores(
 
 def _bigrams(toks: Column) -> Column:
     """Consecutive-token bigrams as 'a b' strings (empties filtered
-    first so both engines pair the same stream). Guarded: Spark's
-    ``sequence(1, 0)`` would DESCEND, so short docs get an empty array
-    explicitly (DuckDB's ``range`` is empty for stop <= start)."""
+    first so both engines pair the same stream). Guarded: short docs
+    get an empty array explicitly (DuckDB's ``range`` is empty for
+    stop <= start).
+
+    Built as ``zip_with(slice(toks,1,n-1), slice(toks,2,n-1), ...)``
+    (optimization r11, guide §4.1 family): the previous
+    ``transform(sequence, i -> element_at(toks, i)...)`` form embedded
+    the UNRESOLVED ``toks`` expression tree inside the lambda, so the
+    interpreter re-evaluated the whole tokenize/filter chain per
+    element — O(n²) per document (the r9 HOF lesson). ``slice``
+    evaluates ``toks`` a constant number of times per row and
+    ``zip_with`` hands the lambda the VALUES; the output array is
+    element-identical."""
     return F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -2489,6 +2503,26 @@ def lm_familiarity(
     )
 
 
+def _kgrams(toks: Column, k: int) -> Column:
+    """Distinct k-grams ('w1 w2 ... wk' strings) of a token array,
+    O(k·n) per row: zip_with-fold over k shifted slices of ``toks``
+    (each slice evaluates the token expression once per row; the
+    lambda receives VALUES — never ``element_at`` on an unresolved
+    tree, the r9 O(n²) trap). Short docs (< k tokens) yield an empty
+    array (the sequence-descends guard both engines share)."""
+    m = F.size(toks) - (k - 1)
+    g = F.slice(toks, 1, m)
+    for off in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(toks, 1 + off, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(
+        F.size(toks) >= k, F.array_distinct(g)
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def kgram_novelty(
     df: DataFrame,
     text_col: str = "text",
@@ -2506,17 +2540,14 @@ def kgram_novelty(
     """
     df = scale_out(df)  # single-file parquet reads as ONE partition
     toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + off) for off in range(k)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # k-grams by zip_with-folding k shifted slices (optimization r11):
+    # the previous transform(sequence, i -> element_at(toks, i+off)...)
+    # re-evaluated the unresolved toks tree per element — O(k·n²)
+    # interpreted per document (the r9 HOF lesson). slice evaluates
+    # toks a constant number of times; concat_ws(' ', 'a b', 'c') ==
+    # 'a b c', so the folded strings are byte-identical to the k-way
+    # concat.
+    grams = _kgrams(toks, k)
     per_doc = df.select(F.col(id_col), F.explode(grams).alias("g"))
     first = per_doc.groupBy("g").agg(F.min(id_col).alias("_first"))
     nov = (

@@ -4669,19 +4669,13 @@ def docs_curation_v3(spark, sf_dir):
     # docs_dup_clusters precedent) + scale_out restore lineage-free
     # parallel input; results are unchanged.
     gated = scale_out(gated).localCheckpoint()
-    k = 3
-    grams = F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + off) for off in range(k)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ge = gated.select("doc_id", F.explode(grams).alias("g"))
+    # O(k·n) k-gram construction via zip_with-folded slices — the same
+    # fix as dataops.text._kgrams (the element_at-in-transform form
+    # re-evaluated the unresolved toks tree per element, O(n²)
+    # interpreted; optimization r11)
+    from .dataops.text import _kgrams
+
+    ge = gated.select("doc_id", F.explode(_kgrams(toks, 3)).alias("g"))
     first = ge.groupBy("g").agg(F.min("doc_id").alias("_f"))
     nov = (
         ge.join(first, "g")
@@ -7271,6 +7265,14 @@ _STALE_SIGNED = frozenset({
     "docs_normalize_text",
     "docs_top_terms",
     "docs_trained_classifier",
+    # OPTIMIZATION r11: the O(n²) element_at-in-transform HOF trap
+    # (r9 lesson) removed from the bigram/k-gram constructors —
+    # _bigrams and kgram_novelty/_kgrams now zip_with-fold shifted
+    # slices (byte-identical gram arrays, oracle re-verified both SFs):
+    "docs_bigram_pmi",
+    "docs_lm_familiarity",
+    "docs_kgram_novelty",
+    "docs_curation_v3",
 })
 
 
