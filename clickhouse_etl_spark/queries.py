@@ -5212,7 +5212,12 @@ def docs_curation_v4(spark, sf_dir):
     gated = percentile_threshold_gate(scored, "quality", 0.7).withColumn(
         "_ffq", F.floor(F.col("quality") * F.lit(1048576.0)).cast("bigint")
     )
-    raw_roll = norm.groupBy("source").agg(
+    # count the RAW frame, not the normalized view: normalize_text is
+    # row-preserving and leaves `source` untouched, so the per-source
+    # counts are identical — and the un-checkpointed norm branch
+    # re-ran the whole normalize regex pass just to count rows
+    # (optimization r11, guide §2.3)
+    raw_roll = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_raw")
     )
     ded_roll = ded.groupBy("source").agg(
