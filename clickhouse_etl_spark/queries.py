@@ -6703,7 +6703,6 @@ def docs_curation_v5(spark, sf_dir):
         STOPWORDS,
         c4_filters,
         gopher_rules,
-        importance_weights,
         percentile_threshold_gate,
     )
     from .dataops.util import scale_out
@@ -6727,10 +6726,27 @@ def docs_curation_v5(spark, sf_dir):
         "doc_id", "source", F.col("text_dedup").alias("text")
     )
     ldf = scale_out(ldf).localCheckpoint()
-    iw = importance_weights(
-        ldf, target_sources=list(_DSIR_TARGETS), dim=_DSIR_DIM
+    # DSIR scoring with `source` carried THROUGH the Arrow pass
+    # (keep_input=True) instead of a corpus-grain join back onto ldf
+    # for the one column the rollup needs — the old
+    # `iw.join(ldf, "doc_id")` shuffled BOTH corpus-grain frames by
+    # doc_id (optimization r11, guide §2.1/§3: the cheapest shuffle is
+    # the one you don't do). Same weight build, same scorer kernel,
+    # same row set (token-less docs drop in both forms).
+    from .dataops.text import _importance_table, _iw_score_frame
+
+    w = _importance_table(
+        ldf, list(_DSIR_TARGETS), _DSIR_DIM, "text", "source"
     )
-    scored = iw.join(ldf.select("doc_id", "source"), "doc_id")
+    wt_map = {r["_b"]: r["_wt"] for r in w.collect()}
+    scored = _iw_score_frame(
+        ldf.select("doc_id", "source", "text"),
+        _DSIR_DIM,
+        wt_map,
+        "text",
+        "doc_id",
+        keep_input=True,
+    ).drop("text")
     aff = scored.withColumn(
         "affinity", F.expr("score div n_tokens").cast("bigint")
     )
