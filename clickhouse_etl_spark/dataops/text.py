@@ -2416,17 +2416,27 @@ def bigram_pmi(
 
     df = scale_out(df)  # single-file parquet reads as ONE partition
     toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    uni = (
-        df.select(F.explode(toks).alias("w"))
+    # ONE corpus explode for BOTH count tables (optimization r11, guide
+    # §2.3/§4.1): unigrams and bigrams ride the same exploded stream
+    # and separate exactly afterwards — a token can never contain ' '
+    # (it came from a split on ' ') and a bigram always does ('a b').
+    # The previous form ran the interpreted tokenize+gram HOF chain
+    # over the corpus TWICE (one explode per grain) and aggregated in
+    # two shuffles; this is one pass and one shuffle, with identical
+    # counts by construction.
+    grams = (
+        df.select(
+            F.explode(F.concat(toks, _bigrams(toks))).alias("w")
+        )
         .groupBy("w").agg(F.count("*").alias("c_w"))
+        .localCheckpoint()
     )
+    is_big = F.col("w").contains(" ")
+    uni = grams.filter(~is_big)
     n_u = uni.agg(F.sum("c_w").alias("n_u"))
-    big_all = (
-        df.select(F.explode(_bigrams(toks)).alias("bigram"))
-        .groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    big_all = grams.filter(is_big).select(
+        F.col("w").alias("bigram"), F.col("c_w").alias("c_ab")
     )
-    # total bigram count from the aggregated table — no second corpus
-    # explode pass (sum of per-bigram counts == the stream length)
     n_b = big_all.agg(F.sum("c_ab").alias("n_b"))
     big = big_all.filter(F.col("c_ab") >= min_count)
     wa = F.split(F.col("bigram"), " ").getItem(0)
