@@ -2487,26 +2487,13 @@ def lm_familiarity(
     df = scale_out(df)  # single-file parquet reads as ONE partition
     toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     per_doc = df.select(F.col(id_col), F.explode(_bigrams(toks)).alias("bigram"))
-    # collapse to (doc, bigram, multiplicity) ONCE and materialize: the
-    # counts branch and the familiarity join both consumed per_doc, so
-    # the interpreted bigram explode ran TWICE (optimization r11, guide
-    # §2.3/§4.1). Σ_occurrences c = Σ_g m_g·c_g and count(occurrences)
-    # = Σ_g m_g — integer-identical aggregates; the gram-keyed join
-    # ships ≤1 row per (doc, bigram) and hot boilerplate bigrams
-    # pre-collapse map-side. (Production swaps the checkpoint for the
-    # parquet-spill pattern — the write_classifier_table lesson.)
-    dg = (
-        per_doc.groupBy(id_col, "bigram")
-        .agg(F.count("*").alias("_m"))
-        .localCheckpoint()
-    )
-    counts = dg.groupBy("bigram").agg(F.sum("_m").alias("c"))
+    counts = per_doc.groupBy("bigram").agg(F.count("*").alias("c"))
     fam = (
-        dg.join(counts, "bigram")
+        per_doc.join(counts, "bigram")
         .groupBy(id_col)
         .agg(
-            F.sum("_m").alias("n_bigrams"),
-            F.sum(F.col("_m") * F.col("c")).alias("_s"),
+            F.count("*").alias("n_bigrams"),
+            F.sum("c").alias("_s"),
         )
     )
     return (
@@ -2571,16 +2558,7 @@ def kgram_novelty(
     # 'a b c', so the folded strings are byte-identical to the k-way
     # concat.
     grams = _kgrams(toks, k)
-    # materialize the exploded (doc, gram) stream ONCE: the
-    # first-occurrence argmin and the novelty join both consume it, so
-    # the interpreted k-gram explode ran TWICE (optimization r11,
-    # guide §2.3/§4.1; _kgrams is already distinct-per-doc, so there
-    # is no multiplicity to collapse — the frame IS the minimal (doc,
-    # gram) pair set. Production swaps the checkpoint for the
-    # parquet-spill pattern — the write_classifier_table lesson.)
-    per_doc = df.select(
-        F.col(id_col), F.explode(grams).alias("g")
-    ).localCheckpoint()
+    per_doc = df.select(F.col(id_col), F.explode(grams).alias("g"))
     first = per_doc.groupBy("g").agg(F.min(id_col).alias("_first"))
     nov = (
         per_doc.join(first, "g")
