@@ -7224,10 +7224,32 @@ _R10_CHECKED = frozenset({
     "transform_scalars", "validate_dlq_counts",
 })
 
+_R11_CHECKED = frozenset({
+    "asof_join_clicks", "dedup_first_wins", "dedup_windowed",
+    "docs_bigram_pmi", "docs_bpe_apply_fixed", "docs_c4_filters",
+    "docs_corpus_report", "docs_curation_v3", "docs_curation_v4",
+    "docs_decontamination", "docs_dedup_agreement", "docs_exact_dedup",
+    "docs_fingerprint", "docs_hash_embed_topk", "docs_importance_weights",
+    "docs_kgram_novelty", "docs_langid", "docs_lm_familiarity",
+    "docs_minhash_lsh_pairs", "docs_normalize_text", "docs_pipeline_e2e",
+    "docs_quality_score", "docs_repetition_signals",
+    "docs_sequence_packing", "docs_simhash", "docs_snapshot_diff",
+    "docs_split_report", "docs_token_stats", "docs_top_terms",
+    "docs_trained_classifier", "emb_cosine_topk",
+    "emb_matryoshka_ann_topk", "emb_mean_center", "emb_near_dup_pairs",
+    "emb_pq_index_ann_topk", "emb_truncate_renorm", "filter_project",
+    "json_props_extract", "otlp_flatten_metrics", "otlp_flatten_traces",
+    "pipeline_canonical", "session_window_agg", "sessionize_events",
+    "sink_mapping_casts", "temporal_join_enrich",
+    "topk_orders_per_priority", "transform_query_params",
+    "transform_scalars", "tumbling_window_agg", "validate_dlq_counts",
+})
+
 # Newest-signature round per entry, derived from the artifact key sets.
 # Newer rounds shadow older ones; entries in no set have never been
 # driver-checked (priority 0).
 _CHECKED_ROUNDS = (
+    (11, _R11_CHECKED),
     (10, _R10_CHECKED),
     (9, _R09_CHECKED),
     (8, _R08_CHECKED),
@@ -7255,45 +7277,10 @@ def _newest_signature(name: str) -> int:
 # is missing from this set. Re-snapshot at the start of each round, then add
 # entries here as their code is touched.
 _STALE_SIGNED = frozenset({
-    # r11 edits after an r3..r10 signature — keep EXACTLY equal to the
+    # r12 edits after an r3..r11 signature — keep EXACTLY equal to the
     # mechanical changed-set (tests/test_rotation.py). Reset empty at
-    # round start (impl hashes re-snapshotted from the r11-start tree =
-    # the r10-signed commit 58ea44a plus driver artifacts only).
-    # VERDICT r10 #2 + ADVICE r10 #1: the vec-bucket saturation guard
-    # and the pre-write append-geometry checks live in dataop functions
-    # the dataop registry reaches (write_vec_bucket_table /
-    # vec_dedup_against_path / write_band_digest_table); no registered
-    # pipeline behavior changes — guards only:
-    "pipeline_canonical",
-    # ADVICE r10 #2: the base write_bloom_table rejects mode="append"
-    # (the grain wrappers already did; registry callers always pass
-    # overwrite, so no signed output changes):
-    "docs_curation_e2e",
-    "docs_decontaminate_against",
-    # VERDICT r10 #4: every Python text-kernel case fold routes through
-    # the ONE dataops/fold.py helper (fold_lower / fold_space_tokens /
-    # fold_word_tokens). Pure refactor — each helper is the same
-    # expression the kernels inlined, equality- and policy-pinned by
-    # tests/test_fold_policy.py; outputs identical for every input:
-    "docs_bm25",
-    "docs_bpe_apply_fixed",
-    "docs_bpe_tokens",
-    "docs_c4_filters",
-    "docs_curation_v4",
-    "docs_curation_v5",
-    "docs_hash_embed_topk",
-    "docs_importance_weights",
-    "docs_normalize_text",
-    "docs_top_terms",
-    "docs_trained_classifier",
-    # OPTIMIZATION r11: the O(n²) element_at-in-transform HOF trap
-    # (r9 lesson) removed from the bigram/k-gram constructors —
-    # _bigrams and kgram_novelty/_kgrams now zip_with-fold shifted
-    # slices (byte-identical gram arrays, oracle re-verified both SFs):
-    "docs_bigram_pmi",
-    "docs_lm_familiarity",
-    "docs_kgram_novelty",
-    "docs_curation_v3",
+    # round start (impl hashes re-snapshotted from the r12-start tree =
+    # the r11-signed commit 957e35f plus driver artifacts only).
 })
 
 
