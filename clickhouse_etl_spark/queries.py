@@ -5528,7 +5528,13 @@ def otlp_metric_rollup_5m(spark, sf_dir):
     from .sources.otlp import flatten_metrics
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
-    flat = flatten_metrics(ev.select(_otlp_metrics_payload().alias("value")))
+    # gauge-only flatten (kinds=): the rollup keeps only the gauge
+    # family, so the other four families' datapoint structs are never
+    # built — the metric_type filter below is then a no-op kept for
+    # the declared-intent read
+    flat = flatten_metrics(
+        ev.select(_otlp_metrics_payload().alias("value")), kinds=("gauge",)
+    )
     P = 300_000_000
     us = F.unix_micros(F.to_timestamp("timestamp"))
     g = flat.filter(F.col("metric_type") == "gauge").select(
@@ -6956,9 +6962,19 @@ def otlp_rollup_all_families(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
-    flat = flatten_metrics(
-        ev.select(_otlp_metrics_payload().alias("value"))
-    ).localCheckpoint()
+    # project the checkpoint down to the 10 columns the five rollup
+    # functions actually read (guide §2.3 — the wide flatten row
+    # carries 3 attr maps and 8 name/scope strings none of them use;
+    # materializing those at datapoint grain dominated the checkpoint)
+    flat = (
+        flatten_metrics(ev.select(_otlp_metrics_payload().alias("value")))
+        .select(
+            "metric_type", "resource_attributes", "timestamp",
+            "value_double", "value_int", "count", "sum", "min", "max",
+            "bucket_counts",
+        )
+        .localCheckpoint()
+    )
 
     def _n(name):  # typed null for the wide-row members
         return F.lit(None).cast("bigint").alias(name)
@@ -7281,6 +7297,15 @@ _STALE_SIGNED = frozenset({
     # mechanical changed-set (tests/test_rotation.py). Reset empty at
     # round start (impl hashes re-snapshotted from the r12-start tree =
     # the r11-signed commit 957e35f plus driver artifacts only).
+    # OPTIMIZATION r12: flatten_metrics restructured to ONE from_json
+    # per payload (was five — one per family union branch); parity
+    # pinned row-identical on the real payloads at both SFs, oracle
+    # exact. all_families additionally narrows its checkpoint to the
+    # ten columns the rollup functions read; rollup_5m passes
+    # kinds=("gauge",):
+    "otlp_flatten_metrics",
+    "otlp_metric_rollup_5m",
+    "otlp_rollup_all_families",
 })
 
 

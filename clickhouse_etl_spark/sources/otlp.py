@@ -441,7 +441,15 @@ def flatten_traces(df: DataFrame, payload_col: str = "value") -> DataFrame:
     )
 
 
-def flatten_metrics(df: DataFrame, payload_col: str = "value") -> DataFrame:
+#: family order of the flattened datapoint stream (proto field order)
+METRIC_KINDS = ("gauge", "sum", "histogram", "exp_histogram", "summary")
+
+
+def flatten_metrics(
+    df: DataFrame,
+    payload_col: str = "value",
+    kinds: tuple[str, ...] = METRIC_KINDS,
+) -> DataFrame:
     """One wide nullable row per datapoint for all five metric kinds —
     gauge / sum / histogram / exponential-histogram / summary
     (flattener/metrics.go:13-203).  Parity notes: the reference's record
@@ -449,7 +457,20 @@ def flatten_metrics(df: DataFrame, payload_col: str = "value") -> DataFrame:
     zero-defaults), min/max only when present, and for exp-histogram
     drops scale/zeroCount/bucket runs entirely; summary drops
     quantileValues and has no temporality.  The wide row carries nulls
-    for members a branch never sets."""
+    for members a branch never sets.
+
+    ONE ``from_json`` per payload: each family's datapoint array is
+    normalized into a shared struct inside a ``transform``, the five
+    arrays concatenated and exploded once.  (The previous five-branch
+    union re-derived the parse subtree per family — five full JSON
+    parses of every payload, the dominant cost of this source at
+    scale.)  ``kinds`` lets a single-family consumer (e.g. a gauge-only
+    rollup stream) skip building the other families' rows entirely; the
+    default keeps all five.
+    """
+    unknown = set(kinds) - set(METRIC_KINDS)
+    if unknown:
+        raise ValueError(f"unknown metric kinds: {sorted(unknown)}")
     req = F.from_json(F.col(payload_col).cast("string"), METRICS_REQUEST_SCHEMA)
     rm = df.select(F.explode(req.getField("resourceMetrics")).alias("rm"))
     sm = rm.select(F.col("rm.resource").alias("resource"), F.explode("rm.scopeMetrics").alias("sm"))
@@ -457,99 +478,144 @@ def flatten_metrics(df: DataFrame, payload_col: str = "value") -> DataFrame:
         "resource", F.col("sm.scope").alias("scope"), F.explode("sm.metrics").alias("m")
     )
 
-    def number_rows(kind: str, temporality: Column, monotonic: Column, dps: Column):
-        src = mt.filter(dps.isNotNull()).select(
-            "resource", "scope", "m", temporality.alias("_tempo"),
-            monotonic.alias("_mono"), F.explode(dps).alias("dp"),
-        )
-        return src.select(
-            _nano_ts(F.col("dp.timeUnixNano")).alias("timestamp"),
-            _nano_ts(F.col("dp.startTimeUnixNano")).alias("start_timestamp"),
-            F.coalesce(F.col("m.name"), F.lit("")).alias("metric_name"),
-            F.coalesce(F.col("m.description"), F.lit("")).alias("metric_description"),
-            F.coalesce(F.col("m.unit"), F.lit("")).alias("metric_unit"),
-            F.lit(kind).alias("metric_type"),
-            F.col("_tempo").cast("string").alias("aggregation_temporality"),
-            F.col("_mono").alias("is_monotonic"),
-            F.coalesce(F.col("dp.flags"), F.lit(0)).alias("flags"),
-            F.col("dp.asDouble").alias("value_double"),
-            F.col("dp.asInt").cast("bigint").alias("value_int"),
-            F.lit(None).cast("bigint").alias("count"),
-            F.lit(None).cast("double").alias("sum"),
-            F.lit(None).cast("double").alias("min"),
-            F.lit(None).cast("double").alias("max"),
-            F.lit(None).cast(T.ArrayType(T.LongType())).alias("bucket_counts"),
-            F.lit(None).cast(T.ArrayType(T.DoubleType())).alias("explicit_bounds"),
-            _attrs_to_map(F.col("resource.attributes")).alias("resource_attributes"),
-            _attrs_to_map(F.col("scope.attributes")).alias("scope_attributes"),
-            _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
-            F.coalesce(F.col("scope.name"), F.lit("")).alias("scope_name"),
-            F.coalesce(F.col("scope.version"), F.lit("")).alias("scope_version"),
-        )
+    _null_bc = F.lit(None).cast(T.ArrayType(T.LongType()))
+    _null_eb = F.lit(None).cast(T.ArrayType(T.DoubleType()))
+    _empty_bc = F.array().cast(T.ArrayType(T.LongType()))
+    _empty_eb = F.array().cast(T.ArrayType(T.DoubleType()))
 
-    gauge = number_rows(
-        "gauge", F.lit(None).cast("long"), F.lit(None).cast("boolean"),
-        F.col("m.gauge.dataPoints"),
-    )
-    sum_ = number_rows(
-        "sum", F.col("m.sum.aggregationTemporality"), F.col("m.sum.isMonotonic"),
-        F.col("m.sum.dataPoints"),
-    )
+    def _norm(kind, temporality, monotonic, *, number, buckets, minmax):
+        """Normalized-datapoint array for one family: the final wide-row
+        values are computed inside the transform so the exploded stream
+        needs no per-family branching downstream.  Closure factory per
+        the HOF lambda-arity rule."""
+        def body(dp):
+            return F.struct(
+                F.lit(kind).alias("kind"),
+                temporality.alias("tempo"),
+                monotonic.alias("mono"),
+                dp.getField("timeUnixNano").alias("t_ns"),
+                dp.getField("startTimeUnixNano").alias("st_ns"),
+                F.coalesce(dp.getField("flags"), F.lit(0)).alias("flags"),
+                (
+                    dp.getField("asDouble")
+                    if number
+                    else F.lit(None).cast("double")
+                ).alias("vd"),
+                (
+                    dp.getField("asInt").cast("bigint")
+                    if number
+                    else F.lit(None).cast("bigint")
+                ).alias("vi"),
+                (
+                    F.lit(None).cast("bigint")
+                    if number
+                    else F.coalesce(dp.getField("count").cast("bigint"), F.lit(0))
+                ).alias("cnt"),
+                (
+                    F.lit(None).cast("double")
+                    if number
+                    else F.coalesce(dp.getField("sum"), F.lit(0.0))
+                ).alias("sm"),
+                (dp.getField("min") if minmax else F.lit(None).cast("double")).alias("mn"),
+                (dp.getField("max") if minmax else F.lit(None).cast("double")).alias("mx"),
+                (
+                    F.coalesce(
+                        F.transform(dp.getField("bucketCounts"), lambda x: x.cast("bigint")),
+                        _empty_bc,
+                    )
+                    if buckets
+                    else _null_bc
+                ).alias("bc"),
+                (
+                    F.coalesce(dp.getField("explicitBounds"), _empty_eb)
+                    if buckets
+                    else _null_eb
+                ).alias("eb"),
+                dp.getField("attributes").alias("attrs"),
+            )
 
-    def agg_rows(kind: str, temporality: Column, dps: Column, *, buckets: bool, minmax: bool):
-        """Shared select for the count/sum datapoint family (histogram /
-        exp-histogram / summary).  count and sum default to proto zeros
-        (reference sets them unconditionally via GetCount/GetSum); min/max
-        stay null when absent or when the kind never carries them."""
-        src = mt.filter(dps.isNotNull()).select(
-            "resource", "scope", "m", temporality.alias("_tempo"), F.explode(dps).alias("dp"),
-        )
-        return src.select(
-            _nano_ts(F.col("dp.timeUnixNano")).alias("timestamp"),
-            _nano_ts(F.col("dp.startTimeUnixNano")).alias("start_timestamp"),
-            F.coalesce(F.col("m.name"), F.lit("")).alias("metric_name"),
-            F.coalesce(F.col("m.description"), F.lit("")).alias("metric_description"),
-            F.coalesce(F.col("m.unit"), F.lit("")).alias("metric_unit"),
-            F.lit(kind).alias("metric_type"),
-            F.col("_tempo").cast("string").alias("aggregation_temporality"),
-            F.lit(None).cast("boolean").alias("is_monotonic"),
-            F.coalesce(F.col("dp.flags"), F.lit(0)).alias("flags"),
-            F.lit(None).cast("double").alias("value_double"),
-            F.lit(None).cast("bigint").alias("value_int"),
-            F.coalesce(F.col("dp.count").cast("bigint"), F.lit(0)).alias("count"),
-            F.coalesce(F.col("dp.sum"), F.lit(0.0)).alias("sum"),
-            (F.col("dp.min") if minmax else F.lit(None).cast("double")).alias("min"),
-            (F.col("dp.max") if minmax else F.lit(None).cast("double")).alias("max"),
-            (
-                F.coalesce(
-                    F.transform(F.col("dp.bucketCounts"), lambda x: x.cast("bigint")),
-                    F.array().cast(T.ArrayType(T.LongType())),
-                )
-                if buckets
-                else F.lit(None).cast(T.ArrayType(T.LongType()))
-            ).alias("bucket_counts"),
-            (
-                F.coalesce(F.col("dp.explicitBounds"), F.array().cast(T.ArrayType(T.DoubleType())))
-                if buckets
-                else F.lit(None).cast(T.ArrayType(T.DoubleType()))
-            ).alias("explicit_bounds"),
-            _attrs_to_map(F.col("resource.attributes")).alias("resource_attributes"),
-            _attrs_to_map(F.col("scope.attributes")).alias("scope_attributes"),
-            _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
-            F.coalesce(F.col("scope.name"), F.lit("")).alias("scope_name"),
-            F.coalesce(F.col("scope.version"), F.lit("")).alias("scope_version"),
-        )
+        return body
 
-    hist = agg_rows(
-        "histogram", F.col("m.histogram.aggregationTemporality"),
-        F.col("m.histogram.dataPoints"), buckets=True, minmax=True,
+    m = F.col("m")
+    family = {
+        "gauge": (
+            m.getField("gauge").getField("dataPoints"),
+            _norm("gauge", F.lit(None).cast("long"), F.lit(None).cast("boolean"),
+                  number=True, buckets=False, minmax=False),
+        ),
+        "sum": (
+            m.getField("sum").getField("dataPoints"),
+            _norm("sum", m.getField("sum").getField("aggregationTemporality"),
+                  m.getField("sum").getField("isMonotonic"),
+                  number=True, buckets=False, minmax=False),
+        ),
+        "histogram": (
+            m.getField("histogram").getField("dataPoints"),
+            _norm("histogram",
+                  m.getField("histogram").getField("aggregationTemporality"),
+                  F.lit(None).cast("boolean"),
+                  number=False, buckets=True, minmax=True),
+        ),
+        "exp_histogram": (
+            m.getField("exponentialHistogram").getField("dataPoints"),
+            _norm("exp_histogram",
+                  m.getField("exponentialHistogram").getField("aggregationTemporality"),
+                  F.lit(None).cast("boolean"),
+                  number=False, buckets=False, minmax=True),
+        ),
+        "summary": (
+            m.getField("summary").getField("dataPoints"),
+            _norm("summary", F.lit(None).cast("long"), F.lit(None).cast("boolean"),
+                  number=False, buckets=False, minmax=False),
+        ),
+    }
+    norm_dp = T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("tempo", T.LongType()),
+        T.StructField("mono", T.BooleanType()),
+        T.StructField("t_ns", T.StringType()),
+        T.StructField("st_ns", T.StringType()),
+        T.StructField("flags", T.LongType()),
+        T.StructField("vd", T.DoubleType()),
+        T.StructField("vi", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("sm", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+        T.StructField("bc", T.ArrayType(T.LongType())),
+        T.StructField("eb", T.ArrayType(T.DoubleType())),
+        T.StructField("attrs", _ATTR),
+    ]))
+    arrays = [
+        F.coalesce(F.transform(dps, body), F.array().cast(norm_dp))
+        for kind, (dps, body) in family.items()
+        if kind in kinds
+    ]
+    dp_all = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    rows = mt.select("resource", "scope", "m", F.explode(dp_all).alias("dp"))
+    return rows.select(
+        _nano_ts(F.col("dp.t_ns")).alias("timestamp"),
+        _nano_ts(F.col("dp.st_ns")).alias("start_timestamp"),
+        F.coalesce(F.col("m.name"), F.lit("")).alias("metric_name"),
+        F.coalesce(F.col("m.description"), F.lit("")).alias("metric_description"),
+        F.coalesce(F.col("m.unit"), F.lit("")).alias("metric_unit"),
+        # kind/flags are always set inside the struct; the coalesce only
+        # restores the non-nullable schema of the old union form
+        F.coalesce(F.col("dp.kind"), F.lit("")).alias("metric_type"),
+        F.col("dp.tempo").cast("string").alias("aggregation_temporality"),
+        F.col("dp.mono").alias("is_monotonic"),
+        F.coalesce(F.col("dp.flags"), F.lit(0)).alias("flags"),
+        F.col("dp.vd").alias("value_double"),
+        F.col("dp.vi").alias("value_int"),
+        F.col("dp.cnt").alias("count"),
+        F.col("dp.sm").alias("sum"),
+        F.col("dp.mn").alias("min"),
+        F.col("dp.mx").alias("max"),
+        F.col("dp.bc").alias("bucket_counts"),
+        F.col("dp.eb").alias("explicit_bounds"),
+        _attrs_to_map(F.col("resource.attributes")).alias("resource_attributes"),
+        _attrs_to_map(F.col("scope.attributes")).alias("scope_attributes"),
+        _attrs_to_map(F.col("dp.attrs")).alias("attributes"),
+        F.coalesce(F.col("scope.name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("scope.version"), F.lit("")).alias("scope_version"),
     )
-    exp_hist = agg_rows(
-        "exp_histogram", F.col("m.exponentialHistogram.aggregationTemporality"),
-        F.col("m.exponentialHistogram.dataPoints"), buckets=False, minmax=True,
-    )
-    summary = agg_rows(
-        "summary", F.lit(None).cast("long"),
-        F.col("m.summary.dataPoints"), buckets=False, minmax=False,
-    )
-    return gauge.unionByName(sum_).unionByName(hist).unionByName(exp_hist).unionByName(summary)

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for bench-tagged queries into plans/r11/.
+"""Capture .explain("formatted") for bench-tagged queries into plans/r12/.
 
 Usage: python scripts/capture_plans.py <suffix> [comma-separated names]
 
@@ -25,15 +25,16 @@ from clickhouse_etl_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    names = [n for n, qd in QUERIES.items() if "bench" in qd.tags]
     if len(sys.argv) > 2:
-        wanted = set(sys.argv[2].split(","))
-        names = [n for n in names if n in wanted]
+        # explicit list: any registry entry, bench-tagged or not
+        names = [n for n in sys.argv[2].split(",") if n in QUERIES]
+    else:
+        names = [n for n, qd in QUERIES.items() if "bench" in qd.tags]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
 
