@@ -423,9 +423,14 @@ def _lsh_buckets_batched(
     id_col: str,
     vec_col: str,
     with_norm: bool = False,
+    keep_vec: bool = True,
 ):
-    """(id, vec[, norm], bucket) with one bucket row per table — the
+    """(id[, vec][, norm], bucket) with one bucket row per table — the
     Arrow-batched form of the hyperplane bucket computation.
+    ``keep_vec=False`` emits only the key columns: the bucket stream is
+    then ~16 bytes/row instead of carrying the full embedding array
+    ``n_tables`` times per vector (guide §2.3 — shuffle keys and
+    metadata, join the payload back once where it is needed).
 
     The 32 hyperplane dot products per vector are HOF folds in the
     expression form — CodegenFallback, interpreted per element (the
@@ -444,7 +449,9 @@ def _lsh_buckets_batched(
     P = np.asarray(
         [_pseudo_hyperplane(dim, j) for j in range(n_planes)], dtype="float64"
     )
-    fields = [df.schema[id_col], df.schema[vec_col]]
+    fields = [df.schema[id_col]]
+    if keep_vec:
+        fields.append(df.schema[vec_col])
     if with_norm:
         fields.append(T.StructField("_n", T.DoubleType(), False))
     fields.append(T.StructField("_bkt", T.StringType(), False))
@@ -473,11 +480,14 @@ def _lsh_buckets_batched(
                     code += bits[:, t * bits_per_table + p] << p
                 for r in range(X.shape[0]):
                     out_id.append(ids[r])
-                    out_vec.append(vecs[r])
+                    if keep_vec:
+                        out_vec.append(vecs[r])
                     if with_norm:
                         out_n.append(float(nrm[r]))
                     out_b.append(f"{t}:{code[r]}")
-            data = {id_col: out_id, vec_col: out_vec}
+            data = {id_col: out_id}
+            if keep_vec:
+                data[vec_col] = out_vec
             if with_norm:
                 data["_n"] = out_n
             data["_bkt"] = out_b
@@ -508,19 +518,27 @@ def lsh_bucket_topk(
     (query, candidate). Recall < 1.0 by construction — the brute-force
     operator is the quality oracle (tests/test_dataops.py measures it).
     """
+    # corpus side joins keys-only (guide §2.3 — the corpus bucket
+    # stream no longer replicates every embedding n_tables times
+    # through the exchange); the query side is small and keeps its
+    # vector. Corpus vectors join back once per surviving candidate.
     c = _lsh_buckets_batched(
-        corpus, n_tables, bits_per_table, dim, id_col, vec_col
-    ).withColumnRenamed(vec_col, "_cvec")
+        corpus, n_tables, bits_per_table, dim, id_col, vec_col,
+        keep_vec=False,
+    )
     q = _lsh_buckets_batched(
         queries, n_tables, bits_per_table, dim, query_id_col, vec_col
     ).withColumnRenamed(vec_col, "_qvec")
     cand = (
         c.join(q, "_bkt")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "_qvec", "_cvec")
+        .select(query_id_col, id_col, "_qvec")
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.withColumn("sim", cosine_sim(F.col("_qvec"), F.col("_cvec")))
+    cvec = corpus.select(id_col, F.col(vec_col).alias("_cvec"))
+    scored = cand.join(cvec, id_col).withColumn(
+        "sim", cosine_sim(F.col("_qvec"), F.col("_cvec"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -557,24 +575,32 @@ def lsh_near_dup_pairs(
     by construction (measured against the exact form in
     tests/test_dataops.py).
     """
+    # keys-only bucket join (guide §2.3): the bucket stream is
+    # (id, norm, bucket) — the old form shipped the full embedding
+    # array n_tables times per vector through BOTH sides of the
+    # exchange. Vectors join back once per pair side, only for the
+    # candidates that survive the dedupe.
     base = _lsh_buckets_batched(
-        df, n_tables, bits_per_table, dim, id_col, vec_col, with_norm=True
+        df, n_tables, bits_per_table, dim, id_col, vec_col,
+        with_norm=True, keep_vec=False,
     )
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"), "_bkt",
+        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_bkt"
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"), "_bkt",
+        F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "_bkt"
     )
     cand = (
         a.join(b, "_bkt")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.withColumn("sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

@@ -7306,6 +7306,16 @@ _STALE_SIGNED = frozenset({
     "otlp_flatten_metrics",
     "otlp_metric_rollup_5m",
     "otlp_rollup_all_families",
+    # OPTIMIZATION r12: LSH bucket joins ship keys+norms only
+    # (_lsh_buckets_batched keep_vec=False); vectors join back once
+    # per surviving candidate. Outputs identical (same candidates,
+    # same cosine fold); oracle exact:
+    "emb_lsh_ann_topk",
+    "emb_semantic_dedup",
+    "emb_semantic_dedup_lsh",
+    "emb_near_dup_pairs",
+    "multimodal_pipeline",
+    "multimodal_video_embedding",
 })
 
 
