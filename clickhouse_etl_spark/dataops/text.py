@@ -1218,7 +1218,14 @@ def _importance_table(
         lambda t: F.length(t) > 0,
     )
     exploded = scale_out(df).select(
-        F.col(source_col).isin(*targets).cast("bigint").alias("_it"),
+        # NULL source must flag as NOT-target (ADVICE r11): a bare
+        # isin() is NULL for NULL input, and a bucket whose tokens
+        # appear only in NULL-source docs would get _nt = sum(NULLs) =
+        # NULL — a NULL weight where the old two-pass form produced
+        # the smoothed floor
+        F.coalesce(F.col(source_col).isin(*targets), F.lit(False))
+        .cast("bigint")
+        .alias("_it"),
         F.explode(toks).alias("_tok"),
     )
     tok_dict = exploded.select("_tok").distinct().select(

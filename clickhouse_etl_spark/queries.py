@@ -5291,30 +5291,32 @@ def docs_hash_embedding(spark, sf_dir):
     vocabulary artifact. Oracle-exact: integer counts, sqrt of an
     integer sum, one division — emitted long-form (doc, bucket,
     weight) so every float is hashed."""
-    from .dataops.text import hash_bucket_counts
+    from .dataops.text import hash_embedding
 
-    # long form straight from the SPARSE bucket counts — no dense-map
-    # rebuild / posexplode round-trip (that path cost 3+ interpreted-HOF
-    # stages at bench SF); the ascending-bucket sparse norm fold equals
-    # the dense fold because adding exact-zero squares is the identity
-    counts = hash_bucket_counts(_t(spark, sf_dir, "documents"), dim=64)
-    norms = counts.groupBy("doc_id").agg(
-        F.sqrt(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("_b", "_c"))),
-                F.lit(0.0),
-                lambda a, s: a + s["_c"].cast("double") * s["_c"].cast("double"),
-            )
-        ).alias("_nrm"),
-        F.sum("_c").cast("bigint").alias("n_tokens"),
-    )
+    # OPTIMIZATION r12: ONE row-local Arrow pass (the pinned
+    # hash_embedding kernel), then posexplode the dense vector back to
+    # the sparse long form. The previous Catalyst form consumed the
+    # un-checkpointed (doc, bucket) count frame TWICE (norm aggregate +
+    # join-back) — explode, vocabulary broadcast, and two corpus-grain
+    # shuffles, twice (10 shuffles in the signed plan; now 0 + the
+    # output sort). Values identical: each dense element IS _c/_nrm
+    # (same single division), zero buckets are exactly 0.0 (dropped by
+    # the filter, as the sparse form never emitted them), and the
+    # kernel's dense norm fold equals the ascending sparse fold because
+    # adding exact-zero squares is the IEEE identity.
+    emb = hash_embedding(_t(spark, sf_dir, "documents"), dim=64)
     return (
-        counts.join(norms, "doc_id")
+        emb.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.posexplode("embedding").alias("bucket", "_wv"),
+        )
+        .filter(F.col("_wv") != 0.0)
         .select(
             "doc_id",
             "n_tokens",
-            F.col("_b").cast("int").alias("bucket"),
-            F.round(F.col("_c").cast("double") / F.col("_nrm"), 6).alias("w"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(F.col("_wv"), 6).alias("w"),
         )
         .orderBy("doc_id", "bucket")
     )
@@ -7316,6 +7318,16 @@ _STALE_SIGNED = frozenset({
     "emb_near_dup_pairs",
     "multimodal_pipeline",
     "multimodal_video_embedding",
+    # ADVICE r11 low: _importance_table folds NULL source to
+    # not-target (coalesce around isin) — the testdata has no NULL
+    # sources, outputs unchanged there; regression test added:
+    "docs_importance_weights",
+    "docs_curation_v5",
+    "pipeline_canonical",
+    # OPTIMIZATION r12: docs_hash_embedding emits the sparse long form
+    # from the ONE pinned Arrow hash_embedding pass (posexplode of the
+    # dense vector; identical values, 10 shuffles -> output sort only):
+    "docs_hash_embedding",
 })
 
 

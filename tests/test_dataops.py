@@ -3181,6 +3181,27 @@ def test_importance_weights_target_affinity(spark):
         importance_weights(df, target_sources=[])
 
 
+def test_importance_weights_null_source(spark):
+    """A token seen ONLY in NULL-source docs still gets the smoothed
+    floor weight, not a NULL (ADVICE r11: isin() is NULL for NULL
+    input, and sum over all-NULL flags is NULL — the flag must fold
+    NULL source to not-target)."""
+    from clickhouse_etl_spark.dataops.text import _importance_table
+
+    rows = [
+        (0, "aaa aaa", "tgt"),
+        (1, "zzz zzz zzz", None),  # zzz appears ONLY under NULL source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    wt = _importance_table(df, ["tgt"], 64, "text", "source").collect()
+    assert wt and all(r["_wt"] is not None for r in wt)
+    from clickhouse_etl_spark.dataops.hashing import char_fold_hash_py
+
+    by_bucket = {r["_b"]: r["_wt"] for r in wt}
+    # n_t[zzz]=0, n_r[zzz]=3 -> smoothed floor (1*2^20)//4
+    assert by_bucket[char_fold_hash_py("zzz") % 64] == (1 << 20) // 4
+
+
 def test_importance_weights_engine_equality(spark):
     """The Arrow scoring pass (default) is value-identical to the
     catalyst explode/join/groupBy reference form, including null/empty
