@@ -4072,29 +4072,46 @@ def docs_dedup_agreement(spark, sf_dir):
     agreement joins are plain set algebra on (id_a, id_b)."""
     from .dataops.dedup import simhash_near_dup_pairs
 
+    # OPTIMIZATION r12 (the bigram_pmi shared-subtree pattern): each
+    # miner's SPARSE pair list is localCheckpointed once — the old
+    # form consumed every un-materialized generator TWICE (union +
+    # left join), re-running all three shingle/signature pipelines
+    # (30 shuffles / 11 broadcasts in the signed plan). The distinct +
+    # three left joins collapse into ONE tagged union + group-max
+    # (identical flags: each flag is 1 iff the method emitted the
+    # pair).
     docs = _t(spark, sf_dir, "documents")
-    ng = ngram_jaccard_pairs(docs, n=5, threshold=0.5).select("id_a", "id_b")
+    ng = ngram_jaccard_pairs(docs, n=5, threshold=0.5).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
     mh = minhash_lsh_pairs(
         docs, n=3, k=8, rows_per_band=2, threshold=0.5
-    ).select("id_a", "id_b")
-    sh = simhash_near_dup_pairs(docs).select("id_a", "id_b")
-    allp = ng.unionByName(mh).unionByName(sh).distinct()
-    flagged = (
-        allp.join(ng.withColumn("_ng", F.lit(1)), ["id_a", "id_b"], "left")
-        .join(mh.withColumn("_mh", F.lit(1)), ["id_a", "id_b"], "left")
-        .join(sh.withColumn("_sh", F.lit(1)), ["id_a", "id_b"], "left")
+    ).select("id_a", "id_b").localCheckpoint()
+    sh = simhash_near_dup_pairs(docs).select("id_a", "id_b").localCheckpoint()
+
+    def _tag(df, ng_f, mh_f, sh_f):
+        return df.select(
+            "id_a", "id_b",
+            F.lit(ng_f).alias("_ng"), F.lit(mh_f).alias("_mh"),
+            F.lit(sh_f).alias("_sh"),
+        )
+
+    tagged = (
+        _tag(ng, 1, 0, 0)
+        .unionByName(_tag(mh, 0, 1, 0))
+        .unionByName(_tag(sh, 0, 0, 1))
     )
-    n_methods = (
-        F.coalesce(F.col("_ng"), F.lit(0))
-        + F.coalesce(F.col("_mh"), F.lit(0))
-        + F.coalesce(F.col("_sh"), F.lit(0))
+    flagged = tagged.groupBy("id_a", "id_b").agg(
+        F.max("_ng").alias("_ng"),
+        F.max("_mh").alias("_mh"),
+        F.max("_sh").alias("_sh"),
     )
     return flagged.select(
         "id_a", "id_b",
-        F.coalesce(F.col("_ng"), F.lit(0)).cast("int").alias("in_ngram"),
-        F.coalesce(F.col("_mh"), F.lit(0)).cast("int").alias("in_minhash"),
-        F.coalesce(F.col("_sh"), F.lit(0)).cast("int").alias("in_simhash"),
-        n_methods.cast("int").alias("n_methods"),
+        F.col("_ng").cast("int").alias("in_ngram"),
+        F.col("_mh").cast("int").alias("in_minhash"),
+        F.col("_sh").cast("int").alias("in_simhash"),
+        (F.col("_ng") + F.col("_mh") + F.col("_sh")).cast("int").alias("n_methods"),
     )
 
 
@@ -7328,6 +7345,11 @@ _STALE_SIGNED = frozenset({
     # from the ONE pinned Arrow hash_embedding pass (posexplode of the
     # dense vector; identical values, 10 shuffles -> output sort only):
     "docs_hash_embedding",
+    # OPTIMIZATION r12: dedup_agreement checkpoints each miner's pair
+    # list once and replaces distinct+3 left joins with one tagged
+    # union + group-max (30 shuffles/11 broadcasts -> 1/0 in the final
+    # plan); flags identical, oracle exact both SFs:
+    "docs_dedup_agreement",
 })
 
 
