@@ -7350,6 +7350,10 @@ _STALE_SIGNED = frozenset({
     # union + group-max (30 shuffles/11 broadcasts -> 1/0 in the final
     # plan); flags identical, oracle exact both SFs:
     "docs_dedup_agreement",
+    # OPTIMIZATION r12 (documented negative): gopher_rules gained an
+    # Arrow counter kernel, measured a WASH at 1M docs — default stays
+    # catalyst, behavior unchanged; counters equality-pinned:
+    "docs_gopher_rules",
 })
 
 

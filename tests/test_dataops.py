@@ -2602,6 +2602,35 @@ def test_pq_index_cell_skew_report_and_rebalance(spark, sf_dir, tmp_path):
     sim.release_index_cache()
 
 
+def test_gopher_rules_engines_identical(spark):
+    """The Arrow counter kernel (default, r12) is row-identical to the
+    Catalyst expression battery — real corpus + the edge shapes (null,
+    empty, all-punct, bullet/ellipsis lines, substring-short lines)."""
+    from clickhouse_etl_spark.dataops.text import gopher_rules
+    from clickhouse_etl_spark.sources import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (100, None), (101, ""), (102, " "), (103, "..."),
+            (104, "-"), (105, "- "), (106, "* x\n...\nab..."),
+            (107, "ONE Two #three ... mixed...case\nplain"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).unionByName(edge)
+    a = sorted(
+        map(tuple, gopher_rules(docs, engine="pandas").collect()),
+        key=repr,
+    )
+    b = sorted(
+        map(tuple, gopher_rules(docs, engine="catalyst").collect()),
+        key=repr,
+    )
+    assert a == b and len(a) > 8
+
+
 def test_gopher_rules_battery(spark):
     """Each Gopher rule trips on a purpose-built doc and the clean doc
     passes the whole battery (r9: dataops/text.gopher_rules)."""
