@@ -14,6 +14,24 @@ def _plan(spark, sf_dir, name) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """Every registry entry's executed-plan string, built ONCE per
+    module — the three registry-wide sweeps below (cartesian, BNLJ,
+    exchange-count audit) previously each re-built all ~125 entry
+    DataFrames (several of which execute eager checkpoint/artifact
+    work at construction), tripling the most expensive fixture cost in
+    the suite. Entries whose plan build raises store the exception
+    message (the BNLJ sweep reports those as their own failure)."""
+    plans = {}
+    for name in QUERIES:
+        try:
+            plans[name] = _plan(spark, sf_dir, name)
+        except Exception as e:  # noqa: BLE001 — surfaced by the sweeps
+            plans[name] = f"__PLAN_BUILD_FAILED__: {e}"[:200]
+    return plans
+
+
 def _optimized(spark, sf_dir, name) -> str:
     df = QUERIES[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().optimizedPlan().toString()
@@ -70,14 +88,13 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(" in plan
 
 
-def test_no_plan_contains_cartesian(spark, sf_dir):
+def test_no_plan_contains_cartesian(registry_plans):
     """No oracle query may degrade to a cartesian product (the pairwise
     dataops are candidate-bucketed by construction)."""
     for name, qd in QUERIES.items():
         if qd.sql is None:
             continue
-        plan = _plan(spark, sf_dir, name)
-        assert "CartesianProduct" not in plan, name
+        assert "CartesianProduct" not in registry_plans[name], name
 
 
 def test_partition_pruning(spark, sf_dir, tmp_path):
@@ -117,7 +134,7 @@ def test_range_join_is_equi_join_not_bnlj(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
-def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
+def test_no_query_in_registry_plans_nested_loop_or_cartesian(registry_plans):
     """Registry-wide sweep: every declared query must avoid
     CartesianProduct and BroadcastNestedLoopJoin — the two plan shapes
     that silently work at test SF and die at production SF.
@@ -175,13 +192,10 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(spark, sf_dir):
                     # bounded 1xn gate v4 carries)
                     "docs_curation_v5"}
     bad = {}
-    for name, qd in QUERIES.items():
-        try:
-            plan = _plan(spark, sf_dir, name)
-        except Exception as e:  # noqa: BLE001 — plan build failure is its own bug
-            bad[name] = f"plan build failed: {e}"[:120]
-            continue
-        if "CartesianProduct" in plan:
+    for name, plan in registry_plans.items():
+        if plan.startswith("__PLAN_BUILD_FAILED__"):
+            bad[name] = plan[:140]
+        elif "CartesianProduct" in plan:
             bad[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             bad[name] = "BroadcastNestedLoopJoin"
@@ -237,7 +251,7 @@ def test_percentile_gate_has_no_unpartitioned_window(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
-def test_exchange_counts_match_signed_baseline(spark, sf_dir):
+def test_exchange_counts_match_signed_baseline(registry_plans, sf_dir):
     """Registry-wide shuffle audit (VERDICT r6 #8): every entry's
     physical plan must carry exactly the shuffle/broadcast Exchange
     counts frozen in exchange_counts_signed.json — an edit that
@@ -267,8 +281,10 @@ def test_exchange_counts_match_signed_baseline(spark, sf_dir):
     from clickhouse_etl_spark.planstats import exchange_counts
 
     drifted = {}
-    for name, qd in QUERIES.items():
-        plan = _plan(spark, sf_dir, name)
+    for name, plan in registry_plans.items():
+        if plan.startswith("__PLAN_BUILD_FAILED__"):
+            drifted[name] = plan[:140]
+            continue
         got = exchange_counts(plan)
         if got != baseline[name]:
             drifted[name] = f"{baseline[name]} -> {got}"
