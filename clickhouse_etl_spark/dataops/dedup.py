@@ -356,14 +356,17 @@ def minhash_lsh_pairs(
         ).alias(f"band_{i}")
         for i in range(n_bands)
     ]
-    with_bands = df.select(
+    # keys-only band join (optimization r12, guide §2.3): the banded
+    # stream previously carried the full n-gram STRING ARRAY n_bands
+    # times per doc through BOTH sides of the exchange, and two gram
+    # arrays per candidate row through the dedupe. Band keys are ~30
+    # bytes; the gram arrays join back once per pair side, only for
+    # the candidates that survive.
+    banded = df.select(
         F.col(id_col).alias("id"),
-        _word_ngrams(F.col(text_col), n).alias("_grams"),
         *bands,
-    )
-    banded = with_bands.select(
+    ).select(
         "id",
-        "_grams",
         F.explode(
             F.array(*[
                 F.concat_ws(":", F.lit(str(i)), F.col(f"band_{i}")) for i in range(n_bands)
@@ -377,10 +380,13 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a._grams").alias("ga"),
-            F.col("b._grams").alias("gb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    grams = df.select(F.col(id_col).alias("id"), _word_ngrams(F.col(text_col), n).alias("_g"))
+    cand = (
+        cand.join(grams.select(F.col("id").alias("id_a"), F.col("_g").alias("ga")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"), F.col("_g").alias("gb")), "id_b")
     )
     shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size(F.col("ga")) + F.size(F.col("gb")) - shared

@@ -7354,6 +7354,10 @@ _STALE_SIGNED = frozenset({
     # Arrow counter kernel, measured a WASH at 1M docs — default stays
     # catalyst, behavior unchanged; counters equality-pinned:
     "docs_gopher_rules",
+    # OPTIMIZATION r12: minhash_lsh_pairs band join ships band keys
+    # only; gram arrays join back per surviving candidate (the LSH
+    # keys-only pattern). Same candidates, same Jaccard; oracle exact:
+    "docs_minhash_lsh_pairs",
 })
 
 
