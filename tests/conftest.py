@@ -16,6 +16,28 @@ def pytest_configure(config):
         "live: smoke tests against real Kafka/ClickHouse endpoints "
         "(skip unless KAFKA_BOOTSTRAP / CLICKHOUSE_JDBC_URL are set)",
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: artifact-lifecycle / serving-scale tests (index builds,"
+        " multi-wave lifecycles, engine-equality sweeps over built"
+        " artifacts). Skipped by default so the fast suite fits the"
+        " driver's verify window (VERDICT r11 #3); run with -m heavy"
+        " or SPARK_GRAFT_HEAVY_TESTS=1. The end-of-round validation"
+        " runs BOTH (see CLAUDE.md).",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_HEAVY_TESTS"):
+        return
+    if "heavy" in (config.getoption("-m") or ""):
+        return
+    skip_heavy = pytest.mark.skip(
+        reason="heavy tier — run with -m heavy or SPARK_GRAFT_HEAVY_TESTS=1"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip_heavy)
 
 
 @pytest.fixture(scope="session")

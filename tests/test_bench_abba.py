@@ -3,6 +3,7 @@ artifact: interleaved current-vs-signed-tree runs in one window with
 per-query verdicts. A 2-run AB at sf0.001 with one cheap query keeps
 the test fast; the recorded artifact uses the full ABBA at sf0.1."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -22,6 +23,7 @@ def _abba_worktrees():
     }
 
 
+@pytest.mark.heavy
 def test_bench_abba_produces_artifact(tmp_path):
     out = str(tmp_path / "bench_abba.json")
     pre_existing = _abba_worktrees()  # residue from OTHER (killed) runs

@@ -883,6 +883,7 @@ def test_balanced_sample_spec_surface_documents_defaults(spark):
     assert len(by_src["web"]) == len(by_src["code"]) == 1
 
 
+@pytest.mark.heavy
 def test_pq_index_persisted_equals_fresh_build(spark, sf_dir, tmp_path):
     """VERDICT r4 #2: the persisted-index query path answers exactly what
     the fresh-build ivf_pq_topk answers (same deterministic index, shared
@@ -1135,6 +1136,7 @@ def test_snapshot_diff_statuses(spark):
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
 
+@pytest.mark.heavy
 def test_pq_index_append_wave_equals_one_shot_encode(spark, sf_dir, tmp_path):
     """Index lifecycle: build on wave 1, append wave 2 with the STORED
     codebooks — querying the grown index equals querying an index whose
@@ -1315,6 +1317,7 @@ def test_digest_lifecycle_null_text_policy(spark, tmp_path):
     assert [r["doc_id"] for r in kept.collect()] == [12]
 
 
+@pytest.mark.heavy
 def test_pq_index_append_dedup_guard(spark, sf_dir, tmp_path):
     """ADVICE r5: re-appending an already-indexed wave must be a no-op
     (duplicate ids would surface as duplicate neighbor_id rows in
@@ -1732,6 +1735,7 @@ def test_cluster_balanced_sample_cap_and_coverage(spark):
     )
 
 
+@pytest.mark.heavy
 def test_hash_feature_classifier_engines_identical(spark, sf_dir):
     """The Arrow-batched feature stage must replay the explode/
     dictionary-join reference form exactly — integer counts, so
@@ -2158,6 +2162,7 @@ def test_classifier_threshold_decimal_past_int64(spark):
     assert pred == 1
 
 
+@pytest.mark.heavy
 def test_curation_fused_engine_identical(spark, sf_dir, tmp_path):
     """The fused single-pass curation body must replay the staged
     3-op composition row-for-row — normalize NULL contract, bloom
@@ -2472,6 +2477,7 @@ def test_score_kernel_chunking_identical(spark, monkeypatch):
     assert 0 < len(sel) <= len(tok_lists)
 
 
+@pytest.mark.heavy
 def test_index_cache_survives_append_rotates_on_rebuild(spark, sf_dir, tmp_path):
     """The loaded-index cache (meta/codebooks/centroids) must SURVIVE
     pq_index_append — append reuses the stored codebooks and only
@@ -2509,6 +2515,7 @@ def test_index_cache_survives_append_rotates_on_rebuild(spark, sf_dir, tmp_path)
     sim.release_index_cache(path)
 
 
+@pytest.mark.heavy
 def test_pq_index_cell_skew_report_and_rebalance(spark, sf_dir, tmp_path):
     """VERDICT r8 #5: IVF cell-skew maintenance. Appends quantize with
     STORED centroids, so a drifted wave piles into few cells — the
@@ -2710,6 +2717,7 @@ def test_temperature_mixture_rates_and_gate(spark):
     assert abs(n_kept_big - 0.4166 * 900) < 60, n_kept_big
 
 
+@pytest.mark.heavy
 def test_serving_chunks_oversized_query_batch(spark, sf_dir, tmp_path):
     """Review r9: a serving micro-batch over the max_queries LUT bound
     must split into chunks and answer identically to the unchunked
@@ -2910,6 +2918,7 @@ def test_sentence_span_dedup_published_semantics(spark):
     assert out[4]["text_dedup"] == "short one\nshort two"
 
 
+@pytest.mark.heavy
 def test_span_dedup_against_lifecycle(spark, tmp_path):
     """Span-grain cross-wave lifecycle (the sentence_span_dedup
     streaming analogue): wave 1 -> write_span_digest_table -> wave 2
@@ -3545,6 +3554,7 @@ def test_decontaminate_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.heavy
 def test_neardup_against_lifecycle(spark, tmp_path):
     """The MinHash-LSH near-dup serving split: wave-1 survivors ->
     write_band_digest_table -> wave 2 probes it. The flag verdict
@@ -3725,6 +3735,7 @@ def test_neardup_vs_pair_miner_no_false_negatives(spark, tmp_path):
     assert cross_w2 <= flagged
 
 
+@pytest.mark.heavy
 def test_neardup_bloom_tier(spark, tmp_path):
     """Bloom-tier near-dup probing: NO false negatives — every document
     the exact digest probe flags, the bloom probe flags too (drop-mode
@@ -3795,6 +3806,7 @@ def test_neardup_bloom_tier(spark, tmp_path):
     release_bloom_cache()
 
 
+@pytest.mark.heavy
 def test_neardup_guards(spark, tmp_path):
     """Fail-loud surface: indivisible/oversized geometry at write,
     mixed geometry across appends at probe, mixed-geometry merge,
@@ -4014,6 +4026,7 @@ def test_band_keys_engines_identical(spark):
     assert a == b and a, "engines diverged or produced nothing"
 
 
+@pytest.mark.heavy
 def test_vec_dedup_against_lifecycle(spark, sf_dir, tmp_path):
     """The SemDeDup serving split: wave-1 kept vectors ->
     write_vec_bucket_table -> wave 2 probes it. The flag verdict
@@ -4088,6 +4101,7 @@ def test_vec_dedup_against_lifecycle(spark, sf_dir, tmp_path):
     assert release_vec_bucket_cache(path) == 1
 
 
+@pytest.mark.heavy
 def test_vec_bucket_keys_match_pair_miner(spark, sf_dir, tmp_path):
     """The shared probe/writer kernel derives EXACTLY the bucket keys
     the LSH pair miner buckets on (_lsh_buckets_batched's '_bkt'), so
@@ -4143,6 +4157,7 @@ def test_vec_bucket_keys_match_pair_miner(spark, sf_dir, tmp_path):
     assert cross_w2 and cross_w2 <= flagged
 
 
+@pytest.mark.heavy
 def test_vec_dedup_against_guards(spark, tmp_path):
     """Fail-loud surface: mixed geometry across appends, wrong-dim
     probe vectors, unknown action, flag-column clash, bad geometry
@@ -4239,6 +4254,7 @@ def test_vec_dedup_against_guards(spark, tmp_path):
     assert set(out_stream.columns) == {"vec_id", "embedding", "ts"}
 
 
+@pytest.mark.heavy
 def test_vec_bucket_saturation_guard(spark, tmp_path):
     """VERDICT r10 #2: a vector-bucket artifact whose registered keys
     fill the geometry's bucket space past max_occupancy is rejected at
@@ -4296,6 +4312,7 @@ def test_vec_bucket_saturation_guard(spark, tmp_path):
     )  # every vector collides — the loud-vs-silent difference
 
 
+@pytest.mark.heavy
 def test_band_digest_append_geometry_prechecked(spark, tmp_path):
     """ADVICE r10 #1 at band grain: a mismatched-geometry append to a
     band-digest artifact fails loud BEFORE any band key is written, so

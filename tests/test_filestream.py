@@ -26,6 +26,7 @@ def dirs(tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_incremental_pickup_and_cross_run_dedup(spark, dirs):
     in_dir, out_dir, ckpt = dirs
     _write_wave(

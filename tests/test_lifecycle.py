@@ -2,6 +2,7 @@
 continues from it (offsets not re-read); terminate cleans up.
 """
 
+import pytest
 import datetime as dt
 import json
 import os
@@ -75,6 +76,7 @@ def test_stop_resume_continues_from_checkpoint(spark, tmp_path):
     assert not os.path.isdir(str(tmp_path / "ckpt"))
 
 
+@pytest.mark.heavy
 def test_edit_incompatible_spec_rotates_checkpoint(spark, tmp_path):
     """A state-shape-changing edit (adding windowed dedup) cannot resume
     the old checkpoint — edit() must detect the failed restart and

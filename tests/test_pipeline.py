@@ -776,6 +776,7 @@ def test_streaming_curation_dataops_spec_chain(spark, tmp_path):
     release_bloom_cache(bloom)
 
 
+@pytest.mark.heavy
 def test_six_stage_curation_chain_from_one_pipeline_json(spark, tmp_path):
     """VERDICT r10 #6: the FULL six-stage curation deployment declared
     in ONE v3 pipeline JSON (the reference's config-in/plan-out
@@ -929,6 +930,7 @@ def test_six_stage_curation_chain_from_one_pipeline_json(spark, tmp_path):
     release_band_digest_cache()
 
 
+@pytest.mark.heavy
 def test_multi_wave_curation_lifecycle(spark, tmp_path):
     """Continuous corpus construction across THREE ingest waves: each
     wave streams through the fused curation pass against the
@@ -1017,6 +1019,7 @@ def test_multi_wave_curation_lifecycle(spark, tmp_path):
     release_bloom_cache()
 
 
+@pytest.mark.heavy
 def test_ann_serve_on_spec_surface(spark, sf_dir, tmp_path):
     """VERDICT r8 #4: online ANN serving is config-in/plan-out like
     every other dataop. Parse-time: index_path is required. Batch: the

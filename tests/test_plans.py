@@ -202,6 +202,7 @@ def test_no_query_in_registry_plans_nested_loop_or_cartesian(registry_plans):
     assert not bad, bad
 
 
+@pytest.mark.heavy
 def test_pq_index_query_prunes_code_partitions(spark, sf_dir, tmp_path):
     """The persisted index's codes table is partitioned by cell; a query
     probing n_probe cells must read ONLY those partitions — the filter
